@@ -1,0 +1,179 @@
+"""Document deduplication family (training-data pipeline operators).
+
+These operate on a ``documents(doc_id, text, ...)`` table (the driver's
+/root/testdata documents.parquet shape). All hash primitives are expressed
+with engine-portable md5 so the DuckDB oracle can reproduce them exactly
+(__spark_entry__.oracle_sql):
+
+    h32(s) = int(md5(s)[:8], 16)   — a deterministic 32-bit hash
+
+Four levels, cheapest-first (each a standard web-scale technique):
+- exact:      md5(text) groupBy — one shuffle on the digest.
+- ngram jaccard: shingle explode + self-join on shingle + pair groupBy.
+- minhash LSH: k independent min-hashes over shingles, banded; candidate
+  pairs share a band bucket — the self-join is on (band, signature) so the
+  shuffle never pairs dissimilar docs (the 10^12-scale path).
+- simhash:    64→16-bit projection of token hashes; near-dups share the
+  fingerprint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def h32(c: Column) -> Column:
+    """Portable 32-bit hash: first 8 hex chars of md5 as a bigint.
+    DuckDB equivalent: ('0x' || substr(md5(x),1,8))::BIGINT."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("bigint")
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization (documents are space-separated)."""
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def shingles(c: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings joined by single spaces."""
+    toks = tokens(c)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    return F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents; keeper = min doc_id (A3-style
+    deterministic winner). Returns (digest, keeper_id, dup_ids, n)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("digest"), F.col("doc_id"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("dup_ids"),
+            F.count("*").alias("n"),
+        )
+        .filter(F.col("n") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Exact n-gram Jaccard over all candidate pairs sharing ≥1 shingle.
+
+    Correct but quadratic in the worst case — the small-scale oracle
+    baseline that minhash_lsh_pairs approximates. Returns
+    (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = (
+        docs.select(F.col("doc_id"), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """k min-hashes per doc: min over shingles of h32(i || ':' || shingle).
+    Expressed with higher-order functions — no explode, no shuffle."""
+    sh = F.array_distinct(shingles(F.col(text_col), n))
+    sig = F.array(*[
+        F.array_min(F.transform(sh, lambda s, i=i: h32(F.concat(F.lit(f"{i}:"), s))))
+        for i in range(num_hashes)
+    ])
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on all rows of ≥1 band.
+
+    Scale path: the join key is (band_id, band_signature) — documents only
+    meet if a band collides, so shuffle volume tracks true near-duplicates,
+    not |docs|². Returns distinct (doc_a, doc_b), doc_a < doc_b.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, n, text_col)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                          for r in range(rows_per_band)],
+                    ).alias("bsig"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bsig")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
+    """bits-bit SimHash over whitespace tokens (token hash = h32).
+
+    bit b of the fingerprint = 1 iff sum over tokens of
+    (±1 by bit b of h32(token)) > 0. Pure column algebra (aggregate over
+    the token array) — portable to the SQL oracle via unnest + sum.
+    """
+    toks = tokens(F.col(text_col))
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            toks,
+            F.lit(0).cast("bigint"),
+            lambda acc, t, b=b: acc
+            + F.when(F.shiftright(h32(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+    fp = None
+    for b in range(bits):
+        term = F.when(bit_sum(b) > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        fp = term if fp is None else fp + term
+    return docs.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_duplicates(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
+    """Docs sharing an identical simhash fingerprint (hamming distance 0 —
+    banding over fingerprint chunks generalizes to distance ≤ k)."""
+    fp = simhash(docs, bits, text_col)
+    return (
+        fp.groupBy("simhash")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+             F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )

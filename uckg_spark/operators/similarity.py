@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths per the training-data-pipeline mandate:
+- brute-force cosine top-k: exact baseline; JVM-side column algebra
+  (F.aggregate/zip_with — no Python in the row path);
+- LSH-bucketed ANN: random-hyperplane signs from the portable h32 hash (so
+  the "random" projections are deterministic and oracle-reproducible);
+  candidates meet only within a bucket — the shuffle is bucket-local,
+  which is the property that survives a 100× scale-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import h32
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against one query vector. One scan + a
+    global top-k (orderBy+limit lowers to TakeOrdered — no full sort)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings.select(
+            F.col(id_col),
+            F.round(cosine_col(F.col(vec_col).cast("array<double>"), q), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Deterministic random-hyperplane LSH signature: plane p's weight for
+    coordinate i is ±1 by bit 0 of h32('p:i') — reproducible in any engine
+    with md5. Returns the signature as a bigint bucket id."""
+    sig = None
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[
+                    F.when(h32(F.lit(f"{p}:{i}")).bitwiseAND(F.lit(1)) == 1, F.lit(1.0))
+                    .otherwise(F.lit(-1.0))
+                    for i in range(dim)
+                ]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0).cast("double"),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj > 0, F.lit(2 ** p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def lsh_bucketed_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-neighbor pairs within hyperplane-LSH buckets, verified by exact
+    cosine. Shuffle keys on the bucket id (2^n_planes buckets); n_planes
+    tunes the recall/shuffle trade."""
+    vec_d = F.col(vec_col).cast("array<double>")
+    sigs = embeddings.select(
+        F.col(id_col), vec_d.alias("v"),
+        hyperplane_signature(vec_d, dim, n_planes).alias("bucket"),
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def knn_join_pandas(
+    embeddings: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized (numpy via Arrow) batch kNN for a broadcast query set —
+    the Pandas-UDF path for when the query side is a small matrix and the
+    base side is huge: each partition computes a local top-k against the
+    broadcast matrix; a final groupBy merges per-query top-k."""
+    import numpy as np
+    from pyspark.sql import types as Ty
+
+    spark = embeddings.sparkSession
+    qids = [q[0] for q in queries]
+    qmat = np.array([q[1] for q in queries], dtype="float64")
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    schema = Ty.StructType([
+        Ty.StructField("query_id", Ty.LongType()),
+        Ty.StructField(id_col, Ty.LongType()),
+        Ty.StructField("cos_sim", Ty.DoubleType()),
+    ])
+
+    def part(batches):
+        import pandas as pd
+
+        qids_, qmat_ = bc.value
+        for pdf in batches:
+            base = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            base /= np.linalg.norm(base, axis=1, keepdims=True)
+            sims = qmat_ @ base.T  # (nq, nbase)
+            rows = []
+            top = min(k, sims.shape[1])
+            for qi, qid in enumerate(qids_):
+                idx = np.argpartition(-sims[qi], top - 1)[:top]
+                for j in idx:
+                    rows.append((qid, int(pdf[id_col].iloc[j]), round(float(sims[qi, j]), 6)))
+            yield pd.DataFrame(rows, columns=["query_id", id_col, "cos_sim"])
+
+    local = embeddings.select(id_col, vec_col).mapInPandas(part, schema)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (
+        local.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

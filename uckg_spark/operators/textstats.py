@@ -1,0 +1,101 @@
+"""Text analysis for training-data pipelines: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+All JVM-side column algebra (regexp_count / aggregate / transform) so the
+DuckDB oracle can reproduce every number exactly — no UDFs, no floats from
+Python. The documents table shape is the driver's
+/root/testdata/*/documents.parquet: (doc_id, text, lang, source, n_chars).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import h32, tokens
+
+# tiny deterministic stopword gazetteers (language-ID n-gram heuristic)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "que"],
+}
+
+
+def _stopword_hits(text_col: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(text_col), F.lit(pat))
+
+
+def language_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-language stopword-hit ratios + argmax guess (ties → language
+    name ascending, deterministic)."""
+    t = F.col(text_col)
+    ntok = F.size(tokens(t))
+    cols = {
+        lang: (_stopword_hits(t, words) / F.greatest(ntok, F.lit(1))).alias(f"score_{lang}")
+        for lang, words in sorted(STOPWORDS.items())
+    }
+    scored = docs.select("doc_id", *cols.values())
+    pairs = F.array(*[
+        F.struct((-F.col(f"score_{lang}")).alias("neg"), F.lit(lang).alias("lang"))
+        for lang in sorted(STOPWORDS)
+    ])
+    return scored.withColumn("lang_guess", F.array_min(pairs)["lang"])
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / uppercase ratios + a composite
+    quality score in [0,1] (fixed weights, documented here):
+      0.4·len_norm + 0.3·stopword_ratio_capped + 0.3·(1 − punct_ratio)
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    ntok = F.size(tokens(t))
+    punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    upper = F.regexp_count(t, F.lit(r"[A-Z]"))
+    stop_en = _stopword_hits(t, STOPWORDS["en"])
+    len_norm = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    stop_ratio = F.least(stop_en / F.greatest(ntok, F.lit(1)) * F.lit(5.0), F.lit(1.0))
+    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    return docs.select(
+        "doc_id",
+        ntok.alias("n_tokens"),
+        punct.alias("n_punct"),
+        upper.alias("n_upper"),
+        F.round(len_norm, 6).alias("len_norm"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(
+            F.lit(0.4) * len_norm + F.lit(0.3) * stop_ratio
+            + F.lit(0.3) * (F.lit(1.0) - punct_ratio),
+            6,
+        ).alias("quality"),
+    )
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy: count of
+    alphanumeric runs and punctuation marks (what a byte-level BPE would
+    roughly split on), via one regexp_count."""
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        F.size(tokens(t)).alias("ws_tokens"),
+        F.regexp_count(t, F.lit(r"[A-Za-z0-9]+|[^\sA-Za-z0-9]")).alias("bpeish_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Position-weighted rolling document fingerprint:
+    sum over tokens of (pos+1)·h32(token) mod 2^61−1. Order-sensitive (a
+    shuffled doc fingerprints differently), portable to SQL via
+    unnest-with-ordinality."""
+    MOD = (1 << 61) - 1
+    toks = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)))
+    terms = F.zip_with(toks, idx, lambda tk, i: i.cast("bigint") * h32(tk))
+    fp = F.aggregate(terms, F.lit(0).cast("bigint"),
+                     lambda acc, v: (acc + F.pmod(v, F.lit(MOD))) % F.lit(MOD))
+    return docs.select("doc_id", fp.alias("fingerprint"))

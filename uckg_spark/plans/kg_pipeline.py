@@ -1,0 +1,319 @@
+"""End-to-end KG construction: pages → extract → mentions → link →
+canonicalize → triples → nodes/edges.
+
+Spark mapping of the reference lifecycle (SURVEY.md §3 "graft lifecycle"),
+mention→triple rules R1–R7 defined in oracle/kg_oracle.py (the oracle is
+the parity target; tests assert set equality on fixtures).
+
+Scale design (10^12 docs, BASELINE.json north_rule):
+- the html column is dropped immediately after extraction (stage 1) — the
+  only shuffle-weight columns afterwards are url + short tokens;
+- every dictionary join is an explicit ``broadcast()`` (dims are MBs);
+- per-page co-mention joins key on url — high-cardinality, well-spread;
+  hot-ENTITY skew (popular CVEs) lands on the final dedup, which is an
+  aggregate (partial map-side combine) + AQE skew splitting;
+- dropDuplicates everywhere is the A1/A2 canonicalization of the reference
+  (n10s unique-URI MERGE, /root/reference/process/graph_updater.py:30-45).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..kernel import templates as T
+from ..operators.extract import extract_pages
+from ..operators.mentions import detect_mentions
+from . import triples as PT
+
+P_EXPLOITS = T.UCO_BARE + "ucoexploitsVulnerability"  # decl uco2.ttl:45
+
+
+def _edge(df: DataFrame, subj, pred: str, obj) -> DataFrame:
+    return df.select(
+        subj.cast("string").alias("subj"),
+        F.lit(pred).alias("pred"),
+        obj.cast("string").alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+
+
+def _type(df: DataFrame, subj, cls: str) -> DataFrame:
+    return _edge(df, subj, T.RDF_TYPE, F.lit(cls))
+
+
+class KgDims:
+    """All dimension DataFrames + alias rows, built once per job."""
+
+    def __init__(self, spark: SparkSession):
+        from ..fixtures import dicts as D
+        from ..sources import dims as S
+
+        self.cve = S.dim_cve(spark)
+        self.cwe = S.dim_cwe(spark)
+        self.cpe = S.dim_cpe(spark)
+        self.cpe_vp = S.dim_cpe_by_vendor_product(spark)
+        self.attack_ents, self.attack_rels = S.dim_attack(spark)
+        self.capec = S.dim_capec(spark)
+        self.d3fend = S.dim_d3fend(spark)
+        self.alias_rows = D.alias_table()
+
+
+def linked_mentions(
+    spark: SparkSession, pages: DataFrame, dims: KgDims
+) -> dict[str, DataFrame]:
+    """Stages 1–3: extract, detect, link. Returns per-kind mention tables
+    keyed by url (each distinct on its mention key)."""
+    extracted = extract_pages(pages)
+    mentions = (
+        detect_mentions(spark, extracted, dims.alias_rows)
+        .dropDuplicates(["url", "kind", "token", "canonical_id"])
+    )
+    # cache: six downstream branches read this; at scale this is the
+    # natural stage checkpoint (written to the _lineage-tracked stage table)
+    mentions.persist()
+
+    m_cve = (
+        mentions.filter(F.col("kind") == "cve")
+        .select("url", F.col("canonical_id").alias("cve"))
+        .distinct()
+    )
+    m_cwe = (
+        mentions.filter(F.col("kind") == "cwe")
+        .join(
+            F.broadcast(dims.cwe.select(F.col("id_value").alias("cwe"))),
+            F.col("canonical_id") == F.col("cwe"),
+            "inner",  # membership: only dictionary CWEs link (P6 analog)
+        )
+        .select("url", "cwe")
+        .distinct()
+    )
+    m_capec = (
+        mentions.filter(F.col("kind") == "capec")
+        .join(
+            F.broadcast(
+                dims.capec.select(
+                    F.concat(F.lit("CAPEC-"), F.col("ID")).alias("capec_tag"),
+                    F.col("ID").alias("capec_id"),
+                )
+            ),
+            F.col("canonical_id") == F.col("capec_tag"),
+            "inner",
+        )
+        .select("url", "capec_id")
+        .distinct()
+    )
+    tech_ids = dims.attack_ents.filter(F.col("kind") == "technique").select(
+        F.col("ID").alias("tech")
+    )
+    m_attack = (
+        mentions.filter(F.col("kind").isin("attack", "technique"))
+        .join(F.broadcast(tech_ids), F.col("canonical_id") == F.col("tech"), "inner")
+        .select("url", "tech")
+        .distinct()
+    )
+    # exact CPE ids: J1 left lookup (dictionary_found flag)
+    cpe_exact = (
+        mentions.filter(F.col("kind") == "cpe")
+        .join(
+            F.broadcast(
+                dims.cpe.select(
+                    F.col("cpeName").alias("_cpeName"),
+                    F.col("cpeNameId").alias("cpeNameId"),
+                    F.col("lastModified").alias("cpeLastModified"),
+                    F.col("titles_lang_lit").alias("titles"),
+                )
+            ),
+            F.col("canonical_id") == F.col("_cpeName"),
+            "left",
+        )
+        .select(
+            "url",
+            F.coalesce(F.col("_cpeName"), F.col("canonical_id")).alias("cpeName"),
+            "cpeNameId",
+            "cpeLastModified",
+            "titles",
+            F.col("_cpeName").isNotNull().alias("dictionary_found"),
+        )
+    )
+    # fuzzy vendor:product mentions resolve to the latest cpeName (found)
+    cpe_fuzzy = (
+        mentions.filter(F.col("kind") == "vendor_product")
+        .join(
+            F.broadcast(
+                dims.cpe_vp.select(
+                    F.col("canonical_id").alias("_vp"),
+                    F.col("cpeName"),
+                    F.col("cpeNameId"),
+                    F.col("lastModified").alias("cpeLastModified"),
+                    F.col("titles_lang_lit").alias("titles"),
+                )
+            ),
+            F.col("canonical_id") == F.col("_vp"),
+            "inner",
+        )
+        .select("url", "cpeName", "cpeNameId", "cpeLastModified", "titles",
+                F.lit(True).alias("dictionary_found"))
+    )
+    m_cpe = cpe_exact.unionByName(cpe_fuzzy).dropDuplicates(["url", "cpeName"])
+    return {
+        "mentions": mentions,
+        "cve": m_cve,
+        "cwe": m_cwe,
+        "capec": m_capec,
+        "attack": m_attack,
+        "cpe": m_cpe,
+    }
+
+
+def build_triples(
+    spark: SparkSession, pages: DataFrame, dims: KgDims
+) -> DataFrame:
+    """Stages 4–6: co-mention edges + entity records → repaired, deduped
+    triple set (the oracle-parity surface)."""
+    m = linked_mentions(spark, pages, dims)
+    m_cve, m_cwe, m_capec, m_attack, m_cpe = (
+        m["cve"], m["cwe"], m["capec"], m["attack"], m["cpe"],
+    )
+
+    vuln = F.concat(F.lit(T.UCO_HASH + "VULN-"), F.col("cve"))
+    cve_uri = F.concat(F.lit(T.UCO_HASH), F.col("cve"))
+    parts: list[DataFrame] = []
+
+    # R1 — every CVE id mention
+    parts += [
+        _type(m_cve, vuln, T.CL_VULNERABILITY),
+        _type(m_cve, cve_uri, T.CL_CVE),
+        _edge(m_cve, vuln, T.P_HAS_CVE_ID, cve_uri),
+    ]
+
+    # R2 — full CVE records for mentioned, in-dictionary CVEs
+    mentioned_cve_dim = dims.cve.join(
+        m_cve.select(F.col("cve").alias("id")).distinct(), "id", "leftsemi"
+    )
+    records, cwe_pairs, cpe_pairs = PT.build_cve_stage(
+        mentioned_cve_dim, dims.cwe, dims.cpe
+    )
+    parts.append(PT.emit_cve_batch(records, cwe_pairs, cpe_pairs))
+
+    # R3 — CVE × CWE co-mentions → ExploitTarget cluster
+    cc = m_cve.join(m_cwe, "url").select("cve", "cwe").distinct()
+    et = F.concat(F.lit(T.UCO_HASH + "ExploitTarget-"), F.col("cwe"))
+    cc_vuln = F.concat(F.lit(T.UCO_HASH + "VULN-"), F.col("cve"))
+    cc_cwe = F.concat(F.lit(T.UCO_HASH), F.col("cwe"))
+    parts += [
+        _type(cc, et, T.CL_EXPLOIT_TARGET),
+        _type(cc, cc_vuln, T.CL_VULNERABILITY),
+        _type(cc, cc_cwe, T.CL_CWE),
+        _edge(cc, et, T.P_HAS_VULNERABILITY, cc_vuln),
+        _edge(cc, et, T.P_HAS_WEAKNESS, cc_cwe),
+    ]
+
+    # R4 — CVE × CPE co-mentions (edges) + CPE records for linked mentions
+    cp = m_cve.join(m_cpe.select("url", "cpeName"), "url").select("cve", "cpeName").distinct()
+    cp_cpe = F.concat(F.lit(T.EX_HASH), F.col("cpeName"))
+    parts += [
+        _edge(cp, F.concat(F.lit(T.UCO_HASH), F.col("cve")), T.P_HAS_CPE, cp_cpe),
+        _type(cp, cp_cpe, T.CL_CPE),
+    ]
+    cpe_records = m_cpe.drop("url").dropDuplicates(["cpeName"])
+    rec_uri = F.concat(F.lit(T.EX_HASH), F.col("cpeName"))
+    parts += [
+        _type(cpe_records, rec_uri, T.CL_CPE),
+        PT._lit_plan(cpe_records, rec_uri, [
+            (T.P_CPE_NAME, F.col("cpeName"), T.XSD_STRING),
+            (T.P_CPE_NAME_ID, F.col("cpeNameId"), T.XSD_STRING),
+            (T.P_CPE_LAST_MODIFIED, F.col("cpeLastModified"), T.XSD_DATETIME),
+            (T.P_CPE_TITLES, F.col("titles"), T.RDF_JSON),
+            (T.P_DICTIONARY_FOUND, PT._bool_col(F.col("dictionary_found")), T.XSD_BOOLEAN),
+        ]),
+    ]
+
+    # R5 — full CWE records for mentioned CWEs
+    parts.append(PT.emit_cwe_batch(
+        dims.cwe.join(m_cwe.select(F.col("cwe").alias("id_value")).distinct(),
+                      "id_value", "leftsemi")
+    ))
+
+    # R6 — CAPEC records + exploitsVulnerability edges on co-mention
+    parts.append(PT.emit_capec_batch(
+        dims.capec.join(m_capec.select(F.col("capec_id").alias("ID")).distinct(),
+                        "ID", "leftsemi")
+    ))
+    ce = m_capec.join(m_cve, "url").select("capec_id", "cve").distinct()
+    capec_uri = F.concat(F.lit("https://capec.mitre.org/data/definitions/"),
+                         F.col("capec_id"), F.lit(".html"))
+    ce_vuln = F.concat(F.lit(T.UCO_HASH + "VULN-"), F.col("cve"))
+    parts += [
+        _edge(ce, capec_uri, P_EXPLOITS, ce_vuln),
+        _type(ce, ce_vuln, T.CL_VULNERABILITY),
+    ]
+
+    # R7 — ATT&CK entity records for mentioned techniques + MITIGATES edges
+    mentioned_tech = m_attack.select(F.col("tech").alias("ID")).distinct()
+    parts.append(PT.emit_attack_entities(
+        dims.attack_ents.join(mentioned_tech, "ID", "leftsemi")
+    ))
+    mit_rels = (
+        dims.attack_rels.filter(
+            (F.col("source_type") == "mitigation")
+            & (F.col("target_type") == "technique")
+            & F.col("source_id").isNotNull()
+        )
+        .join(F.broadcast(dims.attack_ents.select(F.col("ID").alias("_tid"))),
+              F.col("target_id") == F.col("_tid"), "inner")  # J4 FK check
+        .join(mentioned_tech.withColumnRenamed("ID", "target_id"), "target_id")
+        .select("source_id", "target_id")
+        .distinct()
+    )
+    mit_subj = F.concat(F.lit(T.EX_HASH), F.col("source_id"))
+    parts += [
+        _type(mit_rels, mit_subj, T.CL_MITIGATIONS),
+        _edge(mit_rels, mit_subj, T.P_MITIGATES,
+              F.concat(F.lit(T.EX_HASH), F.col("target_id"))),
+    ]
+    parts.append(PT.emit_attack_entities(
+        dims.attack_ents.join(
+            mit_rels.select(F.col("source_id").alias("ID")).distinct(),
+            "ID", "leftsemi")
+    ))
+
+    return PT.repair_and_dedup(PT._union(parts))
+
+
+def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Final property-graph tables (S10 analog — the Neo4j n10s load
+    becomes partitioned nodes/edges tables).
+
+    nodes(uri, labels, props) — labels = collect_set of rdf:type objects;
+    props = map of literal predicate→first value (deterministic min).
+    edges(subj, pred, obj) — URI-object triples, pred-partitionable.
+    """
+    edges = (
+        triples.filter(~F.col("obj_is_literal") & (F.col("pred") != T.RDF_TYPE))
+        .select("subj", "pred", "obj")
+    )
+    labels = (
+        triples.filter(F.col("pred") == T.RDF_TYPE)
+        .groupBy(F.col("subj").alias("uri"))
+        .agg(F.sort_array(F.collect_set("obj")).alias("labels"))
+    )
+    props = (
+        triples.filter(F.col("obj_is_literal"))
+        .groupBy("subj", "pred")
+        .agg(F.min("obj").alias("val"))
+        .groupBy(F.col("subj").alias("uri"))
+        .agg(F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("pred", "val")))
+        ).alias("props"))
+    )
+    nodes = labels.join(props, "uri", "full").select(
+        "uri",
+        F.coalesce("labels", F.array().cast("array<string>")).alias("labels"),
+        F.coalesce(
+            "props", F.map_from_arrays(F.array().cast("array<string>"),
+                                       F.array().cast("array<string>"))
+        ).alias("props"),
+    )
+    return nodes, edges
