@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the operator inventory of SURVEY.md §2 mapped onto
+the driver's TPC-H-ish tables, plus the training-data pipeline operators
+(dedup / similarity / text-analysis) from uckg_spark.operators. Each query
+has a DuckDB ``oracle_sql()`` twin with IDENTICAL column names; computed
+numerics are rounded on both sides to keep float noise out of the driver's
+value hash.
+
+Engine-portable hash used throughout (Spark ⇄ DuckDB):
+    h32(s) = int(md5(s)[:8], 16)
+    Spark : conv(substring(md5(s),1,8),16,10)::bigint
+    DuckDB: ('0x' || substr(md5(s),1,8))::BIGINT
 """
 
 from __future__ import annotations
@@ -12,27 +18,635 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+N_MINHASH = 4
+SHINGLE_N = 3
+SIMHASH_BITS = 16
+N_PLANES = 6
+EMB_DIM = 64
+FP_MOD = (1 << 61) - 1
+
+
+def _h32_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship query (driver smoke check at sf0.001)
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: revenue by region/returnflag via a 5-table join chain with
+    a window-deduped 'latest order per customer' stage — exercises
+    broadcast joins, window dedup (A3), agg, and sort in one plan."""
+    sf = SF_DEFAULT
+    lineitem, orders, customer = (
+        _t(spark, sf, "lineitem"), _t(spark, sf, "orders"), _t(spark, sf, "customer"),
+    )
+    nation, region = _t(spark, sf, "nation"), _t(spark, sf, "region")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    latest = (
+        orders.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        lineitem.join(latest, lineitem.l_orderkey == latest.o_orderkey)
+        .join(customer, latest.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "l_returnflag")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- relational operator inventory (SURVEY.md §2) ----
+
+    def q_explode_tokens(spark, sf):  # E1-E9 explode/flatten
+        docs = _t(spark, sf, "documents")
+        return (
+            docs.select(F.explode(F.split("text", " ")).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count("*").alias("n"))
+        )
+    q["explode_tokens"] = q_explode_tokens
+
+    def q_broadcast_lookup_join(spark, sf):  # J1/S7 dictionary lookup
+        li, part = _t(spark, sf, "lineitem"), _t(spark, sf, "part")
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left")
+            .withColumn("dictionary_found", part.p_partkey.isNotNull())
+            .groupBy("dictionary_found", "p_brand")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        )
+    q["broadcast_lookup_join"] = q_broadcast_lookup_join
+
+    def q_semi_join(spark, sf):  # P6/J2 membership
+        cust, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        return (
+            cust.join(orders, cust.c_custkey == orders.o_custkey, "leftsemi")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers"))
+        )
+    q["semi_join"] = q_semi_join
+
+    def q_anti_join(spark, sf):  # A7 except/anti consistency check
+        cust, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        return (
+            cust.join(orders, cust.c_custkey == orders.o_custkey, "leftanti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers"))
+        )
+    q["anti_join"] = q_anti_join
+
+    def q_inner_fk_join(spark, sf):  # J4 FK-validating inner join
+        orders, cust, nation = (
+            _t(spark, sf, "orders"), _t(spark, sf, "customer"), _t(spark, sf, "nation"),
+        )
+        return (
+            orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total"))
+        )
+    q["inner_fk_join"] = q_inner_fk_join
+
+    def q_self_join(spark, sf):  # J3 self equi-join
+        nation = _t(spark, sf, "nation")
+        a, b = nation.alias("a"), nation.alias("b")
+        return (
+            a.join(b, (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+                   & (F.col("a.n_nationkey") < F.col("b.n_nationkey")))
+            .select(F.col("a.n_name").alias("nation_a"),
+                    F.col("b.n_name").alias("nation_b"))
+        )
+    q["self_join"] = q_self_join
+
+    def q_window_dedup(spark, sf):  # A3 deterministic upsert
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc())
+        return (
+            ev.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "event_id", "event_type",
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"))
+        )
+    q["window_dedup"] = q_window_dedup
+
+    def q_global_dedup(spark, sf):  # A1 distinct-set semantics
+        ev = _t(spark, sf, "events")
+        return (
+            ev.select("user_id", "event_type").distinct()
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_users"))
+        )
+    q["global_dedup"] = q_global_dedup
+
+    def q_union_dedup(spark, sf):  # U1/U2 union across sources
+        cust, supp = _t(spark, sf, "customer"), _t(spark, sf, "supplier")
+        u = cust.select(F.col("c_name").alias("name")).unionByName(
+            supp.select(F.col("s_name").alias("name")))
+        return (
+            u.distinct()
+            .select(F.substring("name", 1, 1).alias("initial"))
+            .groupBy("initial")
+            .agg(F.count("*").alias("n"))
+        )
+    q["union_dedup"] = q_union_dedup
+
+    def q_group_concat(spark, sf):  # A6 group-concat, deterministic order
+        nation, region = _t(spark, sf, "nation"), _t(spark, sf, "region")
+        return (
+            nation.join(F.broadcast(region),
+                        nation.n_regionkey == region.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.array_join(F.sort_array(F.collect_list("n_name")), "|").alias("nations"))
+        )
+    q["group_concat"] = q_group_concat
+
+    def q_uri_template(spark, sf):  # F1/F4 URI templating
+        orders = _t(spark, sf, "orders")
+        return orders.filter(F.col("o_orderkey") < 200).select(
+            "o_orderkey",
+            F.concat(F.lit("http://purl.org/cyber/uco#ORDER-"),
+                     F.col("o_orderkey")).alias("uri"),
+        )
+    q["uri_template"] = q_uri_template
+
+    def q_datetime_format(spark, sf):  # F2 millisecond truncation
+        ev = _t(spark, sf, "events")
+        return ev.filter(F.col("event_id") < 500).select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS").alias("ts_iso"),
+        )
+    q["datetime_format"] = q_datetime_format
+
+    def q_null_drop(spark, sf):  # P7 null ⇒ no row
+        ev = _t(spark, sf, "events")
+        return (
+            ev.withColumn("et", F.nullif(F.col("event_type"), F.lit("view")))
+            .filter(F.col("et").isNotNull())
+            .groupBy("et")
+            .agg(F.count("*").alias("n"))
+        )
+    q["null_drop"] = q_null_drop
+
+    def q_first_element(spark, sf):  # P9 first-match-only
+        docs = _t(spark, sf, "documents")
+        return (
+            docs.select(F.get(F.split("text", " "), 0).alias("first_token"))
+            .groupBy("first_token")
+            .agg(F.count("*").alias("n"))
+        )
+    q["first_element"] = q_first_element
+
+    def q_sha256(spark, sf):  # F9 content hashing
+        docs = _t(spark, sf, "documents")
+        return docs.filter(F.col("doc_id") < 100).select(
+            "doc_id", F.sha2(F.col("text"), 256).alias("digest"))
+    q["sha256"] = q_sha256
+
+    def q_topk(spark, sf):  # TakeOrdered physical op
+        orders = _t(spark, sf, "orders")
+        return (
+            orders.select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+            .orderBy(F.col("price").desc(), F.col("o_orderkey"))
+            .limit(10)
+        )
+    q["topk"] = q_topk
+
+    def q_salted_agg(spark, sf):  # A2 salted two-phase aggregation
+        from uckg_spark.operators.skew import salted_agg
+
+        ev = _t(spark, sf, "events").withColumn("url", F.col("event_id").cast("string"))
+        return salted_agg(
+            ev, ["user_id"],
+            [F.count("*").alias("c"), F.sum("value").alias("s")],
+            [F.sum("c").alias("n_events"), F.round(F.sum("s"), 2).alias("sum_value")],
+            unique_col="url",
+        )
+    q["salted_agg"] = q_salted_agg
+
+    def q_event_window(spark, sf):  # event-time tumbling window (streaming analog)
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                    "event_type", "n")
+        )
+    q["event_window"] = q_event_window
+
+    def q_json_props(spark, sf):  # F8 JSON decode
+        ev = _t(spark, sf, "events")
+        return (
+            ev.select(F.get_json_object("props", "$.k").cast("int").alias("k"))
+            .groupBy("k").agg(F.count("*").alias("n"))
+        )
+    q["json_props"] = q_json_props
+
+    # ---- training-data pipeline operators ----
+
+    def q_dedup_exact(spark, sf):
+        docs = _t(spark, sf, "documents")
+        return (
+            docs.select(F.md5(F.col("text")).alias("digest"), "doc_id")
+            .groupBy("digest")
+            .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n"))
+        )
+    q["dedup_exact"] = q_dedup_exact
+
+    def q_dedup_minhash(spark, sf):
+        from uckg_spark.operators.dedup import minhash_signatures
+
+        docs = _t(spark, sf, "documents")
+        sigs = minhash_signatures(docs, num_hashes=N_MINHASH, n=SHINGLE_N)
+        return sigs.select(
+            "doc_id", *[F.element_at("sig", i + 1).alias(f"mh{i}") for i in range(N_MINHASH)]
+        )
+    q["dedup_minhash"] = q_dedup_minhash
+
+    def q_dedup_simhash(spark, sf):
+        from uckg_spark.operators.dedup import simhash
+
+        docs = _t(spark, sf, "documents")
+        return simhash(docs, bits=SIMHASH_BITS)
+    q["dedup_simhash"] = q_dedup_simhash
+
+    def q_ngram_jaccard(spark, sf):
+        from uckg_spark.operators.dedup import ngram_jaccard_pairs
+
+        docs = _t(spark, sf, "documents").filter(F.col("doc_id") < 200)
+        pairs = ngram_jaccard_pairs(docs, n=SHINGLE_N, threshold=0.2)
+        return pairs.select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    q["ngram_jaccard"] = q_ngram_jaccard
+
+    def q_ann_cosine_topk(spark, sf):
+        emb = _t(spark, sf, "embeddings")
+        qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        from uckg_spark.operators.similarity import brute_force_topk
+
+        return brute_force_topk(emb, [float(x) for x in qrow], k=10)
+    q["ann_cosine_topk"] = q_ann_cosine_topk
+
+    def q_ann_lsh_bucket(spark, sf):
+        from uckg_spark.operators.similarity import hyperplane_signature
+
+        emb = _t(spark, sf, "embeddings")
+        vec_d = F.col("embedding").cast("array<double>")
+        return emb.select(
+            "vec_id",
+            hyperplane_signature(vec_d, EMB_DIM, N_PLANES).alias("bucket"),
+        )
+    q["ann_lsh_bucket"] = q_ann_lsh_bucket
+
+    def q_lang_id(spark, sf):
+        from uckg_spark.operators.textstats import language_scores
+
+        docs = _t(spark, sf, "documents")
+        s = language_scores(docs)
+        return s.select(
+            "doc_id", "lang_guess",
+            *[F.round(f"score_{lang}", 6).alias(f"score_{lang}")
+              for lang in ("de", "en", "es", "fr")],
+        )
+    q["lang_id"] = q_lang_id
+
+    def q_quality(spark, sf):
+        from uckg_spark.operators.textstats import quality_scores
+
+        return quality_scores(_t(spark, sf, "documents"))
+    q["quality"] = q_quality
+
+    def q_token_count(spark, sf):
+        from uckg_spark.operators.textstats import token_counts
+
+        return token_counts(_t(spark, sf, "documents"))
+    q["token_count"] = q_token_count
+
+    def q_fingerprint(spark, sf):
+        from uckg_spark.operators.textstats import fingerprints
+
+        return fingerprints(_t(spark, sf, "documents"))
+    q["fingerprint"] = q_fingerprint
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB)
+# ---------------------------------------------------------------------------
+
+
+def _stopword_sql(lang_words: list[str], over: str = "lower(text)") -> str:
+    pat = r"\b(" + "|".join(lang_words) + r")\b"
+    return f"len(regexp_extract_all({over}, '{pat}'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["explode_tokens"] = """
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        WHERE token <> '' GROUP BY token
     """
-    return {}
+
+    o["broadcast_lookup_join"] = """
+        SELECT (p.p_partkey IS NOT NULL) AS dictionary_found, p.p_brand,
+               count(*) AS n, round(sum(l.l_quantity), 2) AS sum_qty
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    """
+
+    o["semi_join"] = """
+        SELECT c_mktsegment, count(*) AS n_customers FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment
+    """
+
+    o["anti_join"] = """
+        SELECT c_mktsegment, count(*) AS n_customers FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment
+    """
+
+    o["inner_fk_join"] = """
+        SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n_name
+    """
+
+    o["self_join"] = """
+        SELECT a.n_name AS nation_a, b.n_name AS nation_b
+        FROM nation a JOIN nation b
+          ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """
+
+    o["window_dedup"] = """
+        SELECT user_id, event_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        FROM (SELECT *, row_number() OVER
+                (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+    """
+
+    o["global_dedup"] = """
+        SELECT event_type, count(*) AS n_users
+        FROM (SELECT DISTINCT user_id, event_type FROM events)
+        GROUP BY event_type
+    """
+
+    o["union_dedup"] = """
+        SELECT substr(name, 1, 1) AS initial, count(*) AS n
+        FROM (SELECT DISTINCT name FROM (
+            SELECT c_name AS name FROM customer
+            UNION ALL SELECT s_name AS name FROM supplier))
+        GROUP BY initial
+    """
+
+    o["group_concat"] = """
+        SELECT r_name, string_agg(n_name, '|' ORDER BY n_name) AS nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """
+
+    o["uri_template"] = """
+        SELECT o_orderkey,
+               'http://purl.org/cyber/uco#ORDER-' || o_orderkey AS uri
+        FROM orders WHERE o_orderkey < 200
+    """
+
+    o["datetime_format"] = """
+        SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') AS ts_iso
+        FROM events WHERE event_id < 500
+    """
+
+    o["null_drop"] = """
+        SELECT et, count(*) AS n
+        FROM (SELECT nullif(event_type, 'view') AS et FROM events)
+        WHERE et IS NOT NULL GROUP BY et
+    """
+
+    o["first_element"] = """
+        SELECT string_split(text, ' ')[1] AS first_token, count(*) AS n
+        FROM documents GROUP BY first_token
+    """
+
+    o["sha256"] = """
+        SELECT doc_id, sha256(text) AS digest FROM documents WHERE doc_id < 100
+    """
+
+    o["topk"] = """
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders ORDER BY price DESC, o_orderkey LIMIT 10
+    """
+
+    o["salted_agg"] = """
+        SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        FROM events GROUP BY user_id
+    """
+
+    o["event_window"] = """
+        SELECT strftime(to_timestamp(floor(epoch(ts) / 600) * 600),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    """
+
+    o["json_props"] = """
+        SELECT (props::JSON ->> 'k')::INT AS k, count(*) AS n
+        FROM events GROUP BY k
+    """
+
+    o["dedup_exact"] = """
+        SELECT md5(text) AS digest, min(doc_id) AS keeper_id, count(*) AS n
+        FROM documents GROUP BY digest
+    """
+
+    # minhash: min over distinct word-3-gram shingles of h32(i || ':' || sh)
+    # (unnest(list_transform(range(...))) — DuckDB 1.0 can't lateral-join
+    # generate_series on a column)
+    shingle_cte = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - {SHINGLE_N - 1}, 0) + 1),
+                       i -> array_to_string(t[i:i+{SHINGLE_N - 1}], ' '))) AS s
+            FROM toks
+        )
+    """
+    mh_cols = ", ".join(
+        "min({h}) AS mh{i}".format(h=_h32_sql(f"'{i}:' || s"), i=i)
+        for i in range(N_MINHASH)
+    )
+    o["dedup_minhash"] = f"""
+        {shingle_cte}
+        SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id
+    """
+
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (({_h32_sql('tk')} >> {b}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    o["dedup_simhash"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+        )
+        SELECT doc_id, ({bit_terms})::BIGINT AS simhash
+        FROM tok WHERE tk <> '' GROUP BY doc_id
+    """
+
+    o["ngram_jaccard"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents WHERE doc_id < 200
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - {SHINGLE_N - 1}, 0) + 1),
+                       i -> array_to_string(t[i:i+{SHINGLE_N - 1}], ' '))) AS s
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.2
+    """
+
+    o["ann_cosine_topk"] = """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id,
+               round(list_dot_product(embedding::DOUBLE[], qv)
+                     / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+        FROM embeddings, q
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+    plane_terms = []
+    for p in range(N_PLANES):
+        weights = ", ".join(
+            f"(CASE WHEN ({_h32_sql(f_lit)} & 1) = 1 THEN 1.0 ELSE -1.0 END)"
+            for f_lit in (f"'{p}:{i}'" for i in range(EMB_DIM))
+        )
+        plane_terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], [{weights}]) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    o["ann_lsh_bucket"] = f"""
+        SELECT vec_id, ({' + '.join(plane_terms)})::BIGINT AS bucket
+        FROM embeddings
+    """
+
+    from uckg_spark.operators.textstats import STOPWORDS
+
+    ntok = "len(list_filter(string_split(text, ' '), x -> x <> ''))"
+    score_exprs = {
+        lang: f"({_stopword_sql(words)} * 1.0 / greatest({ntok}, 1))"
+        for lang, words in sorted(STOPWORDS.items())
+    }
+    # argmax with (score desc, lang asc) tie-break via struct min of
+    # (-score, lang) — mirrors textstats.language_scores exactly
+    pairs = ", ".join(
+        f"{{'neg': -{expr}, 'lang': '{lang}'}}" for lang, expr in score_exprs.items()
+    )
+    score_cols = ", ".join(
+        f"round({expr}, 6) AS score_{lang}" for lang, expr in score_exprs.items()
+    )
+    o["lang_id"] = f"""
+        SELECT doc_id, list_min([{pairs}]).lang AS lang_guess, {score_cols}
+        FROM documents
+    """
+
+    stop_en = _stopword_sql(STOPWORDS["en"])
+    # exact parts-per-million integer arithmetic — mirrors
+    # uckg_spark.operators.textstats.quality_scores bit-for-bit
+    o["quality"] = f"""
+        WITH base AS (
+            SELECT doc_id,
+                   {ntok}::BIGINT AS ntok,
+                   length(text)::BIGINT AS nchars,
+                   len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS punct,
+                   len(regexp_extract_all(text, '[A-Z]'))::BIGINT AS upper,
+                   {stop_en}::BIGINT AS stop_en
+            FROM documents
+        ), e6 AS (
+            SELECT doc_id, ntok, punct, upper,
+                   least(nchars, 500) * 2000 AS len_norm_e6,
+                   least((5000000 * stop_en) // greatest(ntok, 1), 1000000) AS stop_ratio_e6,
+                   (1000000 * punct) // greatest(nchars, 1) AS punct_ratio_e6
+            FROM base
+        )
+        SELECT doc_id, ntok AS n_tokens, punct AS n_punct, upper AS n_upper,
+               len_norm_e6, stop_ratio_e6, punct_ratio_e6,
+               (4 * len_norm_e6 + 3 * stop_ratio_e6
+                + 3 * (1000000 - punct_ratio_e6)) // 10 AS quality_e6
+        FROM e6
+    """
+
+    o["token_count"] = f"""
+        SELECT doc_id,
+               {ntok} AS ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+|[^\\sA-Za-z0-9]')) AS bpeish_tokens
+        FROM documents
+    """
+
+    o["fingerprint"] = f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(t) + 1),
+                       i -> (i * {_h32_sql('t[i]')}) % {FP_MOD})) AS term
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        )
+        SELECT doc_id, (sum(term) % {FP_MOD})::BIGINT AS fingerprint
+        FROM tok GROUP BY doc_id
+    """
+
+    return o

@@ -1,0 +1,87 @@
+"""Benchmark driver — prints ONE JSON line.
+
+Headline workload = the KG-construction job itself (pages → triples, the
+BASELINE.md metric surface: docs/s and triples/s) + the heavier operator
+queries from __spark_entry__ at $SPARK_GRAFT_SF_DIR.
+
+Env:
+  SPARK_GRAFT_SF_DIR  input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] cores (default 32)
+  UCKG_BENCH_PAGES    synthetic KG corpus size (default 20000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("UCKG_BENCH_PAGES", "20000"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as entry_mod
+    from uckg_spark.fixtures.pages import generate_pages
+    from uckg_spark.plans.kg_pipeline import KgDims, build_triples
+    from uckg_spark.session import build_session
+    from uckg_spark.sources.pages import pages_df
+
+    spark = build_session(
+        app_name="uckg-bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + parquet footers
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    timings: dict[str, float] = {}
+
+    # --- KG construction headline ---
+    pages = generate_pages(n_pages)
+    pdf = pages_df(spark, pages).repartition(cpus * 2).persist()
+    n_docs = pdf.count()  # materialize outside the timed section
+    dims = KgDims(spark)
+    t0 = time.time()
+    n_triples = build_triples(spark, pdf, dims).count()
+    kg_sec = time.time() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+
+    # --- operator queries at sf_dir ---
+    bench_queries = [
+        "explode_tokens", "broadcast_lookup_join", "inner_fk_join",
+        "window_dedup", "salted_agg", "event_window", "group_concat",
+        "dedup_exact", "dedup_minhash", "dedup_simhash", "ngram_jaccard",
+        "ann_cosine_topk", "ann_lsh_bucket", "lang_id", "quality",
+        "token_count", "fingerprint",
+    ]
+    qs = entry_mod.queries()
+    for name in bench_queries:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "uckg_kg_construct_and_operators_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "kg_docs": n_docs,
+        "kg_triples": n_triples,
+        "kg_docs_per_sec": round(n_docs / kg_sec, 1),
+        "kg_triples_per_sec": round(n_triples / kg_sec, 1),
+        "cpus": cpus,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""I1/I2 resume semantics + the §5.5 determinism guarantee."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from uckg_spark.lineage import LineageLog, run_stage_with_resume
+from uckg_spark.operators.extract import extract_pages
+from uckg_spark.sources.pages import pages_df
+
+
+class TestResume:
+    def test_resume_skips_completed_groups(self, spark, fixture_pages, tmp_path):
+        root = str(tmp_path / "stages")
+        pdf = pages_df(spark, fixture_pages)
+
+        calls = {"n": 0}
+
+        def stage(part):
+            calls["n"] += 1
+            return extract_pages(part)
+
+        out1 = run_stage_with_resume(spark, pdf, "extract", stage, root, n_groups=4)
+        n1 = out1.count()
+        assert calls["n"] == 4
+        log = LineageLog(root)
+        assert log.completed_groups("extract") == {0, 1, 2, 3}
+
+        # simulate a crash after 2 groups: drop lineage rows for groups 2,3
+        rows = [r for r in log.rows() if r["part_group"] < 2]
+        with open(log.path, "w") as f:
+            import json
+
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+        calls["n"] = 0
+        out2 = run_stage_with_resume(spark, pdf, "extract", stage, root, n_groups=4)
+        assert calls["n"] == 2  # only the missing groups re-ran
+        assert out2.count() == n1  # no duplicates, no losses
+        # texts identical across the resume boundary
+        a = {(r["url"], r["text_sha256"]) for r in out1.collect()}
+        b = {(r["url"], r["text_sha256"]) for r in out2.collect()}
+        assert a == b
+
+    def test_lineage_rows_complete(self, spark, fixture_pages, tmp_path):
+        root = str(tmp_path / "stages2")
+        pdf = pages_df(spark, fixture_pages)
+        run_stage_with_resume(spark, pdf, "extract", extract_pages, root, n_groups=2)
+        rows = LineageLog(root).rows()
+        assert len(rows) == 2
+        for r in rows:
+            assert r["row_count_in"] > 0 and r["row_count_out"] > 0
+            assert len(r["content_sha256"]) == 64
+            assert r["wall_ms"] >= 0
+        # A7-style consistency: the partition-group set must be exactly
+        # the expected increments (cpe_collection.py:117-134 analog)
+        assert sorted(r["part_group"] for r in rows) == [0, 1]
+
+
+class TestDeterminism:
+    def test_partitioning_invariance(self, spark, fixture_pages, kg_dims):
+        """Same input at different parallelism → identical triple set
+        (guards the reference's A3 completion-order nondeterminism from
+        creeping back in; SURVEY.md §5.5)."""
+        from uckg_spark.plans.kg_pipeline import build_triples
+
+        p1 = pages_df(spark, fixture_pages).repartition(1)
+        p13 = pages_df(spark, fixture_pages).repartition(13)
+        a = {tuple(r) for r in build_triples(spark, p1, kg_dims).collect()}
+        b = {tuple(r) for r in build_triples(spark, p13, kg_dims).collect()}
+        assert a == b

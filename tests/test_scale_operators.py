@@ -1,0 +1,180 @@
+"""Dedup / similarity / textstats / canonicalization / skew operators —
+verified against straightforward Python recomputations on small inputs."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+from uckg_spark.operators import canonicalize, dedup, similarity, skew, textstats
+
+
+def h32_py(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different text with no overlap at all here"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "the quick brown fox leaps over the lazy dog"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+class TestDedup:
+    def test_exact(self, spark):
+        groups = dedup.exact_duplicates(_docs(spark)).collect()
+        assert len(groups) == 1
+        g = groups[0]
+        assert g["keeper_id"] == 0 and g["dup_ids"] == [0, 3]
+
+    def test_jaccard_pairs(self, spark):
+        pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+                 for r in dedup.ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.3).collect()}
+        assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+        assert (0, 1) in pairs and 0.3 <= pairs[(0, 1)] < 1.0
+        assert not any(2 in p for p in pairs)
+
+    def test_minhash_agrees_with_python(self, spark):
+        sigs = {r["doc_id"]: r["sig"] for r in
+                dedup.minhash_signatures(_docs(spark), num_hashes=4, n=3).collect()}
+
+        def py_sig(text, k=4, n=3):
+            toks = text.split()
+            sh = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+            return [min(h32_py(f"{i}:{s}") for s in sh) for i in range(k)]
+
+        assert sigs[0] == py_sig("the quick brown fox jumps over the lazy dog")
+
+    def test_lsh_finds_exact_dups(self, spark):
+        pairs = {(r["doc_a"], r["doc_b"]) for r in
+                 dedup.minhash_lsh_pairs(_docs(spark), num_hashes=8, bands=4).collect()}
+        assert (0, 3) in pairs
+
+    def test_simhash_exact_dups_equal(self, spark):
+        fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_docs(spark)).collect()}
+        assert fps[0] == fps[3]
+        assert fps[0] != fps[2]
+        dups = dedup.simhash_duplicates(_docs(spark)).collect()
+        assert any(set(r["doc_ids"]) >= {0, 3} for r in dups)
+
+
+class TestSimilarity:
+    def test_brute_force_topk_matches_python(self, spark):
+        vecs = [(i, [float((i * 7 + j * 3) % 11) for j in range(6)]) for i in range(20)]
+        df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        q = vecs[0][1]
+        got = [(r["vec_id"], r["cos_sim"]) for r in
+               similarity.brute_force_topk(df, q, k=5).collect()]
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+        want = sorted(((i, round(cos(v, q), 6)) for i, v in vecs),
+                      key=lambda t: (-t[1], t[0]))[:5]
+        assert got == want
+
+    def test_lsh_buckets_contain_identical_vectors(self, spark):
+        vecs = [(0, [1.0, 2.0, 3.0, 4.0]), (1, [1.0, 2.0, 3.0, 4.0]),
+                (2, [-1.0, -2.0, -3.0, -4.0])]
+        df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+                 similarity.lsh_bucketed_pairs(df, dim=4, n_planes=4, threshold=0.9).collect()}
+        assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
+        assert not any(2 in p for p in pairs)
+
+    def test_knn_join_pandas(self, spark):
+        vecs = [(i, [float((i + j) % 5 + 1) for j in range(4)]) for i in range(30)]
+        df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        out = similarity.knn_join_pandas(df, [(99, vecs[3][1])], k=3).collect()
+        assert len(out) == 3
+        assert all(r["query_id"] == 99 for r in out)
+        assert out[0]["cos_sim"] == 1.0  # vec 3 itself tops
+
+
+class TestTextstats:
+    def test_language_scores(self, spark):
+        df = spark.createDataFrame(
+            [(0, "the cat is in the house and it is warm"),
+             (1, "der hund ist nicht in das haus und die katze")],
+            ["doc_id", "text"])
+        got = {r["doc_id"]: r["lang_guess"] for r in textstats.language_scores(df).collect()}
+        assert got == {0: "en", 1: "de"}
+
+    def test_quality_monotone_in_length(self, spark):
+        df = spark.createDataFrame(
+            [(0, "the of and a to in is that " * 20), (1, "x!!!")],
+            ["doc_id", "text"])
+        q = {r["doc_id"]: r["quality_e6"] for r in textstats.quality_scores(df).collect()}
+        assert q[0] > q[1]
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([(0, "a b-c d.e")], ["doc_id", "text"])
+        r = textstats.token_counts(df).collect()[0]
+        assert r["ws_tokens"] == 3
+        assert r["bpeish_tokens"] == 7  # a, b, -, c, d, ., e
+
+    def test_fingerprint_order_sensitive(self, spark):
+        df = spark.createDataFrame(
+            [(0, "alpha beta gamma"), (1, "gamma beta alpha")],
+            ["doc_id", "text"])
+        fp = {r["doc_id"]: r["fingerprint"] for r in textstats.fingerprints(df).collect()}
+        assert fp[0] != fp[1]
+
+
+class TestCanonicalize:
+    def test_connected_components(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p2"), ("p2", "p3"),
+             ("p3", "p4")],
+            ["src", "dst"])
+        cc = {r["node"]: r["component"]
+              for r in canonicalize.connected_components(edges).collect()}
+        assert cc["a"] == cc["b"] == cc["c"] == "a"
+        assert cc["x"] == cc["y"] == "x"
+        assert cc["p4"] == "p"
+
+    def test_canonical_map_prefers_real_ids(self, spark):
+        alias = spark.createDataFrame(
+            [("acme soft", "acmesoft:webgate"),
+             ("acme-soft webgate", "acmesoft:webgate"),
+             ("zebra alias", "zulu:tool")],
+            ["surface_key", "canonical_id"])
+        cmap = {r["member"]: r["canonical"]
+                for r in canonicalize.canonical_map(alias).collect()}
+        assert cmap["surface:acme soft"] == "acmesoft:webgate"
+        assert cmap["zulu:tool"] == "zulu:tool"
+
+
+class TestSkew:
+    def test_salted_agg_counts(self, spark):
+        rows = [("hot", f"u{i}") for i in range(500)] + [("cold", "u0")]
+        df = spark.createDataFrame(rows, ["entity", "url"])
+        out = {r["entity"]: r["mentions"] for r in skew.salted_agg(
+            df, ["entity"],
+            [F.count("*").alias("c")],
+            [F.sum("c").alias("mentions")],
+            unique_col="url", n_salt=8).collect()}
+        assert out == {"hot": 500, "cold": 1}
+
+    def test_salted_distinct(self, spark):
+        rows = [("k1",)] * 100 + [("k2",)] * 3
+        df = spark.createDataFrame(rows, ["k"])
+        got = sorted(r["k"] for r in skew.salted_distinct(df, ["k"]).collect())
+        assert got == ["k1", "k2"]
+
+
+class TestMultimodal:
+    def test_feature_plumbing(self, spark):
+        from uckg_spark.operators import multimodal
+
+        media = multimodal.synthetic_media(spark, n=12)
+        feats = multimodal.extract_features(media).collect()
+        assert len(feats) == 12
+        by_kind = {r["kind"]: len(r["feature"]) for r in feats}
+        assert by_kind == {"image": 8, "audio": 4, "video": 6}
+        assert all(r["digest"] and r["n_bytes"] > 0 for r in feats)

@@ -1,0 +1,45 @@
+"""Structured Streaming ingest: exactly-once mention sink equals the batch
+mention set; windowed watermark aggregate sanity."""
+
+from uckg_spark.fixtures import dicts as D
+from uckg_spark.operators.extract import extract_pages
+from uckg_spark.operators.mentions import detect_mentions
+from uckg_spark.sources.pages import pages_df, write_pages
+from uckg_spark.streaming.pages_stream import run_stream_once
+
+
+def test_stream_equals_batch(spark, fixture_pages, tmp_path):
+    in_path = str(tmp_path / "pages_in")
+    out_path = str(tmp_path / "mentions_out")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = pages_df(spark, fixture_pages)
+    write_pages(pdf, in_path)
+
+    alias_rows = D.alias_table()
+    run_stream_once(spark, in_path, out_path, ckpt, alias_rows)
+    stream_rows = {
+        tuple(r) for r in spark.read.parquet(out_path)
+        .select("url", "kind", "token", "canonical_id").collect()
+    }
+    batch_rows = {
+        tuple(r) for r in detect_mentions(spark, extract_pages(pdf), alias_rows)
+        .select("url", "kind", "token", "canonical_id").collect()
+    }
+    assert stream_rows == batch_rows
+
+    # re-running with the same checkpoint ingests nothing new (exactly-once)
+    run_stream_once(spark, in_path, out_path, ckpt, alias_rows)
+    again = {
+        tuple(r) for r in spark.read.parquet(out_path)
+        .select("url", "kind", "token", "canonical_id").collect()
+    }
+    assert again == stream_rows
+
+
+def test_windowed_mention_rate(spark, fixture_pages, tmp_path):
+    from uckg_spark.streaming.pages_stream import mention_rate
+
+    pdf = pages_df(spark, fixture_pages)
+    # the aggregate is a plain query on the batch side too (same plan)
+    out = mention_rate(pdf).collect()
+    assert sum(r["n_pages"] for r in out) == len(fixture_pages)

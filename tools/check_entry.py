@@ -1,0 +1,102 @@
+"""Local mirror of the driver's correctness harness: run every
+__spark_entry__ query on Spark AND its oracle_sql on DuckDB, compare
+row count, column names, and an order-insensitive value hash.
+
+Usage: python tools/check_entry.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def value_hash(rows: list[tuple], cols: list[str]) -> str:
+    # sort columns by name (driver semantics), normalize values, sort rows
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+
+    def norm(v):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, float):
+            return f"{v:.6f}"
+        return str(v)
+
+    lines = sorted("\x01".join(norm(r[i]) for i in order) for r in rows)
+    return hashlib.sha256("\n".join(lines).encode()).hexdigest()
+
+
+def main(sf_dir: str) -> int:
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from uckg_spark.session import build_session
+
+    spark = build_session(master="local[8]", shuffle_partitions=8, extra_conf={
+        "spark.ui.showConsoleProgress": "false",
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "8",
+    })
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        sql = os_.get(name)
+        if sql is None:
+            print(f"SKIP {name}: rows-only ({len(srows)} rows)")
+            continue
+        try:
+            cur = con.execute(sql)
+            dcols = [d[0] for d in cur.description]
+            drows = [tuple(r) for r in cur.fetchall()]
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error {e}")
+            failures += 1
+            continue
+        problems = []
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
+        if len(srows) != len(drows):
+            problems.append(f"rows {len(srows)} vs {len(drows)}")
+        if not problems and value_hash(srows, scols) != value_hash(drows, dcols):
+            problems.append("value hash mismatch")
+            sset = {tuple(str(x) for x in r) for r in srows}
+            dset = {tuple(str(x) for x in r) for r in drows}
+            only_s = list(sset - dset)[:2]
+            only_d = list(dset - sset)[:2]
+            problems.append(f"spark-only {only_s} duck-only {only_d}")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"OK   {name} ({len(srows)} rows)")
+    # entry smoke
+    try:
+        n = entry_mod.entry(spark).count()
+        print(f"OK   entry() → {n} rows")
+    except Exception as e:
+        print(f"FAIL entry(): {e}")
+        failures += 1
+    return failures
+
+
+if __name__ == "__main__":
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sys.exit(1 if main(sf) else 0)

@@ -81,15 +81,21 @@ def connected_components(
 
 def canonical_map(alias_edges: DataFrame) -> DataFrame:
     """alias_edges(surface_key, canonical_id) → (member, canonical) where
-    canonical = deterministic representative of the alias cluster. Surface
-    keys are prefixed so they can never be chosen as representative over a
-    real canonical id (ids sort before 'surface:' prefixed keys)."""
+    canonical = deterministic representative of the alias cluster: the
+    lexicographic MIN among the cluster's real canonical ids (surface keys
+    are 'surface:'-prefixed and only chosen if a component somehow contains
+    no canonical id)."""
     edges = alias_edges.select(
         F.concat(F.lit("surface:"), F.col("surface_key")).alias("src"),
         F.col("canonical_id").alias("dst"),
     )
     cc = connected_components(edges)
-    rep = cc.groupBy("component").agg(F.min("node").alias("canonical"))
+    rep = cc.groupBy("component").agg(
+        F.coalesce(
+            F.min(F.when(~F.col("node").startswith("surface:"), F.col("node"))),
+            F.min("node"),
+        ).alias("canonical")
+    )
     return (
         cc.join(rep, "component")
         .select(F.col("node").alias("member"), "canonical")

@@ -93,10 +93,14 @@ def minhash_signatures(
     """k min-hashes per doc: min over shingles of h32(i || ':' || shingle).
     Expressed with higher-order functions — no explode, no shuffle."""
     sh = F.array_distinct(shingles(F.col(text_col), n))
-    sig = F.array(*[
-        F.array_min(F.transform(sh, lambda s, i=i: h32(F.concat(F.lit(f"{i}:"), s))))
-        for i in range(num_hashes)
-    ])
+
+    def min_hash_i(i: int) -> Column:
+        # NB: a unary lambda is required — pyspark treats a 2-arg transform
+        # lambda as (element, index)
+        prefix = f"{i}:"
+        return F.array_min(F.transform(sh, lambda s: h32(F.concat(F.lit(prefix), s))))
+
+    sig = F.array(*[min_hash_i(i) for i in range(num_hashes)])
     return docs.select("doc_id", sig.alias("sig"))
 
 
@@ -153,12 +157,16 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFram
     the token array) — portable to the SQL oracle via unnest + sum.
     """
     toks = tokens(F.col(text_col))
+
     def bit_sum(b: int) -> Column:
+        shift = b  # bind per-bit shift outside the binary merge lambda
         return F.aggregate(
             toks,
             F.lit(0).cast("bigint"),
-            lambda acc, t, b=b: acc
-            + F.when(F.shiftright(h32(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            lambda acc, t: acc
+            + F.when(
+                F.shiftright(h32(t), shift).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+            ).otherwise(F.lit(-1)),
         )
     fp = None
     for b in range(bits):

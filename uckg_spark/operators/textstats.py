@@ -47,31 +47,37 @@ def language_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword / uppercase ratios + a composite
-    quality score in [0,1] (fixed weights, documented here):
-      0.4·len_norm + 0.3·stopword_ratio_capped + 0.3·(1 − punct_ratio)
+    quality score, ALL in exact parts-per-million integers:
+      quality_e6 = (4·len_norm_e6 + 3·stop_e6 + 3·(1e6 − punct_e6)) div 10
+    Integer arithmetic (div = floor division) is bit-identical in every
+    engine — float summation order can flip the 6th decimal between Spark
+    and an oracle engine, integers can't.
     """
     t = F.col(text_col)
-    n_chars = F.length(t)
-    ntok = F.size(tokens(t))
-    punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
-    upper = F.regexp_count(t, F.lit(r"[A-Z]"))
-    stop_en = _stopword_hits(t, STOPWORDS["en"])
-    len_norm = F.least(n_chars / F.lit(500.0), F.lit(1.0))
-    stop_ratio = F.least(stop_en / F.greatest(ntok, F.lit(1)) * F.lit(5.0), F.lit(1.0))
-    punct_ratio = punct / F.greatest(n_chars, F.lit(1))
+    n_chars = F.length(t).cast("bigint")
+    ntok = F.size(tokens(t)).cast("bigint")
+    punct = F.regexp_count(t, F.lit(r"[^\w\s]")).cast("bigint")
+    upper = F.regexp_count(t, F.lit(r"[A-Z]")).cast("bigint")
+    stop_en = _stopword_hits(t, STOPWORDS["en"]).cast("bigint")
+    M = F.lit(1000000).cast("bigint")
+    len_e6 = F.least(n_chars, F.lit(500)) * F.lit(2000)
+    # floor of int/int division is exact while numerators stay < 2^53
+    stop_e6 = F.least(
+        F.floor((F.lit(5) * M * stop_en) / F.greatest(ntok, F.lit(1))).cast("bigint"), M
+    )
+    punct_e6 = F.floor((M * punct) / F.greatest(n_chars, F.lit(1))).cast("bigint")
+    quality_e6 = F.floor(
+        (F.lit(4) * len_e6 + F.lit(3) * stop_e6 + F.lit(3) * (M - punct_e6)) / F.lit(10)
+    ).cast("bigint")
     return docs.select(
         "doc_id",
         ntok.alias("n_tokens"),
         punct.alias("n_punct"),
         upper.alias("n_upper"),
-        F.round(len_norm, 6).alias("len_norm"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(
-            F.lit(0.4) * len_norm + F.lit(0.3) * stop_ratio
-            + F.lit(0.3) * (F.lit(1.0) - punct_ratio),
-            6,
-        ).alias("quality"),
+        len_e6.alias("len_norm_e6"),
+        stop_e6.alias("stop_ratio_e6"),
+        punct_e6.alias("punct_ratio_e6"),
+        quality_e6.alias("quality_e6"),
     )
 
 
