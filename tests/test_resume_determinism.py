@@ -21,7 +21,10 @@ class TestResume:
             return extract_pages(part)
 
         out1 = run_stage_with_resume(spark, pdf, "extract", stage, root, n_groups=4)
-        n1 = out1.count()
+        # materialize NOW: the resume re-run below overwrites group dirs,
+        # invalidating out1's lazy file listing
+        rows1 = {(r["url"], r["text_sha256"]) for r in out1.collect()}
+        n1 = len(rows1)
         assert calls["n"] == 4
         log = LineageLog(root)
         assert log.completed_groups("extract") == {0, 1, 2, 3}
@@ -37,11 +40,9 @@ class TestResume:
         calls["n"] = 0
         out2 = run_stage_with_resume(spark, pdf, "extract", stage, root, n_groups=4)
         assert calls["n"] == 2  # only the missing groups re-ran
-        assert out2.count() == n1  # no duplicates, no losses
-        # texts identical across the resume boundary
-        a = {(r["url"], r["text_sha256"]) for r in out1.collect()}
-        b = {(r["url"], r["text_sha256"]) for r in out2.collect()}
-        assert a == b
+        rows2 = {(r["url"], r["text_sha256"]) for r in out2.collect()}
+        assert len(rows2) == n1  # no duplicates, no losses
+        assert rows2 == rows1  # texts identical across the resume boundary
 
     def test_lineage_rows_complete(self, spark, fixture_pages, tmp_path):
         root = str(tmp_path / "stages2")

@@ -157,7 +157,7 @@ def linked_mentions(
                 F.lit(True).alias("dictionary_found"))
     )
     m_cpe = cpe_exact.unionByName(cpe_fuzzy).dropDuplicates(["url", "cpeName"])
-    return {
+    out = {
         "mentions": mentions,
         "cve": m_cve,
         "cwe": m_cwe,
@@ -165,6 +165,11 @@ def linked_mentions(
         "attack": m_attack,
         "cpe": m_cpe,
     }
+    # each table feeds 2-5 emission branches: persist once, not re-shuffle
+    # per branch (the distinct is the expensive part)
+    for k in ("cve", "cwe", "capec", "attack", "cpe"):
+        out[k] = out[k].persist()
+    return out
 
 
 def build_triples(
