@@ -1,0 +1,53 @@
+"""Graph catalog (partitioned writes + manifest), F10 NaN scrub, A5/I3
+count-delta trigger."""
+
+import math
+
+from uckg_spark.functions.cleaning import nan_to_null, trimmed
+from uckg_spark.lineage import LineageLog, needs_sync
+from uckg_spark.sources.catalog import GraphCatalog
+
+
+def test_graph_catalog_roundtrip(spark, fixture_pages, kg_dims, tmp_path):
+    from uckg_spark.plans.kg_pipeline import build_triples, materialize_graph
+    from uckg_spark.sources.pages import pages_df
+
+    triples = build_triples(spark, pages_df(spark, fixture_pages[:30]), kg_dims)
+    nodes, edges = materialize_graph(triples)
+    cat = GraphCatalog(str(tmp_path / "graph"))
+    s1 = cat.write_edges(edges)
+    s2 = cat.write_nodes(nodes)
+    assert cat.latest_snapshot("edges")["snapshot_id"] == s1
+    assert cat.latest_snapshot("nodes")["snapshot_id"] == s2
+    # predicate-sliced read returns exactly that predicate's edges
+    from uckg_spark.kernel import templates as T
+
+    got = cat.read_edges(spark, T.P_HAS_CVE_ID)
+    want = edges.filter(edges.pred == T.P_HAS_CVE_ID)
+    assert got.count() == want.count()
+    assert {r["subj"] for r in got.collect()} == {r["subj"] for r in want.collect()}
+    assert cat.read_nodes(spark).count() == nodes.count()
+
+
+def test_nan_to_null(spark):
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 3.5)], ["id", "v"])
+    out = nan_to_null(df).collect()
+    vals = {r["id"]: r["v"] for r in out}
+    assert vals[1] is None and vals[2] == 3.5
+
+
+def test_trimmed(spark):
+    df = spark.createDataFrame([(" a ",), ("b",)], ["k"])
+    assert sorted(r["k"] for r in trimmed(df, ["k"]).collect()) == ["a", "b"]
+
+
+def test_needs_sync(tmp_path):
+    log = LineageLog(str(tmp_path))
+    log.append({"run_id": "r", "stage": "extract", "part_group": 0,
+                "input_snapshot_id": "s", "row_count_in": 100,
+                "row_count_out": 100, "content_sha256": "x" * 64,
+                "wall_ms": 1, "ts": 0.0})
+    assert not needs_sync(log, "extract", 100)
+    assert needs_sync(log, "extract", 150)  # source moved ahead → re-run
+    assert needs_sync(log, "other_stage", 1)

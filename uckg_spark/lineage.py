@@ -58,6 +58,16 @@ class LineageLog:
             f.write(json.dumps(row) + "\n")
 
 
+def needs_sync(log: "LineageLog", stage: str, current_input_count: int) -> bool:
+    """A5/I3 count-delta trigger: re-run iff the source has more rows than
+    the last completed run ingested (the Airflow DAG's Neo4j-vs-NVD count
+    compare, /root/reference/airflow/dags/ingestion_dag.py:53-77)."""
+    ingested = sum(
+        r["row_count_in"] for r in log.rows() if r["stage"] == stage
+    )
+    return current_input_count > ingested
+
+
 def _group_col(n_groups: int):
     return F.pmod(F.xxhash64(F.col("url")), F.lit(n_groups)).cast("int")
 

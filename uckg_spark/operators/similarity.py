@@ -53,6 +53,18 @@ def brute_force_topk(
     )
 
 
+def plane_weight(p: int, i: int) -> float:
+    """±1 by bit 0 of h32(f'{p}:{i}') — the same md5-derived constant an
+    oracle engine computes in SQL; evaluated driver-side here because the
+    weights are literals (a 512-term md5 expression tree is pure plan
+    bloat; Catalyst would constant-fold it anyway, but compile time isn't
+    free)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h & 1 else -1.0
+
+
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Deterministic random-hyperplane LSH signature: plane p's weight for
     coordinate i is ±1 by bit 0 of h32('p:i') — reproducible in any engine
@@ -62,11 +74,7 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[
-                    F.when(h32(F.lit(f"{p}:{i}")).bitwiseAND(F.lit(1)) == 1, F.lit(1.0))
-                    .otherwise(F.lit(-1.0))
-                    for i in range(dim)
-                ]),
+                F.array(*[F.lit(plane_weight(p, i)) for i in range(dim)]),
                 lambda x, w: x * w,
             ),
             F.lit(0.0).cast("double"),

@@ -29,20 +29,6 @@ from . import triples as PT
 P_EXPLOITS = T.UCO_BARE + "ucoexploitsVulnerability"  # decl uco2.ttl:45
 
 
-def _edge(df: DataFrame, subj, pred: str, obj) -> DataFrame:
-    return df.select(
-        subj.cast("string").alias("subj"),
-        F.lit(pred).alias("pred"),
-        obj.cast("string").alias("obj"),
-        F.lit(False).alias("obj_is_literal"),
-        F.lit(None).cast("string").alias("obj_datatype"),
-    )
-
-
-def _type(df: DataFrame, subj, cls: str) -> DataFrame:
-    return _edge(df, subj, T.RDF_TYPE, F.lit(cls))
-
-
 class KgDims:
     """All dimension DataFrames + alias rows, built once per job."""
 
@@ -187,11 +173,11 @@ def build_triples(
     parts: list[DataFrame] = []
 
     # R1 — every CVE id mention
-    parts += [
-        _type(m_cve, vuln, T.CL_VULNERABILITY),
-        _type(m_cve, cve_uri, T.CL_CVE),
-        _edge(m_cve, vuln, T.P_HAS_CVE_ID, cve_uri),
-    ]
+    parts.append(PT.emit(m_cve, [
+        PT.type_el(vuln, T.CL_VULNERABILITY),
+        PT.type_el(cve_uri, T.CL_CVE),
+        PT.uri_el(vuln, T.P_HAS_CVE_ID, cve_uri),
+    ]))
 
     # R2 — full CVE records for mentioned, in-dictionary CVEs
     mentioned_cve_dim = dims.cve.join(
@@ -207,33 +193,24 @@ def build_triples(
     et = F.concat(F.lit(T.UCO_HASH + "ExploitTarget-"), F.col("cwe"))
     cc_vuln = F.concat(F.lit(T.UCO_HASH + "VULN-"), F.col("cve"))
     cc_cwe = F.concat(F.lit(T.UCO_HASH), F.col("cwe"))
-    parts += [
-        _type(cc, et, T.CL_EXPLOIT_TARGET),
-        _type(cc, cc_vuln, T.CL_VULNERABILITY),
-        _type(cc, cc_cwe, T.CL_CWE),
-        _edge(cc, et, T.P_HAS_VULNERABILITY, cc_vuln),
-        _edge(cc, et, T.P_HAS_WEAKNESS, cc_cwe),
-    ]
+    parts.append(PT.emit(cc, [
+        PT.type_el(et, T.CL_EXPLOIT_TARGET),
+        PT.type_el(cc_vuln, T.CL_VULNERABILITY),
+        PT.type_el(cc_cwe, T.CL_CWE),
+        PT.uri_el(et, T.P_HAS_VULNERABILITY, cc_vuln),
+        PT.uri_el(et, T.P_HAS_WEAKNESS, cc_cwe),
+    ]))
 
     # R4 — CVE × CPE co-mentions (edges) + CPE records for linked mentions
     cp = m_cve.join(m_cpe.select("url", "cpeName"), "url").select("cve", "cpeName").distinct()
     cp_cpe = F.concat(F.lit(T.EX_HASH), F.col("cpeName"))
-    parts += [
-        _edge(cp, F.concat(F.lit(T.UCO_HASH), F.col("cve")), T.P_HAS_CPE, cp_cpe),
-        _type(cp, cp_cpe, T.CL_CPE),
-    ]
+    parts.append(PT.emit(cp, [
+        PT.uri_el(F.concat(F.lit(T.UCO_HASH), F.col("cve")), T.P_HAS_CPE, cp_cpe),
+        PT.type_el(cp_cpe, T.CL_CPE),
+    ]))
     cpe_records = m_cpe.drop("url").dropDuplicates(["cpeName"])
     rec_uri = F.concat(F.lit(T.EX_HASH), F.col("cpeName"))
-    parts += [
-        _type(cpe_records, rec_uri, T.CL_CPE),
-        PT._lit_plan(cpe_records, rec_uri, [
-            (T.P_CPE_NAME, F.col("cpeName"), T.XSD_STRING),
-            (T.P_CPE_NAME_ID, F.col("cpeNameId"), T.XSD_STRING),
-            (T.P_CPE_LAST_MODIFIED, F.col("cpeLastModified"), T.XSD_DATETIME),
-            (T.P_CPE_TITLES, F.col("titles"), T.RDF_JSON),
-            (T.P_DICTIONARY_FOUND, PT._bool_col(F.col("dictionary_found")), T.XSD_BOOLEAN),
-        ]),
-    ]
+    parts.append(PT.emit(cpe_records, PT.cpe_record_elements(rec_uri)))
 
     # R5 — full CWE records for mentioned CWEs
     parts.append(PT.emit_cwe_batch(
@@ -250,10 +227,10 @@ def build_triples(
     capec_uri = F.concat(F.lit("https://capec.mitre.org/data/definitions/"),
                          F.col("capec_id"), F.lit(".html"))
     ce_vuln = F.concat(F.lit(T.UCO_HASH + "VULN-"), F.col("cve"))
-    parts += [
-        _edge(ce, capec_uri, P_EXPLOITS, ce_vuln),
-        _type(ce, ce_vuln, T.CL_VULNERABILITY),
-    ]
+    parts.append(PT.emit(ce, [
+        PT.uri_el(capec_uri, P_EXPLOITS, ce_vuln),
+        PT.type_el(ce_vuln, T.CL_VULNERABILITY),
+    ]))
 
     # R7 — ATT&CK entity records for mentioned techniques + MITIGATES edges
     mentioned_tech = m_attack.select(F.col("tech").alias("ID")).distinct()
@@ -273,11 +250,11 @@ def build_triples(
         .distinct()
     )
     mit_subj = F.concat(F.lit(T.EX_HASH), F.col("source_id"))
-    parts += [
-        _type(mit_rels, mit_subj, T.CL_MITIGATIONS),
-        _edge(mit_rels, mit_subj, T.P_MITIGATES,
-              F.concat(F.lit(T.EX_HASH), F.col("target_id"))),
-    ]
+    parts.append(PT.emit(mit_rels, [
+        PT.type_el(mit_subj, T.CL_MITIGATIONS),
+        PT.uri_el(mit_subj, T.P_MITIGATES,
+                  F.concat(F.lit(T.EX_HASH), F.col("target_id"))),
+    ]))
     parts.append(PT.emit_attack_entities(
         dims.attack_ents.join(
             mit_rels.select(F.col("source_id").alias("ID")).distinct(),

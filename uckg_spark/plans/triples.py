@@ -3,9 +3,14 @@
 Every emitter mirrors an oracle emitter in uckg_spark.oracle.emitters
 (set-equality tested on fixtures). Declarative DataFrame ops only: the
 emission is explode + project + filter + union — no Python in the row path
-(SURVEY.md §4: everything Catalyst-visible). At 10^12-doc scale these
-emitters run over mention-filtered entity sets, so their inputs are small;
-the same plans also run over full dictionary batches for reference parity.
+(SURVEY.md §4: everything Catalyst-visible).
+
+PLAN SHAPE: each source table contributes ONE generate (explode) over a
+single array<struct<subj,pred,obj,lit,dt>> built per row — types, literal
+predicates, and URI edges together. A per-predicate union (the naive
+translation) costs ~35 scan branches and thousands of micro-tasks; the
+single-explode form keeps the whole batch at ~10 branches, which is what
+amortizes on a 1000-executor cluster where stage setup is the fixed cost.
 
 Semantics notes (shared with the oracle, see oracle/emitters.py docstring):
 null ⇒ no triple AND "" ⇒ no triple (P7); booleans always emit;
@@ -23,67 +28,61 @@ from ..kernel import templates as T
 TRIPLE_COLS = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype"]
 
 
-def _lit_plan(df: DataFrame, subj: Column, plan: list[tuple[str, Column, str | None]]) -> DataFrame:
-    """Explode a (pred, obj, datatype) literal plan; P7 filter applied."""
-    arr = F.array(*[
-        F.struct(
-            F.lit(p).alias("pred"),
-            o.cast("string").alias("obj"),
-            F.lit(dt).cast("string").alias("dt"),
-        )
-        for (p, o, dt) in plan
-    ])
-    return (
-        df.select(subj.alias("subj"), F.explode(arr).alias("t"))
-        .filter(F.col("t.obj").isNotNull() & (F.col("t.obj") != ""))
-        .select(
-            "subj",
-            F.col("t.pred").alias("pred"),
-            F.col("t.obj").alias("obj"),
-            F.lit(True).alias("obj_is_literal"),
-            F.col("t.dt").alias("obj_datatype"),
-        )
+def _el(subj: Column, pred: str | Column, obj: Column,
+        lit: bool, dt: str | None) -> Column:
+    """One triple as a struct element."""
+    p = F.lit(pred) if isinstance(pred, str) else pred
+    return F.struct(
+        subj.cast("string").alias("subj"),
+        p.cast("string").alias("pred"),
+        obj.cast("string").alias("obj"),
+        F.lit(lit).alias("lit"),
+        F.lit(dt).cast("string").alias("dt"),
     )
 
 
-def _bool_col(c: Column) -> Column:
+def lit_el(subj: Column, pred: str | Column, obj: Column,
+           dt: str = T.XSD_STRING) -> Column:
+    return _el(subj, pred, obj, True, dt)
+
+
+def uri_el(subj: Column, pred: str | Column, obj: Column) -> Column:
+    return _el(subj, pred, obj, False, None)
+
+
+def type_el(subj: Column, cls: str | Column) -> Column:
+    obj = F.lit(cls) if isinstance(cls, str) else cls
+    return _el(subj, T.RDF_TYPE, obj, False, None)
+
+
+def bool_col(c: Column) -> Column:
     return F.when(c, F.lit("true")).otherwise(F.lit("false"))
 
 
-def _uri_plan(df: DataFrame, subj: Column, plan: list[tuple[str, Column]]) -> DataFrame:
-    """Edge triples (pred, obj_uri). Null objs dropped (P7 on templates)."""
-    arr = F.array(*[
-        F.struct(F.lit(p).alias("pred"), o.cast("string").alias("obj"))
-        for (p, o) in plan
-    ])
-    return (
-        df.select(subj.alias("subj"), F.explode(arr).alias("t"))
-        .filter(F.col("t.obj").isNotNull())
-        .select(
-            "subj",
-            F.col("t.pred").alias("pred"),
-            F.col("t.obj").alias("obj"),
-            F.lit(False).alias("obj_is_literal"),
-            F.lit(None).cast("string").alias("obj_datatype"),
-        )
-    )
-
-
-def _type_plan(df: DataFrame, pairs: list[tuple[Column, str]]) -> DataFrame:
-    """rdf:type triples for (subject_expr, class) pairs."""
-    arr = F.array(*[
-        F.struct(s.cast("string").alias("subj"), F.lit(c).alias("obj"))
-        for (s, c) in pairs
-    ])
+def emit(df: DataFrame, elements: list[Column],
+         element_arrays: list[Column] | None = None) -> DataFrame:
+    """ONE explode per table: singles + optional array-of-struct columns
+    (from F.transform over array fields) flattened together. P7 filter
+    applied uniformly: null subj/obj never emit; empty-string literal
+    objects never emit."""
+    parts = [F.array(*elements)] if elements else []
+    parts += [F.coalesce(a, F.array().cast(
+        "array<struct<subj:string,pred:string,obj:string,lit:boolean,dt:string>>"
+    )) for a in (element_arrays or [])]
+    arr = parts[0] if len(parts) == 1 else F.concat(*parts)
     return (
         df.select(F.explode(arr).alias("t"))
-        .filter(F.col("t.subj").isNotNull())
+        .filter(
+            F.col("t.subj").isNotNull()
+            & F.col("t.obj").isNotNull()
+            & (~F.col("t.lit") | (F.col("t.obj") != ""))
+        )
         .select(
             F.col("t.subj").alias("subj"),
-            F.lit(T.RDF_TYPE).alias("pred"),
+            F.col("t.pred").alias("pred"),
             F.col("t.obj").alias("obj"),
-            F.lit(False).alias("obj_is_literal"),
-            F.lit(None).cast("string").alias("obj_datatype"),
+            F.col("t.lit").alias("obj_is_literal"),
+            F.col("t.dt").alias("obj_datatype"),
         )
     )
 
@@ -132,16 +131,14 @@ def build_cve_stage(
     - P10 truncation: configurations after the first structurally-invalid
       one (empty nodes / empty cpeMatch) are dropped via higher-order
       functions — no Python, no explode until the valid prefix is known.
-    - P9 first-match: nodes[0].cpeMatch[0] via element_at(..., 1).
+    - P9 first-match: nodes[0].cpeMatch[0] via F.get (null-safe under the
+      Spark 4 ANSI default).
     - P6 membership: broadcast join on TRIM(value) == id_value, original
       value kept (the strip-check/emit-original quirk, :384-389).
     - J1 dictionary lookup: broadcast LEFT join, dictionary_found flag
       (:396-420). Miss rows carry only cpeName (+flag), like the
       reference's minimal struct.
     """
-    # first structurally-invalid configuration (1-based); 0 → none invalid.
-    # F.get (0-based, null on out-of-range) instead of element_at: ANSI mode
-    # (Spark 4 default) makes element_at throw on empty arrays.
     invalid_flags = F.transform(
         "configurations",
         lambda c: (F.size(c) == 0) | (F.size(F.get(c, 0)) == 0),
@@ -172,7 +169,6 @@ def build_cve_stage(
         .drop("_first_invalid")
     )
 
-    # P6/J2: explode weakness values, broadcast membership join
     cwe_pairs = (
         records.select(F.col("id").alias("cve_id"), F.explode("weakness_values").alias("wv"))
         .join(
@@ -183,7 +179,6 @@ def build_cve_stage(
         .select("cve_id", F.col("wv").alias("cwe_value"))
     )
 
-    # J1: explode valid criteria, broadcast left join vs CPE dictionary
     cpe_pairs = (
         records.select(F.col("id").alias("cve_id"), F.explode("valid_criteria").alias("criteria"))
         .join(
@@ -210,72 +205,74 @@ def build_cve_stage(
     return records, cwe_pairs, cpe_pairs
 
 
+def cpe_record_elements(subj: Column) -> list[Column]:
+    """CPEMap datatype predicates (cve_rml.ttl:146-194) over a pair/record
+    table with columns cpeName/cpeNameId/cpeLastModified/titles/
+    dictionary_found — shared by the dictionary batch and R4."""
+    return [
+        type_el(subj, T.CL_CPE),
+        lit_el(subj, T.P_CPE_NAME, F.col("cpeName")),
+        lit_el(subj, T.P_CPE_NAME_ID, F.col("cpeNameId")),
+        lit_el(subj, T.P_CPE_LAST_MODIFIED, F.col("cpeLastModified"), T.XSD_DATETIME),
+        lit_el(subj, T.P_CPE_TITLES, F.col("titles"), T.RDF_JSON),
+        lit_el(subj, T.P_DICTIONARY_FOUND, bool_col(F.col("dictionary_found")), T.XSD_BOOLEAN),
+    ]
+
+
 def emit_cve_batch(
     records: DataFrame, cwe_pairs: DataFrame, cpe_pairs: DataFrame
 ) -> DataFrame:
-    """mapping/cve/cve_rml.ttl — all five TriplesMaps."""
+    """mapping/cve/cve_rml.ttl — all five TriplesMaps, four explodes."""
     vuln = F.concat(F.lit(T.UCO_HASH + "VULN-"), F.col("id"))
     cve = F.concat(F.lit(T.UCO_HASH), F.col("id"))
 
-    parts = [
-        # VULMap types + datatype predicates (:20-66)
-        _type_plan(records, [(vuln, T.CL_VULNERABILITY), (cve, T.CL_CVE)]),
-        _lit_plan(records, vuln, [
-            (T.P_PUBLISHED, F.col("published"), T.XSD_DATETIME),
-            (T.P_LAST_MODIFIED, F.col("lastModified"), T.XSD_DATETIME),
-        ]),
-        _lit_plan(
-            records.select("id", F.explode("descriptions").alias("d")),
-            F.concat(F.lit(T.UCO_HASH + "VULN-"), F.col("id")),
-            [(T.P_SUMMARY, F.col("d.value"), T.XSD_STRING)],
-        ),
-        _uri_plan(records, vuln, [(T.P_HAS_CVE_ID, cve)]),
-        # CVEMap (:69-145)
-        _lit_plan(records, cve, [
-            (T.RDFS_LABEL, F.col("id"), T.XSD_STRING),
-            (T.P_VULN_STATUS, F.col("vulnStatus"), T.XSD_STRING),
-            (T.P_VECTOR_STRING, F.col("vectorString"), T.XSD_STRING),
-            (T.P_BASE_SEVERITY, F.col("baseSeverity"), T.XSD_STRING),
-            (T.P_EXPLOITABILITY, F.col("exploitabilityScore"), T.XSD_STRING),
-            (T.P_IMPACT, F.col("impactScore"), T.XSD_STRING),
-            (T.P_OBTAIN_ALL_PRIV, _bool_col(F.col("obtainAllPrivilege")), T.XSD_BOOLEAN),
-            (T.P_USER_INTERACTION, _bool_col(F.col("userInteractionRequired")), T.XSD_BOOLEAN),
-            (T.P_EVALUATOR_SOLUTION, F.col("evaluatorSolution"), T.XSD_STRING),
-        ]),
-    ]
+    # VULMap + CVEMap scalar predicates + summaries (descriptions array
+    # flattened in the SAME explode via transform)
+    rec_part = emit(
+        records,
+        [
+            type_el(vuln, T.CL_VULNERABILITY),
+            type_el(cve, T.CL_CVE),
+            lit_el(vuln, T.P_PUBLISHED, F.col("published"), T.XSD_DATETIME),
+            lit_el(vuln, T.P_LAST_MODIFIED, F.col("lastModified"), T.XSD_DATETIME),
+            uri_el(vuln, T.P_HAS_CVE_ID, cve),
+            lit_el(cve, T.RDFS_LABEL, F.col("id")),
+            lit_el(cve, T.P_VULN_STATUS, F.col("vulnStatus")),
+            lit_el(cve, T.P_VECTOR_STRING, F.col("vectorString")),
+            lit_el(cve, T.P_BASE_SEVERITY, F.col("baseSeverity")),
+            lit_el(cve, T.P_EXPLOITABILITY, F.col("exploitabilityScore")),
+            lit_el(cve, T.P_IMPACT, F.col("impactScore")),
+            lit_el(cve, T.P_OBTAIN_ALL_PRIV, bool_col(F.col("obtainAllPrivilege")), T.XSD_BOOLEAN),
+            lit_el(cve, T.P_USER_INTERACTION, bool_col(F.col("userInteractionRequired")), T.XSD_BOOLEAN),
+            lit_el(cve, T.P_EVALUATOR_SOLUTION, F.col("evaluatorSolution")),
+        ],
+        [
+            F.transform(
+                "descriptions",
+                lambda d: lit_el(vuln, T.P_SUMMARY, d["value"]),
+            )
+        ],
+    )
 
     cve_of_pair = F.concat(F.lit(T.UCO_HASH), F.col("cve_id"))
     cpe_uri = F.concat(F.lit(T.EX_HASH), F.col("cpeName"))
-    parts += [
-        # ucoexhasCPE edges + object types (:72-78)
-        _uri_plan(cpe_pairs, cve_of_pair, [(T.P_HAS_CPE, cpe_uri)]),
-        _type_plan(cpe_pairs, [(cpe_uri, T.CL_CPE)]),
-        # CPEMap (:146-194)
-        _lit_plan(cpe_pairs, cpe_uri, [
-            (T.P_CPE_NAME, F.col("cpeName"), T.XSD_STRING),
-            (T.P_CPE_NAME_ID, F.col("cpeNameId"), T.XSD_STRING),
-            (T.P_CPE_LAST_MODIFIED, F.col("cpeLastModified"), T.XSD_DATETIME),
-            (T.P_CPE_TITLES, F.col("titles"), T.RDF_JSON),
-            (T.P_DICTIONARY_FOUND, _bool_col(F.col("dictionary_found")), T.XSD_BOOLEAN),
-        ]),
-    ]
+    cpe_part = emit(cpe_pairs, [
+        uri_el(cve_of_pair, T.P_HAS_CPE, cpe_uri),  # :72-78
+        *cpe_record_elements(cpe_uri),  # :146-194
+    ])
 
     et = F.concat(F.lit(T.UCO_HASH + "ExploitTarget-"), F.col("cwe_value"))
     cwe_uri = F.concat(F.lit(T.UCO_HASH), F.col("cwe_value"))
     vuln_of_pair = F.concat(F.lit(T.UCO_HASH + "VULN-"), F.col("cve_id"))
-    parts += [
+    cwe_part = emit(cwe_pairs, [
         # CWEMap + CWETypeMap (:197-236)
-        _type_plan(cwe_pairs, [
-            (et, T.CL_EXPLOIT_TARGET),
-            (vuln_of_pair, T.CL_VULNERABILITY),
-            (cwe_uri, T.CL_CWE),
-        ]),
-        _uri_plan(cwe_pairs, et, [
-            (T.P_HAS_VULNERABILITY, vuln_of_pair),
-            (T.P_HAS_WEAKNESS, cwe_uri),
-        ]),
-    ]
-    return _union(parts)
+        type_el(et, T.CL_EXPLOIT_TARGET),
+        type_el(vuln_of_pair, T.CL_VULNERABILITY),
+        type_el(cwe_uri, T.CL_CWE),
+        uri_el(et, T.P_HAS_VULNERABILITY, vuln_of_pair),
+        uri_el(et, T.P_HAS_WEAKNESS, cwe_uri),
+    ])
+    return _union([rec_part, cpe_part, cwe_part])
 
 
 # ---------------------------------------------------------------------------
@@ -303,35 +300,38 @@ CWE_LIT_PLAN: list[tuple[str, str, str]] = [
     (T.P_STRUCTURE, "structure", T.XSD_STRING),
     (T.P_STATUS, "status", T.XSD_STRING),
 ]
+# NOTE: no ucorelatedWeakness entry — dual RML typo (cwe_rml.ttl:152, :160
+# vs collector key cwe_collection.py:381); the reference emits nothing.
 
 
 def emit_cwe_batch(cwe_dim: DataFrame) -> DataFrame:
     wid = F.col("id_value")
     et = F.concat(F.lit(T.UCO_HASH + "ExploitTarget-"), wid)
     cwe_uri = F.concat(F.lit(T.UCO_HASH), wid)
-    obs = cwe_dim.select(
-        "id_value", F.explode("observed_examples").alias("e")
-    ).select(
-        "id_value",
-        F.concat(F.lit(T.EX_HASH), F.col("e.cwe_id"), F.lit("-"), F.col("e.Reference")).alias("ex_uri"),
-        F.col("e.Description").alias("ex_desc"),
-        F.concat(F.lit(T.UCO_HASH), F.col("e.Reference")).alias("cve_uri"),
+
+    def obs_el(e: Column) -> Column:
+        ex_uri = F.concat(F.lit(T.EX_HASH), e["cwe_id"], F.lit("-"), e["Reference"])
+        cve_uri = F.concat(F.lit(T.UCO_HASH), e["Reference"])
+        return F.array(
+            type_el(ex_uri, T.CL_OBSERVED_EXAMPLE),  # :27-28
+            type_el(cve_uri, T.CL_CVE),  # :41
+            lit_el(ex_uri, T.P_OBS_DESCRIPTION, e["Description"]),  # :31
+            uri_el(ex_uri, T.P_EXAMPLE_OBSERVED_IN, cve_uri),  # :38-40
+            uri_el(cwe_uri, T.P_HAS_OBSERVED_EXAMPLE, ex_uri),  # :272-275
+        )
+
+    return emit(
+        cwe_dim,
+        [
+            type_el(et, T.CL_EXPLOIT_TARGET),  # :54-57
+            type_el(cwe_uri, T.CL_CWE),  # :67-70
+            # J3 self-join on id_value is identity — emitted directly (:74-83)
+            uri_el(et, T.P_HAS_WEAKNESS, cwe_uri),
+        ]
+        + [lit_el(cwe_uri, p, F.col(f), dt) for (p, f, dt) in CWE_LIT_PLAN],
+        # null observed_examples → null array → coalesced inside emit()
+        [F.flatten(F.transform(F.col("observed_examples"), obs_el))],
     )
-    return _union([
-        _type_plan(cwe_dim, [(et, T.CL_EXPLOIT_TARGET), (cwe_uri, T.CL_CWE)]),
-        # J3 self-join on id_value is identity — emitted directly (:74-83)
-        _uri_plan(cwe_dim, et, [(T.P_HAS_WEAKNESS, cwe_uri)]),
-        _lit_plan(cwe_dim, cwe_uri, [
-            (p, F.col(f), dt) for (p, f, dt) in CWE_LIT_PLAN
-        ]),
-        # ObservedExampleMap (:20-43) + hasObservedExample (:271-278)
-        _type_plan(obs, [(F.col("ex_uri"), T.CL_OBSERVED_EXAMPLE),
-                         (F.col("cve_uri"), T.CL_CVE)]),
-        _lit_plan(obs, F.col("ex_uri"), [(T.P_OBS_DESCRIPTION, F.col("ex_desc"), T.XSD_STRING)]),
-        _uri_plan(obs, F.col("ex_uri"), [(T.P_EXAMPLE_OBSERVED_IN, F.col("cve_uri"))]),
-        _uri_plan(obs, F.concat(F.lit(T.UCO_HASH), F.col("id_value")),
-                  [(T.P_HAS_OBSERVED_EXAMPLE, F.col("ex_uri"))]),
-    ])
 
 
 # ---------------------------------------------------------------------------
@@ -345,22 +345,13 @@ def emit_attack_entities(ent_df: DataFrame) -> DataFrame:
         F.create_map(*[F.lit(x) for kv in T.ATTACK_ENTITY_CLASS.items() for x in kv]),
         F.col("kind"),
     )
-    types = (
-        ent_df.select(uri.alias("subj"), cls.alias("obj"))
-        .filter(F.col("obj").isNotNull())
-        .select(
-            "subj", F.lit(T.RDF_TYPE).alias("pred"), "obj",
-            F.lit(False).alias("obj_is_literal"),
-            F.lit(None).cast("string").alias("obj_datatype"),
-        )
-    )
-    lits = _lit_plan(ent_df, uri, [
-        (T.P_EX_NAME, F.col("name"), T.XSD_STRING),
-        (T.P_EX_DESCRIPTION, F.col("description"), T.XSD_STRING),
-        (T.P_EX_URL, F.col("url"), T.XSD_STRING),
-        (T.P_EX_DOMAIN, F.col("domain"), T.XSD_STRING),
+    return emit(ent_df, [
+        type_el(uri, cls),
+        lit_el(uri, T.P_EX_NAME, F.col("name")),
+        lit_el(uri, T.P_EX_DESCRIPTION, F.col("description")),
+        lit_el(uri, T.P_EX_URL, F.col("url")),
+        lit_el(uri, T.P_EX_DOMAIN, F.col("domain")),
     ])
-    return types.unionByName(lits)
 
 
 def emit_attack_relationships(ent_df: DataFrame, rel_df: DataFrame) -> DataFrame:
@@ -390,18 +381,10 @@ def emit_attack_relationships(ent_df: DataFrame, rel_df: DataFrame) -> DataFrame
     )
     subj = F.concat(F.lit(T.EX_HASH), F.col("source_id"))
     obj = F.concat(F.lit(T.EX_HASH), F.col("target_id"))
-    edges = joined.select(
-        subj.alias("subj"), F.col("pred"), obj.alias("obj"),
-        F.lit(False).alias("obj_is_literal"),
-        F.lit(None).cast("string").alias("obj_datatype"),
-    )
-    types = joined.select(
-        subj.alias("subj"), F.lit(T.RDF_TYPE).alias("pred"),
-        F.col("subj_cls").alias("obj"),
-        F.lit(False).alias("obj_is_literal"),
-        F.lit(None).cast("string").alias("obj_datatype"),
-    )
-    return edges.unionByName(types)
+    return emit(joined, [
+        type_el(subj, F.col("subj_cls")),
+        uri_el(subj, F.col("pred"), obj),
+    ])
 
 
 def emit_attack_batch(ent_df: DataFrame, rel_df: DataFrame) -> DataFrame:
@@ -430,47 +413,47 @@ CAPEC_ARRAY_PLAN: list[tuple[str, str]] = [
 
 
 def emit_capec_batch(capec_dim: DataFrame) -> DataFrame:
+    """One explode for the whole batch: scalar predicates, 11 array-literal
+    predicates, and the two URI-edge families (+ target type decls,
+    capec_rml.ttl:34-40, 161-167, 175-196)."""
     uri = F.concat(
         F.lit("https://capec.mitre.org/data/definitions/"), F.col("ID"), F.lit(".html")
     )
-    parts = [
-        _type_plan(capec_dim, [(uri, T.CL_CAPEC)]),
-        _lit_plan(capec_dim, uri, [
-            (T.RDFS_LABEL,
-             F.concat(F.lit("CAPEC-"), F.col("ID"), F.lit(": "), F.col("Name")),
-             T.XSD_STRING),
-            (T.P_CAPEC_ID, F.col("ID"), T.XSD_STRING),
-            (T.P_CAPEC_NAME, F.col("Name"), T.XSD_STRING),
-            (T.P_CAPEC_ABSTRACTION, F.col("Abstraction"), T.XSD_STRING),
-            (T.P_CAPEC_LIKELIHOOD, F.col("Likelihood_Of_Attack"), T.XSD_STRING),
-            (T.P_CAPEC_SEVERITY, F.col("Typical_Severity"), T.XSD_STRING),
-            (T.P_CAPEC_DESCRIPTION, F.col("Description"), T.XSD_STRING),
-        ]),
-    ]
-    # array-valued literal predicates: one triple per element
-    for pred, field in CAPEC_ARRAY_PLAN:
-        ex = capec_dim.select("ID", F.explode(field).alias("v"))
-        parts.append(_lit_plan(
-            ex,
-            F.concat(F.lit("https://capec.mitre.org/data/definitions/"),
-                     F.col("ID"), F.lit(".html")),
-            [(pred, F.col("v"), T.XSD_STRING)],
-        ))
-    # URI-valued edges + object types (:34-40, :161-167 + type maps :175-196)
-    rw = capec_dim.select("ID", F.explode("Related_Weaknesses").alias("w"))
-    rw_uri = F.concat(F.lit(T.UCO_HASH), F.col("w"))
-    tm = capec_dim.select("ID", F.explode("Taxonomy_Mappings").alias("t"))
-    tm_uri = F.concat(F.lit(T.EX_HASH), F.col("t"))
-    capec_uri_of = F.concat(
-        F.lit("https://capec.mitre.org/data/definitions/"), F.col("ID"), F.lit(".html")
+
+    def lit_arr(field: str, pred: str) -> Column:
+        # null arrays are coalesced to empty inside emit()
+        return F.transform(F.col(field), lambda v: lit_el(uri, pred, v))
+
+    rw_arr = F.flatten(F.transform(
+        F.col("Related_Weaknesses"),
+        lambda w: F.array(
+            uri_el(uri, T.P_HAS_RELATED_WEAKNESS, F.concat(F.lit(T.UCO_HASH), w)),
+            type_el(F.concat(F.lit(T.UCO_HASH), w), T.CL_CWE),
+        ),
+    ))
+    tm_arr = F.flatten(F.transform(
+        F.col("Taxonomy_Mappings"),
+        lambda t: F.array(
+            uri_el(uri, T.P_HAS_TAXONOMY_MAPPING, F.concat(F.lit(T.EX_HASH), t)),
+            type_el(F.concat(F.lit(T.EX_HASH), t), T.CL_ATTACK),
+        ),
+    ))
+
+    return emit(
+        capec_dim,
+        [
+            type_el(uri, T.CL_CAPEC),  # :170-171
+            lit_el(uri, T.RDFS_LABEL,
+                   F.concat(F.lit("CAPEC-"), F.col("ID"), F.lit(": "), F.col("Name"))),
+            lit_el(uri, T.P_CAPEC_ID, F.col("ID")),
+            lit_el(uri, T.P_CAPEC_NAME, F.col("Name")),
+            lit_el(uri, T.P_CAPEC_ABSTRACTION, F.col("Abstraction")),
+            lit_el(uri, T.P_CAPEC_LIKELIHOOD, F.col("Likelihood_Of_Attack")),
+            lit_el(uri, T.P_CAPEC_SEVERITY, F.col("Typical_Severity")),
+            lit_el(uri, T.P_CAPEC_DESCRIPTION, F.col("Description")),
+        ],
+        [lit_arr(f, p) for (p, f) in CAPEC_ARRAY_PLAN] + [rw_arr, tm_arr],
     )
-    parts += [
-        _uri_plan(rw, capec_uri_of, [(T.P_HAS_RELATED_WEAKNESS, rw_uri)]),
-        _type_plan(rw, [(rw_uri, T.CL_CWE)]),
-        _uri_plan(tm, capec_uri_of, [(T.P_HAS_TAXONOMY_MAPPING, tm_uri)]),
-        _type_plan(tm, [(tm_uri, T.CL_ATTACK)]),
-    ]
-    return _union(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -480,19 +463,16 @@ def emit_capec_batch(capec_dim: DataFrame) -> DataFrame:
 
 def emit_d3fend_batch(d3_dim: DataFrame) -> DataFrame:
     uri = F.concat(F.lit(T.EX_HASH), F.col("id"))
-    off = d3_dim.filter(F.col("off_tech_id").isNotNull() & (F.col("off_tech_id") != ""))
-    off_uri = F.concat(F.lit(T.EX_HASH), F.col("off_tech_id"))
-    return _union([
-        _type_plan(d3_dim, [(uri, T.CL_D3FEND)]),
+    has_off = F.col("off_tech_id").isNotNull() & (F.col("off_tech_id") != "")
+    off_uri = F.when(has_off, F.concat(F.lit(T.EX_HASH), F.col("off_tech_id")))
+    return emit(d3_dim, [
+        type_el(uri, T.CL_D3FEND),  # :55-56
         # NO ucoexMITRED3FEND_ID triples: rml:reference "d3f:d3fend-id'"
         # stray-quote typo (d3fend_rml.ttl:29) — reproduced
-        _lit_plan(d3_dim, uri, [
-            (T.P_D3FEND_DEFINITION, F.col("definition"), T.XSD_STRING),
-            (T.P_D3FEND_LABEL, F.col("label"), T.XSD_STRING),
-        ]),
-        _uri_plan(off, F.concat(F.lit(T.EX_HASH), F.col("id")),
-                  [(T.P_HAS_MITRE_ATTACK, off_uri)]),
-        _type_plan(off, [(off_uri, T.CL_ATTACK)]),
+        lit_el(uri, T.P_D3FEND_DEFINITION, F.col("definition")),
+        lit_el(uri, T.P_D3FEND_LABEL, F.col("label")),
+        uri_el(uri, T.P_HAS_MITRE_ATTACK, off_uri),  # null obj filtered (P7)
+        type_el(off_uri, T.CL_ATTACK),
     ])
 
 
