@@ -20,7 +20,9 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-N_PAGES = int(os.environ.get("UCKG_SCALE_PAGES", "24000"))
+# sized so per-task work dominates fixed scheduling overhead — strong
+# scaling is only observable when there is real work to divide
+N_PAGES = int(os.environ.get("UCKG_SCALE_PAGES", "60000"))
 
 
 def worker(cores: int) -> None:

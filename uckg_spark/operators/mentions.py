@@ -62,7 +62,12 @@ class LinkState:
             if hit is None:
                 continue
             canonical_id, _score = hit
-            out.append((self.kind_of[canonical_id], surf, canonical_id))
+            kind = self.kind_of[canonical_id]
+            # technique-name mentions land in the same kind as technique-id
+            # mentions so downstream needs no union/distinct across kinds
+            if kind == "technique":
+                kind = "attack"
+            out.append((kind, surf, canonical_id))
         return out
 
 

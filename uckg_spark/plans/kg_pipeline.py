@@ -49,21 +49,24 @@ class KgDims:
 def linked_mentions(
     spark: SparkSession, pages: DataFrame, dims: KgDims
 ) -> dict[str, DataFrame]:
-    """Stages 1–3: extract, detect, link. Returns per-kind mention tables
-    keyed by url (each distinct on its mention key)."""
-    extracted = extract_pages(pages)
-    mentions = (
-        detect_mentions(spark, extracted, dims.alias_rows)
-        .dropDuplicates(["url", "kind", "token", "canonical_id"])
-    )
-    # cache: six downstream branches read this; at scale this is the
-    # natural stage checkpoint (written to the _lineage-tracked stage table)
-    mentions.persist()
+    """Stages 1–3: extract, detect, link.
 
-    m_cve = (
-        mentions.filter(F.col("kind") == "cve")
-        .select("url", F.col("canonical_id").alias("cve"))
-        .distinct()
+    SHUFFLE BUDGET: the mention stream is persisted once; every per-kind
+    table below is a narrow filter + broadcast join (zero exchanges). The
+    co-mention pair joins in build_triples shuffle on url — and are LEFT TO
+    AQE on purpose: at small scale AQE converts them to broadcast joins and
+    coalesces the tiny post-shuffle partitions; at web scale it splits
+    skewed url partitions. A static repartition(url) here (measured) pins
+    the plan to fixed-width sort-merge joins and forfeits both adaptations.
+    Mention rows are deliberately NOT deduplicated (a page may mention the
+    same id twice): every consumer is a semi join, a pair-distinct, or the
+    global A1 dedup — re-deduplicating here would be a wasted shuffle.
+    """
+    extracted = extract_pages(pages)
+    mentions = detect_mentions(spark, extracted, dims.alias_rows).persist()
+
+    m_cve = mentions.filter(F.col("kind") == "cve").select(
+        "url", F.col("canonical_id").alias("cve")
     )
     m_cwe = (
         mentions.filter(F.col("kind") == "cwe")
@@ -73,7 +76,6 @@ def linked_mentions(
             "inner",  # membership: only dictionary CWEs link (P6 analog)
         )
         .select("url", "cwe")
-        .distinct()
     )
     m_capec = (
         mentions.filter(F.col("kind") == "capec")
@@ -88,16 +90,14 @@ def linked_mentions(
             "inner",
         )
         .select("url", "capec_id")
-        .distinct()
     )
     tech_ids = dims.attack_ents.filter(F.col("kind") == "technique").select(
         F.col("ID").alias("tech")
     )
     m_attack = (
-        mentions.filter(F.col("kind").isin("attack", "technique"))
+        mentions.filter(F.col("kind") == "attack")
         .join(F.broadcast(tech_ids), F.col("canonical_id") == F.col("tech"), "inner")
         .select("url", "tech")
-        .distinct()
     )
     # exact CPE ids: J1 left lookup (dictionary_found flag)
     cpe_exact = (
@@ -142,7 +142,9 @@ def linked_mentions(
         .select("url", "cpeName", "cpeNameId", "cpeLastModified", "titles",
                 F.lit(True).alias("dictionary_found"))
     )
-    m_cpe = cpe_exact.unionByName(cpe_fuzzy).dropDuplicates(["url", "cpeName"])
+    # duplicates (url, cpeName) across exact/fuzzy carry identical field
+    # values (same dictionary row) — the global dedup absorbs them
+    m_cpe = cpe_exact.unionByName(cpe_fuzzy)
     out = {
         "mentions": mentions,
         "cve": m_cve,
@@ -151,8 +153,9 @@ def linked_mentions(
         "attack": m_attack,
         "cpe": m_cpe,
     }
-    # each table feeds 2-5 emission branches: persist once, not re-shuffle
-    # per branch (the distinct is the expensive part)
+    # each per-kind table feeds 2-5 emission branches; persisting them (they
+    # are mention-sized, tiny relative to pages) lets every branch read a
+    # materialized cache instead of re-driving its own broadcast exchange
     for k in ("cve", "cwe", "capec", "attack", "cpe"):
         out[k] = out[k].persist()
     return out
@@ -180,8 +183,9 @@ def build_triples(
     ]))
 
     # R2 — full CVE records for mentioned, in-dictionary CVEs
+    # (semi joins dedup inherently — no distinct on the mention side)
     mentioned_cve_dim = dims.cve.join(
-        m_cve.select(F.col("cve").alias("id")).distinct(), "id", "leftsemi"
+        m_cve.select(F.col("cve").alias("id")), "id", "leftsemi"
     )
     records, cwe_pairs, cpe_pairs = PT.build_cve_stage(
         mentioned_cve_dim, dims.cwe, dims.cpe
@@ -214,13 +218,13 @@ def build_triples(
 
     # R5 — full CWE records for mentioned CWEs
     parts.append(PT.emit_cwe_batch(
-        dims.cwe.join(m_cwe.select(F.col("cwe").alias("id_value")).distinct(),
+        dims.cwe.join(m_cwe.select(F.col("cwe").alias("id_value")),
                       "id_value", "leftsemi")
     ))
 
     # R6 — CAPEC records + exploitsVulnerability edges on co-mention
     parts.append(PT.emit_capec_batch(
-        dims.capec.join(m_capec.select(F.col("capec_id").alias("ID")).distinct(),
+        dims.capec.join(m_capec.select(F.col("capec_id").alias("ID")),
                         "ID", "leftsemi")
     ))
     ce = m_capec.join(m_cve, "url").select("capec_id", "cve").distinct()
@@ -233,7 +237,7 @@ def build_triples(
     ]))
 
     # R7 — ATT&CK entity records for mentioned techniques + MITIGATES edges
-    mentioned_tech = m_attack.select(F.col("tech").alias("ID")).distinct()
+    mentioned_tech = m_attack.select(F.col("tech").alias("ID"))
     parts.append(PT.emit_attack_entities(
         dims.attack_ents.join(mentioned_tech, "ID", "leftsemi")
     ))
@@ -245,9 +249,9 @@ def build_triples(
         )
         .join(F.broadcast(dims.attack_ents.select(F.col("ID").alias("_tid"))),
               F.col("target_id") == F.col("_tid"), "inner")  # J4 FK check
-        .join(mentioned_tech.withColumnRenamed("ID", "target_id"), "target_id")
+        .join(mentioned_tech.withColumnRenamed("ID", "target_id"),
+              "target_id", "leftsemi")
         .select("source_id", "target_id")
-        .distinct()
     )
     mit_subj = F.concat(F.lit(T.EX_HASH), F.col("source_id"))
     parts.append(PT.emit(mit_rels, [
