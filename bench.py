@@ -27,10 +27,9 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
 
     import __spark_entry__ as entry_mod
-    from uckg_spark.fixtures.pages import generate_pages
+    from uckg_spark.fixtures.pages import synthesize_pages_df
     from uckg_spark.plans.kg_pipeline import KgDims, build_triples
     from uckg_spark.session import build_session
-    from uckg_spark.sources.pages import pages_df
 
     spark = build_session(
         app_name="uckg-bench",
@@ -43,13 +42,16 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    # --- KG construction headline ---
-    pages = generate_pages(n_pages)
-    pdf = pages_df(spark, pages).repartition(cpus * 2).persist()
+    # --- KG construction headline (Common-Crawl-realistic ~10KB pages,
+    # synthesized on executors, persisted before the timed section) ---
+    filler = int(os.environ.get("UCKG_BENCH_FILLER", "50"))
+    pdf = synthesize_pages_df(
+        spark, n_pages, filler_paras=filler, partitions=cpus * 4
+    ).persist()
     n_docs = pdf.count()  # materialize outside the timed section
     dims = KgDims(spark)
     t0 = time.time()
-    n_triples = build_triples(spark, pdf, dims).count()
+    n_triples = build_triples(spark, pdf, dims, mention_partitions=cpus).count()
     kg_sec = time.time() - t0
     timings["kg_pipeline"] = round(kg_sec, 3)
 

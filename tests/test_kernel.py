@@ -81,6 +81,25 @@ class TestIds:
         assert "acme soft" in surfs and "webgate" in surfs
         assert surfs.count("webgate") == 1  # 'notwebgate' rejected
 
+    def test_aho_leftmost_longest(self):
+        a = AhoCorasick(["credential vault", "credential vault dredging"])
+        assert a.find("uses credential vault dredging here") == [
+            ("credential vault dredging", 5)
+        ]
+
+    def test_regex_and_trie_engines_equivalent(self):
+        from uckg_spark.fixtures import dicts as D
+        from uckg_spark.fixtures.pages import generate_pages
+        from uckg_spark.kernel.extract import extract_text
+
+        pats = [x["surface_form"] for x in D.alias_table()]
+        fast = AhoCorasick(pats)
+        trie = AhoCorasick(pats)
+        trie._regex = None  # force the trie engine
+        for p in generate_pages(150):
+            t = extract_text(p["html"])
+            assert fast.find(t) == trie.find(t)
+
 
 class TestDatetimes:
     def test_format_keeps_first_3(self):

@@ -21,15 +21,17 @@ import time
 sys.path.insert(0, "/root/repo")
 
 # sized so per-task work dominates fixed scheduling overhead — strong
-# scaling is only observable when there is real work to divide
-N_PAGES = int(os.environ.get("UCKG_SCALE_PAGES", "60000"))
+# scaling is only observable when there is real work to divide. Pages are
+# padded to ~10 KB html (Common-Crawl-realistic; the tiny unit-test fixtures
+# would make the job pure scheduling overhead).
+N_PAGES = int(os.environ.get("UCKG_SCALE_PAGES", "120000"))
+FILLER_PARAS = int(os.environ.get("UCKG_SCALE_FILLER", "50"))
 
 
 def worker(cores: int) -> None:
-    from uckg_spark.fixtures.pages import generate_pages
+    from uckg_spark.fixtures.pages import synthesize_pages_df
     from uckg_spark.plans.kg_pipeline import KgDims, build_triples
     from uckg_spark.session import build_session
-    from uckg_spark.sources.pages import pages_df
 
     spark = build_session(
         app_name=f"uckg-scaling-{cores}",
@@ -37,14 +39,17 @@ def worker(cores: int) -> None:
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
-    pages = generate_pages(N_PAGES)
-    pdf = pages_df(spark, pages).repartition(cores * 4).persist()
+    # corpus synthesized ON EXECUTORS, then persisted — the timed section
+    # reads it like a real job reads the Iceberg pages table
+    pdf = synthesize_pages_df(
+        spark, N_PAGES, filler_paras=FILLER_PARAS, partitions=cores * 4
+    ).persist()
     n_docs = pdf.count()
     dims = KgDims(spark)
     # warm-up run compiles the plan + JIT; timed run measures steady state
-    build_triples(spark, pdf.limit(500), dims).count()
+    build_triples(spark, pdf.limit(500), dims, mention_partitions=cores).count()
     t0 = time.time()
-    n_triples = build_triples(spark, pdf, dims).count()
+    n_triples = build_triples(spark, pdf, dims, mention_partitions=cores).count()
     wall = time.time() - t0
     print(json.dumps({
         "cores": cores, "docs": n_docs, "triples": n_triples,

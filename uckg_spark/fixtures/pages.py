@@ -113,6 +113,66 @@ def _html_body(rng: random.Random, toks: list[str], i: int) -> str:
     )
 
 
+def page_row(i: int, seed: int = 42, filler_paras: int = 0) -> dict:
+    """One page, deterministically derived from (seed, i) alone — safe to
+    evaluate on any executor in any order. ``filler_paras`` pads the html
+    with mention-free prose paragraphs (~180 bytes each) to reach realistic
+    Common-Crawl page sizes for benchmarking."""
+    rng = random.Random(f"{seed}:{i}")
+    hot = rng.random() < 0.20
+    toks = _mentions_for_page(rng, hot)
+    html = _html_body(rng, toks, i)
+    if filler_paras:
+        pad = "".join(
+            f"<p>{' '.join(rng.choices(_FILLER, k=24))}</p>"
+            for _ in range(filler_paras)
+        )
+        html = html.replace("<footer>", pad + "<footer>", 1)
+    lang_roll = rng.random()
+    lang = "en"
+    if lang_roll < 0.025:
+        lang = "de"
+    elif lang_roll < 0.05:
+        lang = "fr"
+    elif lang_roll < 0.06:
+        lang = ""
+    base_ts = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    return {
+        "url": f"https://fixture.test/advisory/{i:06d}",
+        "warc_ts": base_ts + _dt.timedelta(seconds=137 * i),
+        "html": html.encode("utf-8"),
+        "text": html[:100],
+        "lang": lang,
+    }
+
+
+def synthesize_pages_df(spark, n: int, seed: int = 42, filler_paras: int = 0,
+                        partitions: int | None = None):
+    """Distributed page synthesis: spark.range → mapInPandas(page_row).
+    Generation happens ON EXECUTORS (the driver never holds the corpus),
+    which is the only generator shape that survives large n — and the bench
+    shape that matches a real job reading an Iceberg pages table."""
+    from pyspark.sql import types as Ty
+
+    schema = Ty.StructType([
+        Ty.StructField("url", Ty.StringType(), False),
+        Ty.StructField("warc_ts", Ty.TimestampType(), True),
+        Ty.StructField("html", Ty.BinaryType(), True),
+        Ty.StructField("text", Ty.StringType(), True),
+        Ty.StructField("lang", Ty.StringType(), True),
+    ])
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [page_row(int(i), seed, filler_paras) for i in pdf["id"]]
+            yield pd.DataFrame(rows)
+
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+    return spark.range(n, numPartitions=parts).mapInPandas(gen, schema)
+
+
 def generate_pages(n: int = 200, seed: int = 42) -> list[dict]:
     """Returns row dicts (url, warc_ts, html: bytes, text, lang)."""
     rng = random.Random(seed)

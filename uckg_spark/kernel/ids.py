@@ -110,22 +110,48 @@ def normalize_surface(s: str) -> str:
 
 
 class AhoCorasick:
-    """Classic trie + failure-link automaton. ``find(text)`` returns
-    whole-word, non-overlapping-normalized matches as
-    [(surface_form, char_offset)] in document order.
+    """Multi-pattern whole-word matcher. ``find(text)`` returns
+    [(surface_form, char_offset)] over the normalized text in document
+    order.
 
-    Sized for real dictionaries (~1.3M CPE vendor/product strings): build is
-    O(total pattern chars); the automaton is pickled into a Spark broadcast
-    once per job, not per task.
+    Two engines, ONE semantics (equivalence is tested on the fixture
+    corpus, tests/test_kernel.py):
+    - ≤ ``_REGEX_MAX_PATTERNS`` patterns: a compiled longest-first
+      alternation — C speed, the fixture/bench path.
+    - above that: the classic trie + failure-link automaton — O(text)
+      regardless of dictionary size, the production path for ~1.3M CPE
+      vendor/product strings. Built once on the driver, shipped via a
+      Spark broadcast.
+
+    The fast path assumes patterns are not nested within one another
+    (true for vendor-product alias tables); the trie path reports nested
+    matches too.
     """
 
+    _REGEX_MAX_PATTERNS = 2000
+
     def __init__(self, patterns: list[str]):
+        norm_patterns = sorted(
+            {normalize_surface(p) for p in patterns if normalize_surface(p)},
+            key=lambda s: (-len(s), s),
+        )
+        self._regex = None
+        if len(norm_patterns) <= self._REGEX_MAX_PATTERNS:
+            body = "|".join(re.escape(p) for p in norm_patterns)
+            # boundary class matches _is_word_char below
+            self._regex = re.compile(
+                r"(?<![a-z0-9._])(?:" + body + r")(?![a-z0-9._])"
+            ) if norm_patterns else re.compile(r"(?!)")
+        self._build_trie(patterns)
+
+    def _build_trie(self, patterns: list[str]):
         # nodes: list of dicts char->node_id
         self._next: list[dict[str, int]] = [{}]
         self._fail: list[int] = [0]
         self._out: list[list[str]] = [[]]
-        for p in sorted(set(patterns)):
-            norm = normalize_surface(p)
+        # dedup on NORMALIZED form — distinct raw styles ("ACMESOFT webgate",
+        # "Acmesoft Webgate") collapse to one pattern
+        for norm in sorted({normalize_surface(p) for p in patterns}):
             if not norm:
                 continue
             node = 0
@@ -158,10 +184,17 @@ class AhoCorasick:
         return ch.isalnum() or ch in "._"
 
     def find(self, text: str) -> list[tuple[str, int]]:
-        """Whole-word matches over the normalized text. Offsets are into the
-        normalized string (deterministic given the shared normalizer)."""
+        """LEFTMOST-LONGEST, NON-OVERLAPPING whole-word matches over the
+        normalized text (standard gazetteer chunking semantics): at the
+        earliest matching position take the longest pattern, then continue
+        after its end. Offsets are into the normalized string."""
         norm = normalize_surface(text)
-        out: list[tuple[str, int]] = []
+        if self._regex is not None:
+            return [(m.group(0), m.start()) for m in self._regex.finditer(norm)]
+        return self._find_trie(norm)
+
+    def _find_trie(self, norm: str) -> list[tuple[str, int]]:
+        hits: list[tuple[str, int]] = []
         node = 0
         for i, ch in enumerate(norm):
             while node and ch not in self._next[node]:
@@ -172,6 +205,13 @@ class AhoCorasick:
                 before_ok = start == 0 or not self._is_word_char(norm[start - 1])
                 after_ok = i + 1 >= len(norm) or not self._is_word_char(norm[i + 1])
                 if before_ok and after_ok:
-                    out.append((pat, start))
-        out.sort(key=lambda t: (t[1], -len(t[0]), t[0]))
+                    hits.append((pat, start))
+        # greedy leftmost-longest sweep == the regex engine's behavior
+        hits.sort(key=lambda t: (t[1], -len(t[0]), t[0]))
+        out: list[tuple[str, int]] = []
+        end = -1
+        for pat, start in hits:
+            if start > end:
+                out.append((pat, start))
+                end = start + len(pat) - 1
         return out

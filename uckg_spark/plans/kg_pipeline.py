@@ -47,7 +47,8 @@ class KgDims:
 
 
 def linked_mentions(
-    spark: SparkSession, pages: DataFrame, dims: KgDims
+    spark: SparkSession, pages: DataFrame, dims: KgDims,
+    mention_partitions: int | None = None,
 ) -> dict[str, DataFrame]:
     """Stages 1–3: extract, detect, link.
 
@@ -63,7 +64,14 @@ def linked_mentions(
     global A1 dedup — re-deduplicating here would be a wasted shuffle.
     """
     extracted = extract_pages(pages)
-    mentions = detect_mentions(spark, extracted, dims.alias_rows).persist()
+    mentions = detect_mentions(spark, extracted, dims.alias_rows)
+    # the mention table is ~1000× smaller than pages; re-bucketing it to a
+    # size-appropriate partition count before caching caps the task count
+    # of every downstream branch (task dispatch is the driver's serial
+    # bottleneck — 15 branches × input partitions tasks otherwise)
+    if mention_partitions:
+        mentions = mentions.repartition(mention_partitions)
+    mentions = mentions.persist()
 
     m_cve = mentions.filter(F.col("kind") == "cve").select(
         "url", F.col("canonical_id").alias("cve")
@@ -162,11 +170,12 @@ def linked_mentions(
 
 
 def build_triples(
-    spark: SparkSession, pages: DataFrame, dims: KgDims
+    spark: SparkSession, pages: DataFrame, dims: KgDims,
+    mention_partitions: int | None = None,
 ) -> DataFrame:
     """Stages 4–6: co-mention edges + entity records → repaired, deduped
     triple set (the oracle-parity surface)."""
-    m = linked_mentions(spark, pages, dims)
+    m = linked_mentions(spark, pages, dims, mention_partitions)
     m_cve, m_cwe, m_capec, m_attack, m_cpe = (
         m["cve"], m["cwe"], m["capec"], m["attack"], m["cpe"],
     )

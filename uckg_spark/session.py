@@ -47,6 +47,10 @@ def build_session(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             str(max(shuffle * 4, 64)),
         )
+        # target advisory partition SIZE, not max parallelism: small
+        # shuffles coalesce to a handful of tasks instead of `shuffle`
+        # micro-tasks (driver task dispatch is the serial bottleneck)
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
