@@ -71,13 +71,7 @@ class LinkState:
         return out
 
 
-def detect_mentions(
-    spark: SparkSession, extracted: DataFrame, alias_rows: list[dict]
-) -> DataFrame:
-    """(url, text) → mention rows. Distinct within page is applied
-    downstream (dropDuplicates on the mention key) in the JVM."""
-    bc = spark.sparkContext.broadcast(LinkState(alias_rows))
-
+def _scan_batches_fn(bc):
     def scan_batches(batches):
         import pandas as pd
 
@@ -101,6 +95,55 @@ def detect_mentions(
                 {"url": urls, "kind": kinds, "token": toks, "canonical_id": canon}
             )
 
+    return scan_batches
+
+
+def detect_mentions(
+    spark: SparkSession, extracted: DataFrame, alias_rows: list[dict]
+) -> DataFrame:
+    """(url, text) → mention rows. Distinct within page is applied
+    downstream (dropDuplicates on the mention key) in the JVM."""
+    bc = spark.sparkContext.broadcast(LinkState(alias_rows))
     return extracted.select("url", "text").mapInPandas(
-        scan_batches, schema=MENTION_SCHEMA
+        _scan_batches_fn(bc), schema=MENTION_SCHEMA
     )
+
+
+def scan_pages(
+    spark: SparkSession, pages: DataFrame, alias_rows: list[dict]
+) -> DataFrame:
+    """FUSED extract+scan: pages(url, html) → mention rows in ONE Arrow
+    stage. The extracted text (≈ half the corpus bytes) never crosses back
+    over the JVM↔Python boundary — at 100 TB that boundary IS the pipe, so
+    the fused kernel halves Arrow traffic vs extract_pages ∘
+    detect_mentions (which remain available for stages that need the text
+    itself: byte-identity checks, lineage-checkpointed extraction)."""
+    from ..kernel.extract import extract_text
+
+    bc = spark.sparkContext.broadcast(LinkState(alias_rows))
+
+    def fused(batches):
+        import pandas as pd
+
+        state = bc.value
+        for pdf in batches:
+            urls, kinds, toks, canon = [], [], [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                text = extract_text(html)
+                if not text:
+                    continue
+                for kind, tok, _off in scan_ids(text):
+                    urls.append(url)
+                    kinds.append(kind)
+                    toks.append(tok)
+                    canon.append(tok)
+                for kind, surf, cid in state.fuzzy_mentions(text):
+                    urls.append(url)
+                    kinds.append(kind)
+                    toks.append(surf)
+                    canon.append(cid)
+            yield pd.DataFrame(
+                {"url": urls, "kind": kinds, "token": toks, "canonical_id": canon}
+            )
+
+    return pages.select("url", "html").mapInPandas(fused, schema=MENTION_SCHEMA)

@@ -22,8 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..kernel import templates as T
-from ..operators.extract import extract_pages
-from ..operators.mentions import detect_mentions
+from ..operators.mentions import scan_pages
 from . import triples as PT
 
 P_EXPLOITS = T.UCO_BARE + "ucoexploitsVulnerability"  # decl uco2.ttl:45
@@ -63,8 +62,7 @@ def linked_mentions(
     same id twice): every consumer is a semi join, a pair-distinct, or the
     global A1 dedup — re-deduplicating here would be a wasted shuffle.
     """
-    extracted = extract_pages(pages)
-    mentions = detect_mentions(spark, extracted, dims.alias_rows)
+    mentions = scan_pages(spark, pages, dims.alias_rows)
     # the mention table is ~1000× smaller than pages; re-bucketing it to a
     # size-appropriate partition count before caching caps the task count
     # of every downstream branch (task dispatch is the driver's serial
