@@ -512,9 +512,13 @@ def oracle_sql() -> dict[str, str]:
             FROM toks
         )
     """
+    # hash j = digest slice j%4 of md5(f"{j//4}:" + shingle) — mirrors
+    # uckg_spark.operators.dedup.minhash_signatures exactly
     mh_cols = ", ".join(
-        "min({h}) AS mh{i}".format(h=_h32_sql(f"'{i}:' || s"), i=i)
-        for i in range(N_MINHASH)
+        "min((('0x' || substr(md5('{p}:' || s), {off}, 8))::BIGINT)) AS mh{j}".format(
+            p=j // 4, off=8 * (j % 4) + 1, j=j
+        )
+        for j in range(N_MINHASH)
     )
     o["dedup_minhash"] = f"""
         {shingle_cte}

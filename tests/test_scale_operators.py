@@ -40,12 +40,19 @@ class TestDedup:
 
     def test_minhash_agrees_with_python(self, spark):
         sigs = {r["doc_id"]: r["sig"] for r in
-                dedup.minhash_signatures(_docs(spark), num_hashes=4, n=3).collect()}
+                dedup.minhash_signatures(_docs(spark), num_hashes=8, n=3).collect()}
 
-        def py_sig(text, k=4, n=3):
+        def py_sig(text, k=8, n=3):
+            import hashlib
+
             toks = text.split()
             sh = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
-            return [min(h32_py(f"{i}:{s}") for s in sh) for i in range(k)]
+
+            def hj(s, j):
+                d = hashlib.md5(f"{j // 4}:{s}".encode()).hexdigest()
+                return int(d[8 * (j % 4): 8 * (j % 4) + 8], 16)
+
+            return [min(hj(s, j) for s in sh) for j in range(k)]
 
         assert sigs[0] == py_sig("the quick brown fox jumps over the lazy dog")
 

@@ -90,17 +90,29 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 16, n: int = 3, text_col: str = "text"
 ) -> DataFrame:
-    """k min-hashes per doc: min over shingles of h32(i || ':' || shingle).
-    Expressed with higher-order functions — no explode, no shuffle."""
+    """k min-hashes per doc, expressed with higher-order functions — no
+    explode, no shuffle. One md5 yields FOUR independent 32-bit hashes
+    (digest slices), so hash j is
+
+        int(md5(f"{j//4}:" + shingle)[8*(j%4) : 8*(j%4)+8], 16)
+
+    — ceil(k/4) digests per shingle instead of k (measured 4× on the md5
+    budget, the stage's dominant cost)."""
     sh = F.array_distinct(shingles(F.col(text_col), n))
 
-    def min_hash_i(i: int) -> Column:
-        # NB: a unary lambda is required — pyspark treats a 2-arg transform
-        # lambda as (element, index)
-        prefix = f"{i}:"
-        return F.array_min(F.transform(sh, lambda s: h32(F.concat(F.lit(prefix), s))))
+    def min_hash_j(j: int) -> Column:
+        # NB: unary lambdas only — pyspark treats a 2-arg transform lambda
+        # as (element, index)
+        prefix = f"{j // 4}:"
+        off = 8 * (j % 4) + 1
+        return F.array_min(F.transform(
+            sh,
+            lambda s: F.conv(
+                F.substring(F.md5(F.concat(F.lit(prefix), s)), off, 8), 16, 10
+            ).cast("bigint"),
+        ))
 
-    sig = F.array(*[min_hash_i(i) for i in range(num_hashes)])
+    sig = F.array(*[min_hash_j(j) for j in range(num_hashes)])
     return docs.select("doc_id", sig.alias("sig"))
 
 
@@ -156,16 +168,17 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFram
     (±1 by bit b of h32(token)) > 0. Pure column algebra (aggregate over
     the token array) — portable to the SQL oracle via unnest + sum.
     """
-    toks = tokens(F.col(text_col))
+    # hash each token ONCE; the 16 bit sums then work over plain bigints
+    hashes = F.transform(tokens(F.col(text_col)), lambda t: h32(t))
 
     def bit_sum(b: int) -> Column:
         shift = b  # bind per-bit shift outside the binary merge lambda
         return F.aggregate(
-            toks,
+            hashes,
             F.lit(0).cast("bigint"),
-            lambda acc, t: acc
+            lambda acc, h: acc
             + F.when(
-                F.shiftright(h32(t), shift).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                F.shiftright(h, shift).bitwiseAND(F.lit(1)) == 1, F.lit(1)
             ).otherwise(F.lit(-1)),
         )
     fp = None
