@@ -332,6 +332,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["ann_lsh_bucket"] = q_ann_lsh_bucket
 
+    def q_embed_near_dup(spark, sf):
+        # embedding-cosine near-duplicates via hyperplane-LSH buckets,
+        # verified by exact cosine (the scale path: pairs only form inside
+        # a bucket)
+        from uckg_spark.operators.similarity import lsh_bucketed_pairs
+
+        emb = _t(spark, sf, "embeddings")
+        pairs = lsh_bucketed_pairs(emb, dim=EMB_DIM, n_planes=N_PLANES,
+                                   threshold=0.55)
+        return pairs.select("id_a", "id_b", "cos_sim")
+    q["embed_near_dup"] = q_embed_near_dup
+
+    def q_sessionize(spark, sf):
+        # gap-based sessionization (30-min inactivity): classic stateful
+        # windowing expressed with lag + cumulative sum
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        gap = (F.unix_timestamp("ts")
+               - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+        sess = (
+            ev.withColumn("new_sess", F.coalesce(gap.cast("int"), F.lit(1)))
+            .withColumn("session_id", F.sum("new_sess").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)))
+        )
+        return (
+            sess.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("session_value"))
+        )
+    q["sessionize"] = q_sessionize
+
     def q_lang_id(spark, sf):
         from uckg_spark.operators.textstats import language_scores
 
@@ -586,6 +617,44 @@ def oracle_sql() -> dict[str, str]:
     o["ann_lsh_bucket"] = f"""
         SELECT vec_id, ({' + '.join(plane_terms)})::BIGINT AS bucket
         FROM embeddings
+    """
+
+    bucket_expr = f"({' + '.join(plane_terms)})::BIGINT"
+    o["embed_near_dup"] = f"""
+        WITH b AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v, {bucket_expr} AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+               round(list_dot_product(a.v, c.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(c.v, c.v))), 6) AS cos_sim
+        FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        WHERE list_dot_product(a.v, c.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(c.v, c.v))) >= 0.55
+    """
+
+    o["sessionize"] = """
+        WITH g AS (
+            SELECT user_id, event_id, value, ts,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                        THEN 1
+                        WHEN lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+        ), s AS (
+            SELECT user_id, value,
+                   sum(new_sess) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM g
+        )
+        SELECT user_id, session_id, count(*) AS n_events,
+               round(sum(value), 2) AS session_value
+        FROM s GROUP BY user_id, session_id
     """
 
     from uckg_spark.operators.textstats import STOPWORDS

@@ -111,9 +111,13 @@ def lsh_bucketed_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine_col(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+            cosine_col(F.col("a.v"), F.col("b.v")).alias("_cos_raw"),
         )
-        .filter(F.col("cos_sim") >= threshold)
+        # threshold on the RAW cosine (identical IEEE doubles in any
+        # engine); round only for display — filtering on the rounded value
+        # would disagree with an oracle at the boundary
+        .filter(F.col("_cos_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_cos_raw", 6).alias("cos_sim"))
     )
 
 
