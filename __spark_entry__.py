@@ -15,7 +15,15 @@ Engine-portable hash used throughout (Spark ⇄ DuckDB):
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# queries() callables import uckg_spark lazily; make that work no matter
+# where the harness's cwd is when it loads this module by path
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
