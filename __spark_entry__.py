@@ -129,9 +129,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semi_join"] = q_semi_join
 
     def q_anti_join(spark, sf):  # A7 except/anti consistency check
+        # "customers with no high-value order" — the plain FK anti-join is
+        # empty by generator construction (every custkey is referenced), so
+        # filter the right side first to get real survivors (202 at sf0.01)
         cust, orders = _t(spark, sf, "customer"), _t(spark, sf, "orders")
+        big = orders.filter(F.col("o_totalprice") > 400000)
         return (
-            cust.join(orders, cust.c_custkey == orders.o_custkey, "leftanti")
+            cust.join(big, cust.c_custkey == big.o_custkey, "leftanti")
             .groupBy("c_mktsegment")
             .agg(F.count("*").alias("n_customers"))
         )
@@ -347,8 +351,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from uckg_spark.operators.similarity import lsh_bucketed_pairs
 
         emb = _t(spark, sf, "embeddings")
+        # 0.35 yields 16 pairs at sf0.01 / 256 at sf0.1 — a non-vacuous
+        # answer (the round-1 0.55 threshold matched on 0 rows both sides)
         pairs = lsh_bucketed_pairs(emb, dim=EMB_DIM, n_planes=N_PLANES,
-                                   threshold=0.55)
+                                   threshold=0.35)
         return pairs.select("id_a", "id_b", "cos_sim")
     q["embed_near_dup"] = q_embed_near_dup
 
@@ -357,8 +363,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # windowing expressed with lag + cumulative sum
         ev = _t(spark, sf, "events")
         w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        gap = (F.unix_timestamp("ts")
-               - F.unix_timestamp(F.lag("ts").over(w))) > 1800
+        # exact integer microseconds on both sides: events.ts carries
+        # sub-second precision, and unix_timestamp() truncates while a
+        # DuckDB oracle's epoch() doesn't — the 30-min gap predicate would
+        # disagree at fractional boundaries (round-1 red cell). ts is
+        # TIMESTAMP_NTZ, so use timestampdiff (NTZ-native, tz-free) rather
+        # than unix_micros (TZ-only).
+        gap = F.timestamp_diff(
+            "MICROSECOND", F.lag("ts").over(w), F.col("ts")) > 1_800_000_000
         sess = (
             ev.withColumn("new_sess", F.coalesce(gap.cast("int"), F.lit(1)))
             .withColumn("session_id", F.sum("new_sess").over(
@@ -438,7 +450,9 @@ def oracle_sql() -> dict[str, str]:
 
     o["anti_join"] = """
         SELECT c_mktsegment, count(*) AS n_customers FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 400000)
         GROUP BY c_mktsegment
     """
 
@@ -640,14 +654,14 @@ def oracle_sql() -> dict[str, str]:
         FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         WHERE list_dot_product(a.v, c.v)
               / (sqrt(list_dot_product(a.v, a.v))
-                 * sqrt(list_dot_product(c.v, c.v))) >= 0.55
+                 * sqrt(list_dot_product(c.v, c.v))) >= 0.35
     """
 
     o["sessionize"] = """
         WITH g AS (
             SELECT user_id, event_id, value, ts,
-                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
                         THEN 1
                         WHEN lag(ts) OVER
                         (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
