@@ -29,6 +29,27 @@ def test_graph_catalog_roundtrip(spark, fixture_pages, kg_dims, tmp_path):
     assert cat.read_nodes(spark).count() == nodes.count()
 
 
+def test_hot_pred_spreads_over_writers(spark, tmp_path):
+    """A skewed predicate must NOT serialize behind one writer task:
+    repartition(n, pred, subj) spreads it over many tasks, each writing
+    its own file into the pred directory (round-1 used repartition('pred')
+    → exactly one task per predicate)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    edges = spark.range(20000).select(
+        F.concat(F.lit("s"), F.col("id")).alias("subj"),
+        F.lit("ucohasCVE_ID").alias("pred"),  # one hot predicate
+        F.concat(F.lit("o"), F.col("id")).alias("obj"),
+    )
+    cat = GraphCatalog(str(tmp_path / "skewgraph"))
+    cat.write_edges(edges, n_tasks=8)
+    files = glob.glob(str(tmp_path / "skewgraph/edges/pred=ucohasCVE_ID/*.parquet"))
+    assert len(files) > 1, files
+    assert cat.latest_snapshot("edges")["rows"] == 20000
+
+
 def test_nan_to_null(spark):
     df = spark.createDataFrame(
         [(1, float("nan")), (2, 3.5)], ["id", "v"])

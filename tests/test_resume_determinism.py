@@ -14,18 +14,21 @@ class TestResume:
         root = str(tmp_path / "stages")
         pdf = pages_df(spark, fixture_pages)
 
-        calls = {"n": 0}
+        # each run stamps its output with a marker column, so "which run
+        # produced this row" is directly observable in the durable output —
+        # the single-pass rewrite runs transform once per run, so a
+        # call-count assertion can no longer distinguish skip from re-run
+        def stage_marked(marker):
+            def stage(part):
+                return extract_pages(part).withColumn("run_marker", F.lit(marker))
+            return stage
 
-        def stage(part):
-            calls["n"] += 1
-            return extract_pages(part)
-
-        out1 = run_stage_with_resume(spark, pdf, "extract", stage, root, n_groups=4)
+        out1 = run_stage_with_resume(
+            spark, pdf, "extract", stage_marked("A"), root, n_groups=4)
         # materialize NOW: the resume re-run below overwrites group dirs,
         # invalidating out1's lazy file listing
         rows1 = {(r["url"], r["text_sha256"]) for r in out1.collect()}
         n1 = len(rows1)
-        assert calls["n"] == 4
         log = LineageLog(root)
         assert log.completed_groups("extract") == {0, 1, 2, 3}
 
@@ -37,10 +40,14 @@ class TestResume:
             for r in rows:
                 f.write(json.dumps(r) + "\n")
 
-        calls["n"] = 0
-        out2 = run_stage_with_resume(spark, pdf, "extract", stage, root, n_groups=4)
-        assert calls["n"] == 2  # only the missing groups re-ran
-        rows2 = {(r["url"], r["text_sha256"]) for r in out2.collect()}
+        out2 = run_stage_with_resume(
+            spark, pdf, "extract", stage_marked("B"), root, n_groups=4)
+        marked = out2.withColumn(
+            "pg", F.pmod(F.xxhash64("url"), F.lit(4)).cast("int")).collect()
+        # completed groups kept run-1 output; only the missing groups re-ran
+        assert {r["run_marker"] for r in marked if r["pg"] < 2} == {"A"}
+        assert {r["run_marker"] for r in marked if r["pg"] >= 2} == {"B"}
+        rows2 = {(r["url"], r["text_sha256"]) for r in marked}
         assert len(rows2) == n1  # no duplicates, no losses
         assert rows2 == rows1  # texts identical across the resume boundary
 
@@ -57,6 +64,24 @@ class TestResume:
         # A7-style consistency: the partition-group set must be exactly
         # the expected increments (cpe_collection.py:117-134 analog)
         assert sorted(r["part_group"] for r in rows) == [0, 1]
+
+    def test_single_pass_job_count(self, spark, fixture_pages, tmp_path):
+        """The stage must launch a CONSTANT number of Spark jobs, not
+        O(n_groups): the round-1 per-group loop ran count+write+hash per
+        group (~3×n_groups jobs ⇒ ~n_groups rescans of a 100 TB input)."""
+        root = str(tmp_path / "stages3")
+        pdf = pages_df(spark, fixture_pages)
+        sc = spark.sparkContext
+        sc.setJobGroup("lineage-single-pass", "job-count probe")
+        try:
+            run_stage_with_resume(
+                spark, pdf, "extract", extract_pages, root, n_groups=16)
+        finally:
+            sc.setJobGroup(None, None)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup("lineage-single-pass"))
+        # write + stats read-back + final reader listing — a few jobs,
+        # regardless of group count (old impl: ≥ 3 × 16 here)
+        assert 0 < n_jobs <= 6, n_jobs
 
 
 class TestDeterminism:

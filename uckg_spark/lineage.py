@@ -72,6 +72,14 @@ def _group_col(n_groups: int):
     return F.pmod(F.xxhash64(F.col("url")), F.lit(n_groups)).cast("int")
 
 
+def _row_hash_col(columns: list[str]):
+    """60-bit per-row content hash from sha2 (stable across engines and
+    Spark versions, unlike xxhash64 whose seed is an implementation
+    detail)."""
+    joined = F.concat_ws("\x01", *[F.col(c).cast("string") for c in columns])
+    return F.conv(F.substring(F.sha2(joined, 256), 1, 15), 16, 10).cast("decimal(38,0)")
+
+
 def run_stage_with_resume(
     spark: SparkSession,
     pages: DataFrame,
@@ -83,38 +91,68 @@ def run_stage_with_resume(
 ) -> DataFrame:
     """Partition-group micro-batching with checkpointed resume (I1/I5).
 
-    ``transform(pages_group: DataFrame) -> DataFrame`` is the stage body.
-    Each group's output lands in ``<out_root>/<stage>/part_group=<g>``;
-    completed groups are skipped on re-run. Returns the unioned output of
-    all groups (reading from disk — the stage boundary is durable, like the
-    reference's per-batch mapper/ontology/Neo4j pipeline)."""
+    ``transform(pages_pending: DataFrame) -> DataFrame`` is the stage body;
+    its output must retain the ``url`` column (the partition-group key).
+    All PENDING groups run in ONE Spark job: the output is written with
+    ``partitionBy(_pg)`` + dynamic partition overwrite, so completed groups'
+    directories are untouched and a re-run is idempotent. Per-group input
+    counts come from an ``Observation`` on the scan (no second pass over the
+    input — the round-1 per-group filter loop re-read a 100 TB input
+    ``n_groups`` times); per-group output counts and a COMMUTATIVE content
+    hash (sum of per-row sha2-derived ints — order-independent without
+    materializing a ``collect_list`` on the driver) come from one read-back
+    of the just-written parquet. Returns the unioned output of all groups
+    (reading from disk — the stage boundary is durable, like the reference's
+    per-batch mapper/ontology/Neo4j pipeline,
+    /root/reference/data_collection/cve_collection.py:332-335)."""
+    from pyspark.sql import Observation
+
     run_id = run_id or uuid.uuid4().hex[:12]
     log = LineageLog(out_root)
     done = log.completed_groups(stage)
     stage_dir = os.path.join(out_root, stage)
-    grouped = pages.withColumn("_pg", _group_col(n_groups))
-    for g in range(n_groups):
-        if g in done:
-            continue
+    pending = [g for g in range(n_groups) if g not in done]
+    if pending:
         t0 = time.time()
-        part = grouped.filter(F.col("_pg") == g).drop("_pg")
-        n_in = part.count()
-        out = transform(part)
-        gdir = os.path.join(stage_dir, f"part_group={g}")
-        out.write.mode("overwrite").parquet(gdir)
-        written = spark.read.parquet(gdir)
-        n_out = written.count()
-        content_hash = (
-            written.select(
-                F.sha2(F.concat_ws("\x01", *[F.col(c).cast("string") for c in written.columns]), 256).alias("h")
-            )
-            .agg(F.sha2(F.concat_ws("", F.sort_array(F.collect_list("h"))), 256).alias("H"))
-            .collect()[0]["H"]
+        tagged = pages.withColumn("_pg", _group_col(n_groups))
+        if len(pending) < n_groups:
+            tagged = tagged.filter(F.col("_pg").isin(pending))
+        # per-group input counts, observed as rows stream through the scan
+        obs = Observation(f"lineage_{stage}_{run_id}")
+        tagged = tagged.observe(
+            obs,
+            *[F.sum(F.when(F.col("_pg") == g, 1).otherwise(0)).alias(f"in_{g}")
+              for g in pending],
         )
-        log.append({
-            "run_id": run_id, "stage": stage, "part_group": g,
-            "input_snapshot_id": "fixture-v1", "row_count_in": n_in,
-            "row_count_out": n_out, "content_sha256": content_hash,
-            "wall_ms": int((time.time() - t0) * 1000), "ts": time.time(),
-        })
-    return spark.read.parquet(os.path.join(stage_dir, "part_group=*"))
+        out = transform(tagged.drop("_pg"))
+        (
+            out.withColumn("_pg", _group_col(n_groups))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_pg")
+            .parquet(stage_dir)
+        )
+        wall_ms = int((time.time() - t0) * 1000)
+        in_counts = obs.get
+        # one read-back pass: per-group output count + commutative hash
+        written = spark.read.parquet(stage_dir).filter(F.col("_pg").isin(pending))
+        data_cols = [c for c in written.columns if c != "_pg"]
+        stats = {
+            r["_pg"]: r
+            for r in written.groupBy("_pg").agg(
+                F.count(F.lit(1)).alias("n_out"),
+                F.sum(_row_hash_col(data_cols)).alias("content_sum"),
+            ).collect()
+        }
+        ts = time.time()
+        for g in pending:
+            st = stats.get(g)
+            log.append({
+                "run_id": run_id, "stage": stage, "part_group": g,
+                "input_snapshot_id": "fixture-v1",
+                "row_count_in": int(in_counts.get(f"in_{g}") or 0),
+                "row_count_out": int(st["n_out"]) if st else 0,
+                "content_sha256": format(int(st["content_sum"]), "064x") if st else "0" * 64,
+                "wall_ms": wall_ms, "ts": ts,
+            })
+    return spark.read.parquet(stage_dir).drop("_pg")

@@ -45,36 +45,52 @@ class GraphCatalog:
         with open(self.manifest_path, "a") as f:
             f.write(json.dumps(row) + "\n")
 
-    def write_edges(self, edges: DataFrame, mode: str = "overwrite") -> str:
+    def write_edges(self, edges: DataFrame, n_tasks: int = 32,
+                    mode: str = "overwrite") -> str:
+        """Edges partitioned by pred for directory-pruned scans.
+
+        Shuffle on (pred, subj) across ``n_tasks`` — NOT ``repartition("pred")``,
+        which maps each predicate to exactly one task: a hot predicate (every
+        CVE mention emits ucohasCVE_ID) would serialize behind a single
+        writer at scale. With (pred, subj) a hot pred spreads over many
+        tasks, each writing its own file into that pred's directory.
+        Row count for the manifest is observed during the write (no second
+        scan of the output)."""
+        from pyspark.sql import Observation
+
         snap = uuid.uuid4().hex[:12]
         path = os.path.join(self.root, "edges")
+        obs = Observation(f"edges_{snap}")
         (
-            edges.repartition("pred")
-            .sortWithinPartitions("subj", "obj")
+            edges.observe(obs, F.count(F.lit(1)).alias("n"))
+            .repartition(n_tasks, "pred", "subj")
+            .sortWithinPartitions("pred", "subj", "obj")
             .write.mode(mode)
             .partitionBy("pred")
             .parquet(path)
         )
-        n = edges.sparkSession.read.parquet(path).count()
         self._append_manifest({
-            "table": "edges", "snapshot_id": snap, "rows": n,
+            "table": "edges", "snapshot_id": snap, "rows": int(obs.get["n"]),
             "ts": time.time(), "mode": mode,
         })
         return snap
 
     def write_nodes(self, nodes: DataFrame, n_buckets: int = 16,
                     mode: str = "overwrite") -> str:
+        from pyspark.sql import Observation
+
         snap = uuid.uuid4().hex[:12]
         path = os.path.join(self.root, "nodes")
+        obs = Observation(f"nodes_{snap}")
         (
-            nodes.repartition(n_buckets, "uri")
+            nodes.observe(obs, F.count(F.lit(1)).alias("n"))
+            .repartition(n_buckets, "uri")
             .sortWithinPartitions("uri")
             .write.mode(mode)
             .parquet(path)
         )
-        n = nodes.sparkSession.read.parquet(path).count()
         self._append_manifest({
-            "table": "nodes", "snapshot_id": snap, "rows": n,
+            "table": "nodes", "snapshot_id": snap, "rows": int(obs.get["n"]),
             "ts": time.time(), "mode": mode,
         })
         return snap
