@@ -358,6 +358,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pairs.select("id_a", "id_b", "cos_sim")
     q["embed_near_dup"] = q_embed_near_dup
 
+    def q_minhash_lsh_pairs(spark, sf):
+        # banded LSH candidate pairs (the 10^12-scale dedup path: join key
+        # is (band, band_signature), shuffle tracks true near-dups)
+        from uckg_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = _t(spark, sf, "documents")
+        return minhash_lsh_pairs(docs, num_hashes=N_MINHASH, bands=2, n=SHINGLE_N)
+    q["minhash_lsh_pairs"] = q_minhash_lsh_pairs
+
+    def q_simhash_duplicates(spark, sf):
+        from uckg_spark.operators.dedup import simhash_duplicates
+
+        docs = _t(spark, sf, "documents")
+        d = simhash_duplicates(docs, bits=SIMHASH_BITS)
+        return d.select(
+            "simhash",
+            F.array_join(F.col("doc_ids").cast("array<string>"), "|").alias("doc_ids"),
+            "n",
+        )
+    q["simhash_duplicates"] = q_simhash_duplicates
+
+    def q_connected_components(spark, sf):
+        # doc↔token bipartite graph (first + last token per doc) → alias
+        # clusters via iterative min-label propagation
+        from uckg_spark.operators.canonicalize import connected_components
+
+        docs = _t(spark, sf, "documents")
+        toks = F.split("text", " ")
+        edges = docs.select(
+            F.concat(F.lit("doc:"), F.col("doc_id")).alias("src"),
+            F.concat(F.lit("tok:"), F.get(toks, 0)).alias("dst"),
+        ).unionByName(docs.select(
+            F.concat(F.lit("doc:"), F.col("doc_id")).alias("src"),
+            F.concat(F.lit("tok:"), F.get(toks, F.size(toks) - 1)).alias("dst"),
+        ))
+        return connected_components(edges)
+    q["connected_components"] = q_connected_components
+
+    def q_knn_join_pandas(spark, sf):
+        # broadcast-query batch kNN (Arrow/numpy partition-local top-k)
+        from uckg_spark.operators.similarity import knn_join_pandas
+
+        emb = _t(spark, sf, "embeddings")
+        qrows = (emb.filter(F.col("vec_id").isin([1, 2, 3]))
+                 .select("vec_id", "embedding").collect())
+        queries_ = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                    for r in qrows]
+        return knn_join_pandas(emb, queries_, k=5)
+    q["knn_join_pandas"] = q_knn_join_pandas
+
+    def q_extract_features(spark, sf):
+        # multimodal plumbing: documents.text as opaque binary payloads →
+        # Arrow-batched feature extraction (decoders are deterministic
+        # stubs; the Spark machinery — schema, batching, no payload on the
+        # shuffle — is the real thing). f0_byte recovers feature[0]*255
+        # exactly (the stub maps digest byte b → b/255.0).
+        from uckg_spark.operators.multimodal import extract_features
+
+        docs = _t(spark, sf, "documents")
+        media = docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.element_at(
+                F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ).alias("kind"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+        feats = extract_features(media)
+        return feats.select(
+            "media_id", "kind", "n_bytes", "digest",
+            F.round(F.get("feature", 0) * 255).cast("int").alias("f0_byte"),
+            F.size("feature").alias("feat_dim"),
+        )
+    q["extract_features"] = q_extract_features
+
     def q_sessionize(spark, sf):
         # gap-based sessionization (30-min inactivity): classic stateful
         # windowing expressed with lag + cumulative sum
@@ -655,6 +730,89 @@ def oracle_sql() -> dict[str, str]:
         WHERE list_dot_product(a.v, c.v)
               / (sqrt(list_dot_product(a.v, a.v))
                  * sqrt(list_dot_product(c.v, c.v))) >= 0.35
+    """
+
+    o["minhash_lsh_pairs"] = f"""
+        {shingle_cte}, sig AS (
+            SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id
+        ), banded AS (
+            SELECT doc_id, 0 AS band,
+                   mh0::VARCHAR || '_' || mh1::VARCHAR AS bsig FROM sig
+            UNION ALL
+            SELECT doc_id, 1, mh2::VARCHAR || '_' || mh3::VARCHAR FROM sig
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    """
+
+    o["simhash_duplicates"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+        ), fp AS (
+            SELECT doc_id, ({bit_terms})::BIGINT AS simhash
+            FROM tok WHERE tk <> '' GROUP BY doc_id
+        )
+        SELECT simhash,
+               array_to_string(list_sort(list(doc_id)), '|') AS doc_ids,
+               count(*) AS n
+        FROM fp GROUP BY simhash HAVING count(*) > 1
+    """
+
+    o["connected_components"] = """
+        WITH RECURSIVE e AS (
+            SELECT 'doc:' || doc_id AS src,
+                   'tok:' || string_split(text, ' ')[1] AS dst FROM documents
+            UNION ALL
+            SELECT 'doc:' || doc_id,
+                   'tok:' || string_split(text, ' ')[-1] FROM documents
+        ), sym AS (
+            SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e
+        ), walk(node, lab) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+            UNION
+            SELECT s.b, w.lab FROM walk w JOIN sym s ON s.a = w.node
+        )
+        SELECT node, min(lab) AS component FROM walk GROUP BY node
+    """
+
+    o["knn_join_pandas"] = """
+        WITH q AS (
+            SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id IN (1, 2, 3)
+        ), s AS (
+            SELECT q.qid AS query_id, e.vec_id,
+                   round(list_dot_product(e.embedding::DOUBLE[], q.qv)
+                         / (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                                  e.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+            FROM embeddings e, q
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rn
+            FROM s
+        )
+        SELECT query_id, vec_id, cos_sim FROM r WHERE rn <= 5
+    """
+
+    o["extract_features"] = """
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+                   text
+            FROM documents
+        )
+        SELECT media_id, kind,
+               strlen(text)::INT AS n_bytes,
+               sha256(text) AS digest,
+               ('0x' || substr(CASE kind
+                               WHEN 'image' THEN sha256(text)
+                               WHEN 'audio' THEN sha256('audio:' || text)
+                               ELSE sha256('video:' || text) END, 1, 2))::INT
+                   AS f0_byte,
+               (CASE kind WHEN 'image' THEN 8 WHEN 'audio' THEN 4
+                ELSE 6 END) AS feat_dim
+        FROM m
     """
 
     o["sessionize"] = """

@@ -29,6 +29,30 @@ def test_graph_catalog_roundtrip(spark, fixture_pages, kg_dims, tmp_path):
     assert cat.read_nodes(spark).count() == nodes.count()
 
 
+def test_multivalued_props_survive(spark, fixture_pages, kg_dims):
+    """Multi-valued literals (e.g. multi-language ucosummary) must all land
+    in the node props array — round 1 collapsed them to min(obj)."""
+    from pyspark.sql import functions as F
+
+    from uckg_spark.kernel import templates as T
+    from uckg_spark.plans.kg_pipeline import build_triples, materialize_graph
+    from uckg_spark.sources.pages import pages_df
+
+    triples = build_triples(spark, pages_df(spark, fixture_pages), kg_dims)
+    multi = (
+        triples.filter(F.col("obj_is_literal") & (F.col("pred") == T.P_SUMMARY))
+        .groupBy("subj").agg(F.countDistinct("obj").alias("n"))
+        .filter(F.col("n") > 1)
+        .orderBy("subj").limit(1).collect()
+    )
+    assert multi, "fixture corpus must contain a multi-summary subject"
+    subj, n_vals = multi[0]["subj"], multi[0]["n"]
+    nodes, _ = materialize_graph(triples)
+    props = nodes.filter(F.col("uri") == subj).collect()[0]["props"]
+    assert len(props[T.P_SUMMARY]) == n_vals
+    assert props[T.P_SUMMARY] == sorted(props[T.P_SUMMARY])
+
+
 def test_hot_pred_spreads_over_writers(spark, tmp_path):
     """A skewed predicate must NOT serialize behind one writer task:
     repartition(n, pred, subj) spreads it over many tasks, each writing

@@ -38,6 +38,67 @@ def test_triple_set_parity(spark, fixture_pages, oracle_dicts, kg_dims):
     assert edges.count() > 0
 
 
+def test_d3fend_reaches_pipeline(spark, kg_dims, oracle_dicts):
+    """R8: a page mentioning a d3fend id emits its D3FEND record (incl. the
+    hasMITREATTACK edge) — and the oracle agrees (round-1 gap: D3FEND never
+    reached the pages pipeline)."""
+    import uckg_spark.kernel.templates as T
+
+    page = {
+        "url": "https://fixture.test/d3",
+        "warc_ts": None,
+        "html": b"<html><body><p>Apply D3-FX00 and D3-FX03 per guidance; "
+                b"ignore D3-FX99 and D3-fx00.</p></body></html>",
+        "text": "", "lang": "en",
+    }
+    got = {tuple(r) for r in build_triples(
+        spark, pages_df(spark, [page]), kg_dims).collect()}
+    _, gold = run_oracle([page])
+    assert got == {tuple(t) for t in gold}
+    d3_preds = {t[1] for t in got}
+    assert T.P_D3FEND_DEFINITION in d3_preds
+    assert T.P_D3FEND_LABEL in d3_preds
+    assert T.P_HAS_MITRE_ATTACK in d3_preds  # FX00/FX03 carry off_tech ids
+    assert T.P_D3FEND_ID_NEVER_EMITTED not in d3_preds  # the RML typo
+    assert not any("FX99" in t[0] or "FX99" in t[2] for t in got)  # unlinked
+
+
+def test_attack_rel_catalog_reaches_pipeline(spark, kg_dims, oracle_dicts):
+    """R7 extension: a page mentioning a GROUP id emits that group's typed
+    edges (group_uses_software / group_uses_technique), not just
+    mitigation→technique (round-1 gap)."""
+    import uckg_spark.kernel.templates as T
+
+    page = {
+        "url": "https://fixture.test/grp",
+        "warc_ts": None,
+        "html": b"<html><body><p>Activity attributed to G0100 observed; "
+                b"tooling includes S0500.</p></body></html>",
+        "text": "", "lang": "en",
+    }
+    got = {tuple(r) for r in build_triples(
+        spark, pages_df(spark, [page]), kg_dims).collect()}
+    _, gold = run_oracle([page])
+    assert got == {tuple(t) for t in gold}
+    preds = {t[1] for t in got}
+    assert (T.P_GROUP_USES_SOFTWARE in preds
+            or T.P_GROUP_USES_TECHNIQUE in preds), sorted(preds)
+
+
+def test_fixture_corpus_covers_new_kinds(fixture_pages, oracle_dicts):
+    """The shared 80-page corpus must exercise R8 and non-technique R7 —
+    otherwise the parity tests above pass vacuously for those rules."""
+    from uckg_spark.kernel.extract import extract_text
+    from uckg_spark.oracle.kg_oracle import page_mentions
+
+    d3, att_other = 0, 0
+    for p in fixture_pages:
+        m = page_mentions(extract_text(p["html"]), oracle_dicts)
+        d3 += len(m["d3fend"])
+        att_other += sum(1 for a in m["attack"] if not a.startswith("T"))
+    assert d3 > 0 and att_other > 0, (d3, att_other)
+
+
 def test_duplicate_pages_idempotent(spark, fixture_pages, kg_dims):
     """~2% duplicated urls (identical html) must not change the triple set
     (A1 set semantics / idempotent re-emission)."""

@@ -58,6 +58,18 @@ TECHNIQUE_NAMES = {
 CAPEC_IDS = ["CAPEC-66", "CAPEC-7", "CAPEC-112", "CAPEC-242", "CAPEC-586",
              "CAPEC-63", "CAPEC-650", "CAPEC-88", "CAPEC-115", "CAPEC-94"]
 
+# non-technique ATT&CK entity ids (id grammar per attack.mitre.org; one
+# list per kind so fixture pages can mention them directly)
+MITIGATION_IDS = [f"M{1000 + i}" for i in range(8)]
+CAMPAIGN_IDS = [f"C{10 + i:04d}" for i in range(8)]
+GROUP_IDS = [f"G{100 + i:04d}" for i in range(8)]
+SOFTWARE_IDS = [f"S{500 + i:04d}" for i in range(8)]
+TACTIC_IDS = [f"TA{40 + i:04d}" for i in range(8)]
+ATTACK_OTHER_IDS = (
+    MITIGATION_IDS + CAMPAIGN_IDS + GROUP_IDS + SOFTWARE_IDS + TACTIC_IDS
+)
+D3FEND_IDS = [f"D3-FX{i:02d}" for i in range(6)]
+
 N_CVE = 50
 HOT_CVES = ["CVE-2024-0001", "CVE-2024-0002", "CVE-2024-0003"]
 
@@ -227,11 +239,11 @@ def dict_attack() -> tuple[list[dict], list[dict]]:
     ents = []
     for kind, ids in [
         ("technique", TECHNIQUE_IDS),
-        ("mitigation", [f"M{1000 + i}" for i in range(8)]),
-        ("campaign", [f"C{10 + i:04d}" for i in range(8)]),
-        ("group", [f"G{100 + i:04d}" for i in range(8)]),
-        ("software", [f"S{500 + i:04d}" for i in range(8)]),
-        ("tactic", [f"TA{40 + i:04d}" for i in range(8)]),
+        ("mitigation", MITIGATION_IDS),
+        ("campaign", CAMPAIGN_IDS),
+        ("group", GROUP_IDS),
+        ("software", SOFTWARE_IDS),
+        ("tactic", TACTIC_IDS),
     ]:
         for j, eid in enumerate(ids):
             ents.append({
@@ -319,7 +331,7 @@ def dict_d3fend() -> list[dict]:
         rows.append({
             "@id": f"d3f:Fixture{i:02d}",
             "d3f:definition": f"Fixture defensive technique: {nm.lower()}.",
-            "d3f:d3fend-id": f"D3-FX{i:02d}",
+            "d3f:d3fend-id": D3FEND_IDS[i],
             "rdfs:label": nm,
             "off_tech_id": "" if i == 4 else TECHNIQUE_IDS[i % len(TECHNIQUE_IDS)],
         })

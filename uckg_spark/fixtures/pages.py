@@ -22,7 +22,11 @@ import random
 from . import dicts as D
 
 _DECOYS = ["CVE-123", "CWE-", "T99999", "CVE-2024-12", "cve:2.3:a:x:y",
-           "XCVE-2024-1111", "CAPEC-", "T123"]
+           "XCVE-2024-1111", "CAPEC-", "T123",
+           "D3-fx00",   # lowercase after D3- → not a d3fend id
+           "G123",      # 3 digits → not an ATT&CK group id
+           "TA99",      # tactics need 4 digits
+           "D3-FX99"]   # well-formed but out-of-dictionary d3fend id
 
 _FILLER = (
     "advisory bulletin reports a newly tracked issue affecting enterprise "
@@ -55,7 +59,7 @@ def _mentions_for_page(rng: random.Random, hot: bool) -> list[str]:
         toks.append(f"{v.capitalize()} {p.capitalize()}")
         n = max(n, 2)
     for _ in range(n):
-        kind = rng.randrange(7)
+        kind = rng.randrange(9)
         if kind == 0:
             toks.append(rng.choice(cves))
         elif kind == 1:
@@ -72,6 +76,13 @@ def _mentions_for_page(rng: random.Random, hot: bool) -> list[str]:
             # fuzzy vendor/product surface form (alias/TF-IDF path)
             row = rng.choice(alias_rows)
             toks.append(row["surface_form"])
+        elif kind == 6:
+            # non-technique ATT&CK entity ids (groups/software/campaigns/
+            # mitigations/tactics) — exercise the full R7 rel catalog
+            toks.append(rng.choice(D.ATTACK_OTHER_IDS))
+        elif kind == 7:
+            # d3fend technique ids (R8)
+            toks.append(rng.choice(D.D3FEND_IDS))
         else:
             toks.append(rng.choice(_DECOYS))
     rng.shuffle(toks)

@@ -26,7 +26,14 @@ from collections import deque
 CVE_RE = r"CVE-\d{4}-\d{4,}"
 CWE_RE = r"CWE-\d+"
 CAPEC_RE = r"CAPEC-\d+"
-ATTACK_RE = r"T\d{4}(?:\.\d{3})?"
+# ATT&CK ids cover ALL entity kinds (techniques T/sub-techniques T.x,
+# tactics TA, groups G, software S, mitigations M, campaigns C — the id
+# grammar at attack.mitre.org; parse.py:124 ingests every kind): TA before
+# T so TA0040 isn't read as a 2-char-short technique
+ATTACK_RE = r"(?:TA\d{4}|T\d{4}(?:\.\d{3})?|[GSMC]\d{4})"
+# D3FEND technique ids, e.g. D3-FAPA (d3fend_collection.py:66-89 ingests
+# d3f:d3fend-id values of this shape)
+D3FEND_RE = r"D3-[A-Z][A-Z0-9]*"
 # cpe:2.3:<part a|h|o>:vendor:product:version:update:edition:lang:sw_edition
 #   :target_sw:target_hw:other  — 11 colon-separated components after "2.3"
 CPE_RE = r"cpe:2\.3:[aho](?::[^\s:]+){10}"
@@ -36,7 +43,7 @@ CPE_RE = r"cpe:2\.3:[aho](?::[^\s:]+){10}"
 _SCAN_RE = re.compile(
     r"(?<![A-Za-z0-9.-])"
     r"(?P<id>"
-    + "|".join([CPE_RE, CVE_RE, CWE_RE, CAPEC_RE, ATTACK_RE])
+    + "|".join([CPE_RE, CVE_RE, CWE_RE, CAPEC_RE, D3FEND_RE, ATTACK_RE])
     + r")(?![A-Za-z0-9])(?!\.\d)"
 )
 
@@ -45,6 +52,7 @@ _KIND_VALIDATORS = [
     ("cve", re.compile(CVE_RE + r"\Z")),
     ("cwe", re.compile(CWE_RE + r"\Z")),
     ("capec", re.compile(CAPEC_RE + r"\Z")),
+    ("d3fend", re.compile(D3FEND_RE + r"\Z")),
     ("attack", re.compile(ATTACK_RE + r"\Z")),
 ]
 

@@ -5,10 +5,12 @@ The reference canonicalizes by Neo4j's unique-URI MERGE
 (/root/reference/process/graph_updater.py:30-45) — one node per URI. At
 10^12 docs the graft also merges *alias clusters*: surface forms and
 canonical ids form a bipartite graph whose connected components are the
-true entities. Implemented as the alternating large-star/small-star
-technique (Kiveris et al., "Connected Components in MapReduce and Beyond",
-SoCC'14) — pure DataFrame joins, driver loop to fixpoint, no GraphFrames
-dependency.
+true entities. Implemented as iterative min-label propagation — pure
+DataFrame joins, driver loop to fixpoint (bounded by graph diameter), no
+GraphFrames dependency. (The alternating large-star/small-star technique
+of Kiveris et al., SoCC'14, converges in fewer rounds on high-diameter
+graphs; alias graphs are shallow — star-shaped around canonical ids — so
+plain propagation converges in 2-3 rounds and skips the extra shuffles.)
 
 Determinism: the component representative is the lexicographic MIN node id,
 independent of partitioning and iteration order.

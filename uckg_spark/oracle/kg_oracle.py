@@ -21,10 +21,14 @@ R5  CWE(linked) mention  → full CWE record            (cwe_rml.ttl)
 R6  CAPEC(linked)        → full CAPEC record; × CVE co-mention →
                            ucoexploitsVulnerability edge (graft "exploits",
                            ontology decl uco2.ttl:45)
-R7  technique(linked)    → ATT&CK entity record; mitigation→technique
-                           relationships targeting it → ucoexMITIGATES edge
-                           + mitigation record ("mitigatedBy" realization,
-                           attack_rml.ttl:253-272)
+R7  ATT&CK id(linked)    → entity record (any kind: technique, group,
+                           software, campaign, mitigation, tactic); every
+                           catalog relationship (all 7 typed pairs,
+                           attack_rml.ttl:253-403) with a mentioned SOURCE
+                           OR TARGET → typed edge + entity records for both
+                           endpoints ("mitigatedBy" realization generalized)
+R8  d3fend id(linked)    → D3FEND record batch (d3fend_rml.ttl:21-57 incl.
+                           the _ID stray-quote typo: no _ID triples)
 Finally: F3 datetime repair + A1 global set dedup (repair_and_dedup).
 """
 
@@ -81,6 +85,7 @@ class OracleDictionaries:
         self.capec_rows = D.dict_capec()
         self.capec_by_tag = {f"CAPEC-{p['ID']}": p for p in self.capec_rows}
         self.d3fend_rows = D.dict_d3fend()
+        self.d3fend_by_did = {d["d3f:d3fend-id"]: d for d in self.d3fend_rows}
         alias = D.alias_table()
         self.alias_by_surface: dict[str, list[tuple[str, float]]] = {}
         for a in alias:
@@ -93,18 +98,15 @@ class OracleDictionaries:
         self.alias_kind = {a["canonical_id"]: a["kind"] for a in alias}
         self.idf = build_idf([a["surface_form"] for a in alias])
         self.aho = AhoCorasick([a["surface_form"] for a in alias])
-        # mitigation→technique relationship index for R7
-        self.mitigations_of: dict[str, list[str]] = {}
-        for r in self.attack_rels:
-            if (
-                r.get("source ID") is not None
-                and (r.get("source type"), r.get("target type"))
-                == ("mitigation", "technique")
-                and r["target ID"] in self.attack_by_id
-            ):
-                self.mitigations_of.setdefault(r["target ID"], []).append(
-                    r["source ID"]
-                )
+        # valid relationship rows for R7: P3 null-source drop, P5 catalog
+        # type-pair filter, J4 target-FK check (all 7 typed pairs,
+        # attack_rml.ttl:253-403)
+        self.valid_rels: list[dict] = [
+            r for r in self.attack_rels
+            if r.get("source ID") is not None
+            and (r.get("source type"), r.get("target type")) in T.ATTACK_REL_CATALOG
+            and r["target ID"] in self.attack_by_id
+        ]
 
 
 def page_mentions(text: str, dicts: OracleDictionaries) -> dict[str, set[str]]:
@@ -112,7 +114,7 @@ def page_mentions(text: str, dicts: OracleDictionaries) -> dict[str, set[str]]:
     from ..kernel.linking import tokenize
 
     out = {"cve": set(), "cwe": set(), "capec": set(), "attack": set(),
-           "cpe_found": set(), "cpe_miss": set()}
+           "d3fend": set(), "cpe_found": set(), "cpe_miss": set()}
     for kind, tok, _off in scan_ids(text):
         if kind == "cve":
             out["cve"].add(tok)
@@ -120,8 +122,10 @@ def page_mentions(text: str, dicts: OracleDictionaries) -> dict[str, set[str]]:
             out["cwe"].add(tok)
         elif kind == "capec" and tok in dicts.capec_by_tag:
             out["capec"].add(tok)
-        elif kind == "attack" and tok in dicts.technique_ids:
-            out["attack"].add(tok)
+        elif kind == "attack" and tok in dicts.attack_by_id:
+            out["attack"].add(tok)  # any entity kind (R7, full catalog)
+        elif kind == "d3fend" and tok in dicts.d3fend_by_did:
+            out["d3fend"].add(tok)
         elif kind == "cpe":
             if tok in dicts.cpe_index:
                 out["cpe_found"].add(tok)
@@ -197,15 +201,26 @@ def triples_for_page(m: dict[str, set[str]], dicts: OracleDictionaries) -> list[
     # R6 records
     for cap in sorted(m["capec"]):
         out += E.emit_capec_batch([dicts.capec_by_tag[cap]])
-    # R7
-    for tech in sorted(m["attack"]):
-        out += E.emit_attack_batch([dicts.attack_by_id[tech]], [])
-        for mit in sorted(dicts.mitigations_of.get(tech, [])):
-            subj = T.uri_ucoex(mit)
-            out.append(typ(subj, T.CL_MITIGATIONS))
-            out += uri(subj, T.P_MITIGATES, T.uri_ucoex(tech))
-            if mit in dicts.attack_by_id:
-                out += E.emit_attack_batch([dicts.attack_by_id[mit]], [])
+    # R7 — entity records for every mentioned ATT&CK id (any kind), plus
+    # every catalog relationship with a mentioned endpoint (typed edge +
+    # entity records for both endpoints)
+    for aid in sorted(m["attack"]):
+        out += E.emit_attack_batch([dicts.attack_by_id[aid]], [])
+    for r in dicts.valid_rels:
+        src, tgt = r["source ID"], r["target ID"]
+        if src not in m["attack"] and tgt not in m["attack"]:
+            continue
+        pred, subj_cls, _tgt_cls = T.ATTACK_REL_CATALOG[
+            (r["source type"], r["target type"])]
+        subj = T.uri_ucoex(src)
+        out.append(typ(subj, subj_cls))
+        out += uri(subj, pred, T.uri_ucoex(tgt))
+        for eid in (src, tgt):
+            if eid in dicts.attack_by_id:
+                out += E.emit_attack_batch([dicts.attack_by_id[eid]], [])
+    # R8 — D3FEND record batch for mentioned, in-dictionary d3fend ids
+    for did in sorted(m["d3fend"]):
+        out += E.emit_d3fend_batch([dicts.d3fend_by_did[did]])
     return out
 
 

@@ -97,13 +97,24 @@ def linked_mentions(
         )
         .select("url", "capec_id")
     )
-    tech_ids = dims.attack_ents.filter(F.col("kind") == "technique").select(
-        F.col("ID").alias("tech")
-    )
+    # any entity kind links (R7 full catalog): groups, software, campaigns,
+    # mitigations, tactics — not just techniques
+    ent_ids = dims.attack_ents.select(F.col("ID").alias("att_id"))
     m_attack = (
         mentions.filter(F.col("kind") == "attack")
-        .join(F.broadcast(tech_ids), F.col("canonical_id") == F.col("tech"), "inner")
-        .select("url", "tech")
+        .join(F.broadcast(ent_ids), F.col("canonical_id") == F.col("att_id"), "inner")
+        .select("url", "att_id")
+    )
+    # d3fend ids link through the d3fend-id column of the dictionary (R8)
+    m_d3fend = (
+        mentions.filter(F.col("kind") == "d3fend")
+        .join(
+            F.broadcast(dims.d3fend.select(
+                F.col("d3fend_id").alias("_did"), F.col("id").alias("d3_id"))),
+            F.col("canonical_id") == F.col("_did"),
+            "inner",
+        )
+        .select("url", "d3_id")
     )
     # exact CPE ids: J1 left lookup (dictionary_found flag)
     cpe_exact = (
@@ -157,12 +168,13 @@ def linked_mentions(
         "cwe": m_cwe,
         "capec": m_capec,
         "attack": m_attack,
+        "d3fend": m_d3fend,
         "cpe": m_cpe,
     }
     # each per-kind table feeds 2-5 emission branches; persisting them (they
     # are mention-sized, tiny relative to pages) lets every branch read a
     # materialized cache instead of re-driving its own broadcast exchange
-    for k in ("cve", "cwe", "capec", "attack", "cpe"):
+    for k in ("cve", "cwe", "capec", "attack", "d3fend", "cpe"):
         out[k] = out[k].persist()
     return out
 
@@ -243,33 +255,40 @@ def build_triples(
         PT.type_el(ce_vuln, T.CL_VULNERABILITY),
     ]))
 
-    # R7 — ATT&CK entity records for mentioned techniques + MITIGATES edges
-    mentioned_tech = m_attack.select(F.col("tech").alias("ID"))
+    # R7 — ATT&CK entity records for every mentioned id (any kind) + all 7
+    # typed relationship edges with a mentioned SOURCE OR TARGET, plus
+    # entity records for both endpoints of each emitted edge.
+    # mentioned_att is bounded by the ATT&CK dictionary (~thousands), so it
+    # broadcasts no matter how many pages mention it.
+    mentioned_att = m["attack"].select(F.col("att_id").alias("ID")).distinct()
     parts.append(PT.emit_attack_entities(
-        dims.attack_ents.join(mentioned_tech, "ID", "leftsemi")
+        dims.attack_ents.join(mentioned_att, "ID", "leftsemi")
     ))
-    mit_rels = (
-        dims.attack_rels.filter(
-            (F.col("source_type") == "mitigation")
-            & (F.col("target_type") == "technique")
-            & F.col("source_id").isNotNull()
-        )
-        .join(F.broadcast(dims.attack_ents.select(F.col("ID").alias("_tid"))),
-              F.col("target_id") == F.col("_tid"), "inner")  # J4 FK check
-        .join(mentioned_tech.withColumnRenamed("ID", "target_id"),
-              "target_id", "leftsemi")
-        .select("source_id", "target_id")
+    rels = dims.attack_rels
+    gated_rels = rels.join(
+        F.broadcast(mentioned_att.withColumnRenamed("ID", "source_id")),
+        "source_id", "leftsemi",
+    ).unionByName(rels.join(
+        F.broadcast(mentioned_att.withColumnRenamed("ID", "target_id")),
+        "target_id", "leftsemi",
+    ))  # a rel with both endpoints mentioned appears twice — the global
+    # A1 dedup absorbs the duplicate triples
+    parts.append(PT.emit_attack_relationships(dims.attack_ents, gated_rels))
+    valid_gated = PT.valid_attack_rels(dims.attack_ents, gated_rels)
+    endpoints = (
+        valid_gated.select(F.col("source_id").alias("ID"))
+        .unionByName(valid_gated.select(F.col("target_id").alias("ID")))
+        .distinct()
     )
-    mit_subj = F.concat(F.lit(T.EX_HASH), F.col("source_id"))
-    parts.append(PT.emit(mit_rels, [
-        PT.type_el(mit_subj, T.CL_MITIGATIONS),
-        PT.uri_el(mit_subj, T.P_MITIGATES,
-                  F.concat(F.lit(T.EX_HASH), F.col("target_id"))),
-    ]))
     parts.append(PT.emit_attack_entities(
-        dims.attack_ents.join(
-            mit_rels.select(F.col("source_id").alias("ID")).distinct(),
-            "ID", "leftsemi")
+        dims.attack_ents.join(endpoints, "ID", "leftsemi")
+    ))
+
+    # R8 — D3FEND record batch for mentioned, in-dictionary d3fend ids
+    # (incl. the _ID stray-quote typo: no _ID triples, d3fend_rml.ttl:29)
+    parts.append(PT.emit_d3fend_batch(
+        dims.d3fend.join(
+            m["d3fend"].select(F.col("d3_id").alias("id")), "id", "leftsemi")
     ))
 
     return PT.repair_and_dedup(PT._union(parts))
@@ -280,7 +299,11 @@ def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
     becomes partitioned nodes/edges tables).
 
     nodes(uri, labels, props) — labels = collect_set of rdf:type objects;
-    props = map of literal predicate→first value (deterministic min).
+    props = map of literal predicate → sorted ARRAY of values: multi-valued
+    literals (multi-language ucosummary, repeated descriptions) survive
+    intact, matching n10s array-property semantics
+    (/root/reference/neo4j/import/init.cypher:1-20). Round 1 took min(obj)
+    per predicate and silently dropped the rest.
     edges(subj, pred, obj) — URI-object triples, pred-partitionable.
     """
     edges = (
@@ -295,10 +318,10 @@ def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
     props = (
         triples.filter(F.col("obj_is_literal"))
         .groupBy("subj", "pred")
-        .agg(F.min("obj").alias("val"))
+        .agg(F.sort_array(F.collect_set("obj")).alias("vals"))
         .groupBy(F.col("subj").alias("uri"))
         .agg(F.map_from_entries(
-            F.sort_array(F.collect_list(F.struct("pred", "val")))
+            F.sort_array(F.collect_list(F.struct("pred", "vals")))
         ).alias("props"))
     )
     nodes = labels.join(props, "uri", "full").select(
@@ -306,7 +329,7 @@ def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame]:
         F.coalesce("labels", F.array().cast("array<string>")).alias("labels"),
         F.coalesce(
             "props", F.map_from_arrays(F.array().cast("array<string>"),
-                                       F.array().cast("array<string>"))
+                                       F.array().cast("array<array<string>>"))
         ).alias("props"),
     )
     return nodes, edges

@@ -354,9 +354,10 @@ def emit_attack_entities(ent_df: DataFrame) -> DataFrame:
     ])
 
 
-def emit_attack_relationships(ent_df: DataFrame, rel_df: DataFrame) -> DataFrame:
-    """7 typed relationship maps (attack_rml.ttl:253-403): P3 null-source
-    drop, P5 type-pair filter, J4 inner join validates the target FK."""
+def valid_attack_rels(ent_df: DataFrame, rel_df: DataFrame) -> DataFrame:
+    """Relationship rows that survive the RML gauntlet, annotated with
+    (pred, subj_cls): P3 null-source drop, P5 catalog type-pair filter,
+    J4 inner join validating the target FK (attack_rml.ttl:253-403)."""
     pred_map = F.create_map(*[
         F.lit(x)
         for (st, tt), (pred, _sc, _tc) in T.ATTACK_REL_CATALOG.items()
@@ -368,7 +369,7 @@ def emit_attack_relationships(ent_df: DataFrame, rel_df: DataFrame) -> DataFrame
         for x in (st + "|" + tt, subj_cls)
     ])
     pair = F.concat_ws("|", "source_type", "target_type")
-    joined = (
+    return (
         rel_df.filter(F.col("source_id").isNotNull())  # P3 (parse.py:231-234)
         .withColumn("pred", F.try_element_at(pred_map, pair))
         .withColumn("subj_cls", F.try_element_at(subj_cls_map, pair))
@@ -379,6 +380,11 @@ def emit_attack_relationships(ent_df: DataFrame, rel_df: DataFrame) -> DataFrame
             "inner",  # J4 dangling-FK drop (attack_rml.ttl:267-271)
         )
     )
+
+
+def emit_attack_relationships(ent_df: DataFrame, rel_df: DataFrame) -> DataFrame:
+    """7 typed relationship maps (attack_rml.ttl:253-403)."""
+    joined = valid_attack_rels(ent_df, rel_df)
     subj = F.concat(F.lit(T.EX_HASH), F.col("source_id"))
     obj = F.concat(F.lit(T.EX_HASH), F.col("target_id"))
     return emit(joined, [

@@ -92,7 +92,8 @@ CAPEC_SCHEMA = _schema([
 ])
 
 D3FEND_SCHEMA = _schema([
-    ("id", _S), ("definition", _S), ("label", _S), ("off_tech_id", _S),
+    ("id", _S), ("d3fend_id", _S), ("definition", _S), ("label", _S),
+    ("off_tech_id", _S),
 ])
 
 ALIAS_SCHEMA = _schema([
@@ -212,7 +213,8 @@ def dim_capec(spark: SparkSession) -> DataFrame:
 
 
 def dim_d3fend(spark: SparkSession) -> DataFrame:
-    rows = [(d["@id"], d["d3f:definition"], d["rdfs:label"], d["off_tech_id"])
+    rows = [(d["@id"], d["d3f:d3fend-id"], d["d3f:definition"],
+             d["rdfs:label"], d["off_tech_id"])
             for d in D.dict_d3fend()]
     return spark.createDataFrame(rows, D3FEND_SCHEMA)
 
