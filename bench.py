@@ -70,6 +70,16 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # production fast-hash path (xxhash64 minhash — not oracle-portable,
+    # so it's benched directly rather than through a driver query)
+    from uckg_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    minhash_signatures(docs, num_hashes=4, n=3, hasher="xxhash64") \
+        .write.format("noop").mode("overwrite").save()
+    timings["dedup_minhash_xxh"] = round(time.time() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "uckg_kg_construct_and_operators_total",

@@ -103,6 +103,67 @@ class TestSimilarity:
         assert out[0]["cos_sim"] == 1.0  # vec 3 itself tops
 
 
+class TestLshScale:
+    def test_adaptive_n_planes_grows_with_corpus(self):
+        from uckg_spark.operators.similarity import adaptive_n_planes
+
+        assert adaptive_n_planes(1000, target_bucket_rows=1024) == 4  # floor
+        assert adaptive_n_planes(1 << 20, target_bucket_rows=1024) == 10
+        assert adaptive_n_planes(1 << 30, target_bucket_rows=1024) == 20
+        assert adaptive_n_planes(1 << 60, target_bucket_rows=1024) == 24  # cap
+        # doubling the corpus adds at most one plane (bucket count doubles)
+        assert (adaptive_n_planes(2 << 20) - adaptive_n_planes(1 << 20)) <= 1
+
+    def test_bucket_cap_bounds_skewed_population(self, spark):
+        """A hot cluster (thousands of near-identical vectors) lands in ONE
+        hyperplane bucket no matter the plane count; the salt cap must
+        bound the within-bucket join anyway."""
+        from pyspark.sql import functions as F
+
+        from uckg_spark.operators.similarity import lsh_bucketed_pairs
+
+        dim = 8
+        base = [1.0, 0.5, -0.25, 0.75, -1.0, 0.3, 0.9, -0.6]
+        emb = spark.range(2000).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[F.lit(x) for x in base]).alias("embedding"),
+        )
+        pairs = lsh_bucketed_pairs(
+            emb, dim=dim, n_planes=4, threshold=0.9, max_bucket_rows=100)
+        n_pairs = pairs.count()
+        # uncapped: 2000 identical vectors → C(2000,2) ≈ 2.0M pairs.
+        # capped at 100/salt-group: ceil(2000/100)=20 groups of ~100 →
+        # ≈ 20·C(100,2) ≈ 99k. Assert well under quadratic and non-empty.
+        assert 0 < n_pairs < 300_000, n_pairs
+
+    def test_xxhash_fast_path_same_shape(self, spark):
+        """hasher='xxhash64' must find the same exact-duplicate pairs as
+        md5 (identical docs collide under any hash); fingerprints differ."""
+        from uckg_spark.operators.dedup import (
+            minhash_lsh_pairs, minhash_signatures, simhash,
+        )
+
+        docs = _docs(spark)
+        # docs 0 and 3 are byte-identical → every band collides under ANY
+        # hash function; both paths must report the pair
+        md5_pairs = {tuple(r) for r in minhash_lsh_pairs(
+            docs, num_hashes=8, bands=4).collect()}
+        xxh_pairs = {tuple(r) for r in minhash_lsh_pairs(
+            docs, num_hashes=8, bands=4, hasher="xxhash64").collect()}
+        assert (0, 3) in md5_pairs and (0, 3) in xxh_pairs
+        # signatures themselves differ (different hash family)...
+        sig_md5 = {r["doc_id"]: r["sig"] for r in
+                   minhash_signatures(docs, 4).collect()}
+        sig_xxh = {r["doc_id"]: r["sig"] for r in
+                   minhash_signatures(docs, 4, hasher="xxhash64").collect()}
+        assert sig_md5[0] != sig_xxh[0]
+        # ...but exact dups share signatures within each family
+        assert sig_xxh[0] == sig_xxh[3]
+        fps = {r["doc_id"]: r["simhash"] for r in
+               simhash(docs, hasher="xxhash64").collect()}
+        assert fps[0] == fps[3] and fps[0] != fps[2]
+
+
 class TestTextstats:
     def test_language_scores(self, spark):
         df = spark.createDataFrame(

@@ -88,21 +88,45 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 16, n: int = 3, text_col: str = "text"
+    docs: DataFrame, num_hashes: int = 16, n: int = 3, text_col: str = "text",
+    hasher: str = "md5",
 ) -> DataFrame:
     """k min-hashes per doc, expressed with higher-order functions — no
-    explode, no shuffle. One md5 yields FOUR independent 32-bit hashes
-    (digest slices), so hash j is
+    explode, no shuffle.
+
+    hasher="md5" (default, oracle-portable): one md5 yields FOUR
+    independent 32-bit hashes (digest slices), so hash j is
 
         int(md5(f"{j//4}:" + shingle)[8*(j%4) : 8*(j%4)+8], 16)
 
     — ceil(k/4) digests per shingle instead of k (measured 4× on the md5
-    budget, the stage's dominant cost)."""
-    sh = F.array_distinct(shingles(F.col(text_col), n))
+    budget, the stage's dominant cost).
+
+    hasher="xxhash64" (production fast path): hash j = xxhash64(j, shingle)
+    — a native non-cryptographic hash, ~an order of magnitude cheaper in
+    Catalyst than md5. NOT reproducible by the DuckDB oracle (xxhash64's
+    seeding is a Spark implementation detail), so correctness runs keep
+    md5; flip the flag when throughput matters.
+
+    The shingle array is MATERIALIZED in its own projection before the k
+    min-hash expressions: each expression references it, and Catalyst's
+    CollapseProject keeps a multiply-referenced non-trivial alias as a
+    projection boundary — inlining it (round-1 shape) re-tokenized and
+    re-shingled every row once PER HASH FAMILY (measured 3.3× on this
+    stage at sf0.1)."""
+    pre = docs.select(
+        "doc_id", F.array_distinct(shingles(F.col(text_col), n)).alias("_sh")
+    )
+    sh = F.col("_sh")
 
     def min_hash_j(j: int) -> Column:
         # NB: unary lambdas only — pyspark treats a 2-arg transform lambda
         # as (element, index)
+        if hasher == "xxhash64":
+            salt = j
+            return F.array_min(F.transform(
+                sh, lambda s: F.xxhash64(F.lit(salt), s)
+            ))
         prefix = f"{j // 4}:"
         off = 8 * (j % 4) + 1
         return F.array_min(F.transform(
@@ -113,7 +137,7 @@ def minhash_signatures(
         ))
 
     sig = F.array(*[min_hash_j(j) for j in range(num_hashes)])
-    return docs.select("doc_id", sig.alias("sig"))
+    return pre.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -122,6 +146,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     n: int = 3,
     text_col: str = "text",
+    hasher: str = "md5",
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on all rows of ≥1 band.
 
@@ -130,7 +155,7 @@ def minhash_lsh_pairs(
     not |docs|². Returns distinct (doc_a, doc_b), doc_a < doc_b.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n, text_col)
+    sigs = minhash_signatures(docs, num_hashes, n, text_col, hasher)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -161,15 +186,26 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
+            hasher: str = "md5") -> DataFrame:
     """bits-bit SimHash over whitespace tokens (token hash = h32).
 
     bit b of the fingerprint = 1 iff sum over tokens of
     (±1 by bit b of h32(token)) > 0. Pure column algebra (aggregate over
     the token array) — portable to the SQL oracle via unnest + sum.
+    hasher="xxhash64" swaps the token hash for the native fast hash
+    (different fingerprints, same statistical behavior; not
+    oracle-portable).
     """
-    # hash each token ONCE; the 16 bit sums then work over plain bigints
-    hashes = F.transform(tokens(F.col(text_col)), lambda t: h32(t))
+    # hash each token ONCE, MATERIALIZED in its own projection — the bit
+    # sums reference the array `bits` times, and inlining (round-1 shape)
+    # re-tokenized + re-hashed every row once per bit
+    if hasher == "xxhash64":
+        hash_expr = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    else:
+        hash_expr = F.transform(tokens(F.col(text_col)), lambda t: h32(t))
+    pre = docs.select("doc_id", hash_expr.alias("_th"))
+    hashes = F.col("_th")
 
     def bit_sum(b: int) -> Column:
         shift = b  # bind per-bit shift outside the binary merge lambda
@@ -185,7 +221,7 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFram
     for b in range(bits):
         term = F.when(bit_sum(b) > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         fp = term if fp is None else fp + term
-    return docs.select("doc_id", fp.alias("simhash"))
+    return pre.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_duplicates(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:

@@ -85,22 +85,68 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
     return sig
 
 
+def adaptive_n_planes(n_rows: int, target_bucket_rows: int = 1024,
+                      lo: int = 4, hi: int = 24) -> int:
+    """Plane count that keeps the EXPECTED bucket population near
+    ``target_bucket_rows``: 2^n_planes buckets ≈ n_rows / target. A fixed
+    plane count re-quadratizes the within-bucket join as the corpus grows
+    (bucket size ∝ N); growing planes with log2(N) keeps the within-bucket
+    pair count ≈ N · target — linear in corpus size. Each extra plane
+    costs recall for pairs near the threshold (disagreeing-hyperplane
+    probability θ/π per plane); cap at ``hi`` and compensate with multiple
+    tables if recall matters more than shuffle."""
+    import math
+
+    if n_rows <= target_bucket_rows:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket_rows))))
+
+
 def lsh_bucketed_pairs(
     embeddings: DataFrame,
     dim: int,
-    n_planes: int = 8,
+    n_planes: int | None = 8,
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Near-neighbor pairs within hyperplane-LSH buckets, verified by exact
-    cosine. Shuffle keys on the bucket id (2^n_planes buckets); n_planes
-    tunes the recall/shuffle trade."""
+    cosine. Shuffle keys on the bucket id (2^n_planes buckets).
+
+    n_planes=None derives the plane count from the corpus size
+    (adaptive_n_planes — one count() job), so the within-bucket join stays
+    linear as the corpus grows. ``max_bucket_rows`` additionally SALTS any
+    bucket that still exceeds the cap (skewed data — many near-identical
+    vectors — defeats any plane count): rows in an oversized bucket are
+    split into ceil(size/cap) deterministic salt groups and pairs only form
+    within a salt group. That bounds the worst-case join fan-out at the
+    cost of recall ACROSS salt groups of the same bucket — acceptable for
+    near-dup removal (a dup cluster survives as several smaller clusters;
+    downstream connected_components re-merges them via shared survivors is
+    NOT guaranteed — document the trade when enabling)."""
+    if n_planes is None:
+        n_planes = adaptive_n_planes(embeddings.count())
     vec_d = F.col(vec_col).cast("array<double>")
     sigs = embeddings.select(
         F.col(id_col), vec_d.alias("v"),
         hyperplane_signature(vec_d, dim, n_planes).alias("bucket"),
     )
+    if max_bucket_rows is not None:
+        sizes = sigs.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+        n_salts = F.ceil(F.col("_bn") / max_bucket_rows).cast("bigint")
+        sigs = (
+            sigs.join(F.broadcast(sizes), "bucket")  # ≤ 2^n_planes rows
+            .withColumn(
+                "bucket",
+                F.concat_ws(
+                    "_",
+                    F.col("bucket"),
+                    F.pmod(F.xxhash64(F.col(id_col)), F.greatest(n_salts, F.lit(1))),
+                ),
+            )
+            .drop("_bn")
+        )
     a, b = sigs.alias("a"), sigs.alias("b")
     return (
         a.join(

@@ -30,14 +30,24 @@ def _stopword_hits(text_col: Column, words: list[str]) -> Column:
 
 def language_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-language stopword-hit ratios + argmax guess (ties → language
-    name ascending, deterministic)."""
+    name ascending, deterministic).
+
+    lower(text) and the token count are materialized once — inlining them
+    repeats the lowercase pass and the tokenization once per language."""
     t = F.col(text_col)
-    ntok = F.size(tokens(t))
+    pre = docs.select(
+        "doc_id",
+        F.lower(t).alias("_lt"),
+        F.size(tokens(t)).alias("_ntok"),
+    )
     cols = {
-        lang: (_stopword_hits(t, words) / F.greatest(ntok, F.lit(1))).alias(f"score_{lang}")
+        lang: (
+            F.regexp_count(F.col("_lt"), F.lit(r"\b(" + "|".join(words) + r")\b"))
+            / F.greatest(F.col("_ntok"), F.lit(1))
+        ).alias(f"score_{lang}")
         for lang, words in sorted(STOPWORDS.items())
     }
-    scored = docs.select("doc_id", *cols.values())
+    scored = pre.select("doc_id", *cols.values())
     pairs = F.array(*[
         F.struct((-F.col(f"score_{lang}")).alias("neg"), F.lit(lang).alias("lang"))
         for lang in sorted(STOPWORDS)

@@ -2,7 +2,7 @@
 canonicalize → triples → nodes/edges.
 
 Spark mapping of the reference lifecycle (SURVEY.md §3 "graft lifecycle"),
-mention→triple rules R1–R7 defined in oracle/kg_oracle.py (the oracle is
+mention→triple rules R1–R8 defined in oracle/kg_oracle.py (the oracle is
 the parity target; tests assert set equality on fixtures).
 
 Scale design (10^12 docs, BASELINE.json north_rule):
