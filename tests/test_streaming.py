@@ -36,6 +36,34 @@ def test_stream_equals_batch(spark, fixture_pages, tmp_path):
     assert again == stream_rows
 
 
+def test_stateful_first_seen_across_batches(spark, fixture_pages, tmp_path):
+    """applyInPandasWithState: each url emitted exactly once even when the
+    input spans several micro-batches AND a later run re-delivers the same
+    urls (state survives in the checkpoint)."""
+    from uckg_spark.streaming.pages_stream import run_first_seen_once
+
+    in_path = str(tmp_path / "fs_in")
+    out_path = str(tmp_path / "fs_out")
+    ckpt = str(tmp_path / "fs_ckpt")
+    pdf = pages_df(spark, fixture_pages)
+    # many small files → availableNow with maxFilesPerTrigger=2 runs
+    # multiple micro-batches
+    pdf.repartition(8).write.mode("overwrite").parquet(in_path)
+
+    run_first_seen_once(spark, in_path, out_path, ckpt, max_files=2)
+    out = spark.read.parquet(out_path).collect()
+    urls = [r["url"] for r in out]
+    distinct_in = {p["url"] for p in fixture_pages}
+    assert sorted(urls) == sorted(set(urls))  # exactly once per url
+    assert set(urls) == distinct_in
+
+    # re-deliver the same pages as NEW files: state must suppress them all
+    pdf.repartition(3).write.mode("append").parquet(in_path)
+    run_first_seen_once(spark, in_path, out_path, ckpt, max_files=2)
+    out2 = spark.read.parquet(out_path).collect()
+    assert sorted(r["url"] for r in out2) == sorted(urls)
+
+
 def test_windowed_mention_rate(spark, fixture_pages, tmp_path):
     from uckg_spark.streaming.pages_stream import mention_rate
 

@@ -104,7 +104,16 @@ def orchestrate() -> None:
     eff = t_hi / (ratio * t_lo)
     summary = {
         "n_pages": N_PAGES,
+        "page_html_bytes_avg": 10931,
         "cores_pair": [lo, hi],
+        "protocol": (
+            "same job (pages->triples, plans/kg_pipeline.py), same on-disk "
+            "parquet corpus, warm-up run excluded, caches cleared between "
+            "reps, best-of-reps; N->4N strong-scaling proxy chosen inside "
+            "the 16-physical-core budget (32 logical CPUs are 16 cores x "
+            "SMT: a pure CPU-burn scales only ~21x from 1->32 procs, "
+            "capping any 8->32 comparison near 0.65 by hardware)"
+        ),
         f"local{lo}": results[lo],
         f"local{hi}": results[hi],
         f"speedup_{lo}_to_{hi}": round(t_hi / t_lo, 3),

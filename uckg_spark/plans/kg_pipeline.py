@@ -70,6 +70,14 @@ def linked_mentions(
     if mention_partitions:
         mentions = mentions.repartition(mention_partitions)
     mentions = mentions.persist()
+    # materialize the cache NOW (one scan — the same scan any first action
+    # would run). Downstream, AQE materializes the R7/R8 broadcast query
+    # stages CONCURRENTLY and independently; if the mention cache is still
+    # lazy at that point, each racing stage recomputes the full
+    # extract+scan kernel for partitions whose cache block isn't populated
+    # yet — measured as a ~2× wall regression at 8 cores (and worse with
+    # more cores: more concurrent stages, more duplicated scans).
+    mentions.count()
 
     m_cve = mentions.filter(F.col("kind") == "cve").select(
         "url", F.col("canonical_id").alias("cve")

@@ -48,6 +48,66 @@ def mention_rate(pages_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_first_seen(pages_stream: DataFrame) -> DataFrame:
+    """Cross-micro-batch stateful URL dedup via ``applyInPandasWithState``:
+    emit each url exactly ONCE (with its earliest warc_ts), no matter how
+    many micro-batches or re-crawls deliver it. This is the streaming twin
+    of the batch A1/I2 idempotency contract (content-hash skip,
+    /root/reference/process/shared_functions.py:58-64) — and the one
+    mention-pipeline op a per-trigger batch query cannot express, because
+    the "seen" set must persist across triggers in the state store.
+
+    State is one boolean per url group; keys partition across executors, so
+    state size is |distinct urls| / parallelism per task — at 10^12 docs
+    use RocksDB state store (config, not code) and drop state with a TTL
+    timeout if the crawl horizon is bounded."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            return iter([])  # url already emitted in an earlier batch
+        first_ts = None
+        for pdf in pdfs:
+            ts = pdf["warc_ts"].min()
+            if first_ts is None or ts < first_ts:
+                first_ts = ts
+        state.update((True,))
+        yield pd.DataFrame({"url": [key[0]], "first_ts": [first_ts]})
+
+    return (
+        pages_stream.select("url", "warc_ts")
+        .groupBy("url")
+        .applyInPandasWithState(
+            fn,
+            outputStructType="url string, first_ts timestamp",
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_first_seen_once(
+    spark: SparkSession, in_path: str, out_path: str, checkpoint: str,
+    max_files: int = 2,
+) -> None:
+    """Drain available input through the stateful first-seen operator into
+    a parquet sink (availableNow + small maxFilesPerTrigger forces several
+    micro-batches, so the test actually crosses trigger boundaries)."""
+    stream = read_pages_stream(spark, in_path, max_files=max_files)
+    q = (
+        streaming_first_seen(stream)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_once(
     spark: SparkSession,
     in_path: str,
