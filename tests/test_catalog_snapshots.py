@@ -1,0 +1,111 @@
+"""Iceberg-style snapshot semantics of GraphCatalog: immutable snapshot
+dirs, atomic head commit, time travel, append vs overwrite, optimistic
+concurrency, snapshot expiry, orphan invisibility.
+
+Reference analog: the pipeline's durable state lives behind snapshot
+pointers the way the reference's SQLite/Neo4j stores sit behind
+transactional commits (/root/reference/data_collection/cve_collection.py:
+332-335); here the contract is realized on plain parquet."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from uckg_spark.sources.catalog import CommitConflictError, GraphCatalog
+
+
+def _edges(spark, n, tag):
+    return spark.range(n).select(
+        F.concat(F.lit(f"{tag}-s"), F.col("id")).alias("subj"),
+        F.lit("ucohasCVE_ID").alias("pred"),
+        F.concat(F.lit("o"), F.col("id")).alias("obj"),
+    )
+
+
+def test_time_travel_and_overwrite(spark, tmp_path):
+    cat = GraphCatalog(str(tmp_path / "g"))
+    s1 = cat.write_edges(_edges(spark, 5, "v1"), n_tasks=2)
+    s2 = cat.write_edges(_edges(spark, 8, "v2"), n_tasks=2)
+    assert cat.latest_snapshot("edges")["snapshot_id"] == s2
+    assert cat.read_edges(spark).count() == 8
+    # time travel to the superseded snapshot still sees the old rows
+    old = cat.read_edges(spark, snapshot_id=s1)
+    assert old.count() == 5
+    assert {r["subj"] for r in old.collect()} == {f"v1-s{i}" for i in range(5)}
+    # snapshot log keeps both, head names the parent chain
+    assert [r["snapshot_id"] for r in cat.snapshots("edges")] == [s1, s2]
+    assert cat.snapshot("edges", s2)["parent_id"] == s1
+
+
+def test_append_snapshot_unions_parent(spark, tmp_path):
+    cat = GraphCatalog(str(tmp_path / "g"))
+    cat.write_edges(_edges(spark, 4, "a"), n_tasks=2)
+    s2 = cat.write_edges(_edges(spark, 3, "b"), n_tasks=2, mode="append")
+    assert cat.latest_snapshot("edges")["rows"] == 7
+    got = cat.read_edges(spark)
+    assert got.count() == 7
+    # partition pruning still works across multiple snapshot dirs
+    assert cat.read_edges(spark, pred="ucohasCVE_ID").count() == 7
+    assert cat.snapshot("edges", s2)["rows_written"] == 3
+
+
+def test_orphan_dir_invisible_and_expired(spark, tmp_path):
+    """A writer that dies after writing data but before commit leaves an
+    orphan dir no reader sees; expire_snapshots removes it."""
+    cat = GraphCatalog(str(tmp_path / "g"))
+    s1 = cat.write_edges(_edges(spark, 5, "v1"), n_tasks=2)
+    # simulate a crashed writer: data on disk, never committed
+    orphan = tmp_path / "g" / "edges" / "snap-deadbeefcafe"
+    _edges(spark, 99, "crash").write.parquet(str(orphan))
+    assert cat.read_edges(spark).count() == 5  # head unaffected
+    assert cat.latest_snapshot("edges")["snapshot_id"] == s1
+    removed = cat.expire_snapshots("edges", keep_last=1)
+    assert os.path.join("edges", "snap-deadbeefcafe") in removed
+    assert cat.read_edges(spark).count() == 5  # head survives expiry
+
+
+def test_expire_keeps_head_drops_old(spark, tmp_path):
+    cat = GraphCatalog(str(tmp_path / "g"))
+    s1 = cat.write_edges(_edges(spark, 5, "v1"), n_tasks=2)
+    s2 = cat.write_edges(_edges(spark, 8, "v2"), n_tasks=2)
+    removed = cat.expire_snapshots("edges", keep_last=1)
+    assert removed == [os.path.join("edges", f"snap-{s1}")]
+    assert cat.read_edges(spark).count() == 8
+    with pytest.raises(FileNotFoundError):
+        cat.read_edges(spark, snapshot_id=s1)
+    # append-retained dirs are never expired while the head references them
+    s3 = cat.write_edges(_edges(spark, 2, "v3"), n_tasks=2, mode="append")
+    removed = cat.expire_snapshots("edges", keep_last=1)
+    assert removed == []  # s2's dir is part of s3's file set
+    assert cat.read_edges(spark, snapshot_id=s3).count() == 10
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    """Optimistic concurrency: a commit based on a stale parent must fail
+    instead of clobbering the interleaved writer's snapshot."""
+    cat = GraphCatalog(str(tmp_path / "g"))
+    s1 = cat.write_edges(_edges(spark, 3, "v1"), n_tasks=2)
+    with pytest.raises(CommitConflictError):
+        cat._commit("edges", {
+            "table": "edges", "snapshot_id": "stalecommit00",
+            "parent_id": None, "rows": 0, "rows_written": 0,
+            "dirs": [], "ts": 0.0, "mode": "overwrite",
+        }, expected_parent=None)  # based on empty table, but head is s1
+    assert cat.latest_snapshot("edges")["snapshot_id"] == s1
+
+
+def test_read_before_any_commit_raises(spark, tmp_path):
+    cat = GraphCatalog(str(tmp_path / "g"))
+    with pytest.raises(FileNotFoundError):
+        cat.read_edges(spark)
+
+
+def test_nodes_snapshot_roundtrip(spark, tmp_path):
+    cat = GraphCatalog(str(tmp_path / "g"))
+    n1 = spark.range(4).select(F.concat(F.lit("u"), F.col("id")).alias("uri"))
+    n2 = spark.range(6).select(F.concat(F.lit("w"), F.col("id")).alias("uri"))
+    s1 = cat.write_nodes(n1, n_buckets=2)
+    cat.write_nodes(n2, n_buckets=2)
+    assert cat.read_nodes(spark).count() == 6
+    assert cat.read_nodes(spark, snapshot_id=s1).count() == 4

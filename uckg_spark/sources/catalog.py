@@ -1,28 +1,53 @@
-"""Graph-table catalog: partitioned nodes/edges writers + manifest.
+"""Graph-table catalog: snapshot-versioned partitioned nodes/edges tables.
 
 S9/S10 analog (SURVEY.md §2.1): the reference streams Turtle into Neo4j via
 n10s (/root/reference/process/graph_updater.py:13-28); the graft's
-deliverable is partitioned columnar tables:
+deliverable is partitioned columnar tables with Iceberg-style snapshot
+semantics on plain parquet:
+
+- **Immutable snapshot dirs.** Every write lands in a fresh
+  ``<table>/snap-<id>/`` directory; committed data files are never mutated.
+  A writer that dies mid-write leaves an orphan directory that no reader
+  ever sees (readers resolve data through the committed metadata only).
+- **Atomic commit.** A snapshot becomes visible by swapping the head
+  pointer (``_head.json``) via write-temp + ``os.replace`` — atomic on
+  POSIX — under a file lock. This is the single-node analog of an Iceberg
+  catalog's atomic metadata-pointer CAS.
+- **Optimistic concurrency.** Each commit names the parent snapshot it was
+  based on; if the head moved in the meantime the commit raises
+  ``CommitConflictError`` instead of silently clobbering a concurrent
+  writer (Iceberg's validate-then-swap loop).
+- **Time travel.** ``read_edges(..., snapshot_id=...)`` reads any retained
+  snapshot; ``expire_snapshots`` garbage-collects unreferenced data dirs
+  (and orphans from crashed writers).
+- **Append + overwrite snapshots.** An append snapshot's file set is the
+  parent's dirs plus the new dir; an overwrite snapshot replaces the set.
+
+Layout choices for the KG access paths:
 
 - ``edges`` partitioned by ``pred`` — predicate-sliced scans (the dominant
-  KG access path: "all hasVulnerability edges") prune at the directory
-  level; within a partition, files are sorted by subj for locality.
+  access: "all hasVulnerability edges") prune at the directory level;
+  within a partition, files are sorted by subj for locality.
 - ``nodes`` bucketed-by-hash(uri) layout via repartition(uri) so node
   lookups and node-edge joins co-locate.
-
-Each write appends a manifest row (snapshot id, row counts) — the Iceberg
-snapshot contract on plain parquet (SURVEY.md §7.0 shim).
 """
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
+import shutil
 import time
 import uuid
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class CommitConflictError(RuntimeError):
+    """Head moved between write start and commit (concurrent writer won)."""
 
 
 class GraphCatalog:
@@ -30,20 +55,93 @@ class GraphCatalog:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self.manifest_path = os.path.join(root, "_manifest.jsonl")
+        self._head_path = os.path.join(root, "_head.json")
+        self._lock_path = os.path.join(root, "_commit.lock")
 
-    def snapshots(self) -> list[dict]:
+    # ---- metadata ------------------------------------------------------
+
+    def snapshots(self, table: str | None = None) -> list[dict]:
+        """All committed snapshots, oldest first (the snapshot log)."""
         if not os.path.exists(self.manifest_path):
             return []
         with open(self.manifest_path) as f:
-            return [json.loads(line) for line in f if line.strip()]
+            rows = [json.loads(line) for line in f if line.strip()]
+        if table is not None:
+            rows = [r for r in rows if r["table"] == table]
+        return rows
+
+    def snapshot(self, table: str, snapshot_id: str) -> dict:
+        for r in self.snapshots(table):
+            if r["snapshot_id"] == snapshot_id:
+                return r
+        raise KeyError(f"no snapshot {snapshot_id!r} for table {table!r}")
+
+    def _head(self) -> dict:
+        if not os.path.exists(self._head_path):
+            return {}
+        with open(self._head_path) as f:
+            return json.load(f)
 
     def latest_snapshot(self, table: str) -> dict | None:
-        rows = [s for s in self.snapshots() if s["table"] == table]
-        return rows[-1] if rows else None
+        head = self._head().get(table)
+        return self.snapshot(table, head) if head else None
 
-    def _append_manifest(self, row: dict) -> None:
-        with open(self.manifest_path, "a") as f:
-            f.write(json.dumps(row) + "\n")
+    @contextmanager
+    def _commit_lock(self):
+        with open(self._lock_path, "a") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
+
+    def _commit(self, table: str, row: dict, expected_parent: str | None) -> None:
+        """Validate-then-swap: append the manifest row and advance the head
+        pointer atomically, failing if a concurrent commit moved the head."""
+        with self._commit_lock():
+            head = self._head()
+            if head.get(table) != expected_parent:
+                raise CommitConflictError(
+                    f"{table}: head is {head.get(table)!r}, "
+                    f"commit expected parent {expected_parent!r}"
+                )
+            with open(self.manifest_path, "a") as f:
+                f.write(json.dumps(row) + "\n")
+                f.flush()
+                os.fsync(f.fileno())
+            head[table] = row["snapshot_id"]
+            tmp = self._head_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(head, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self._head_path)  # atomic pointer swap
+
+    # ---- writes --------------------------------------------------------
+
+    def _write_snapshot(self, table: str, writer, mode: str) -> str:
+        """Write a fresh immutable ``snap-<id>`` dir, then commit it as the
+        new head. ``writer(path) -> rows_written`` runs the Spark job; the
+        commit happens only after the data is fully on disk, so a crashed
+        writer leaves an invisible orphan dir, never a half-visible table."""
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+        parent = self.latest_snapshot(table)
+        snap = uuid.uuid4().hex[:12]
+        rel_dir = os.path.join(table, f"snap-{snap}")
+        rows_written = int(writer(os.path.join(self.root, rel_dir)))
+        dirs = [rel_dir]
+        total = rows_written
+        if mode == "append" and parent is not None:
+            dirs = parent["dirs"] + dirs
+            total += parent["rows"]
+        self._commit(table, {
+            "table": table, "snapshot_id": snap,
+            "parent_id": parent["snapshot_id"] if parent else None,
+            "rows": total, "rows_written": rows_written,
+            "dirs": dirs, "ts": time.time(), "mode": mode,
+        }, expected_parent=parent["snapshot_id"] if parent else None)
+        return snap
 
     def write_edges(self, edges: DataFrame, n_tasks: int = 32,
                     mode: str = "overwrite") -> str:
@@ -58,49 +156,95 @@ class GraphCatalog:
         scan of the output)."""
         from pyspark.sql import Observation
 
-        snap = uuid.uuid4().hex[:12]
-        path = os.path.join(self.root, "edges")
-        obs = Observation(f"edges_{snap}")
-        (
-            edges.observe(obs, F.count(F.lit(1)).alias("n"))
-            .repartition(n_tasks, "pred", "subj")
-            .sortWithinPartitions("pred", "subj", "obj")
-            .write.mode(mode)
-            .partitionBy("pred")
-            .parquet(path)
-        )
-        self._append_manifest({
-            "table": "edges", "snapshot_id": snap, "rows": int(obs.get["n"]),
-            "ts": time.time(), "mode": mode,
-        })
-        return snap
+        def write(path: str) -> int:
+            obs = Observation(f"edges_{uuid.uuid4().hex[:8]}")
+            (
+                edges.observe(obs, F.count(F.lit(1)).alias("n"))
+                .repartition(n_tasks, "pred", "subj")
+                .sortWithinPartitions("pred", "subj", "obj")
+                .write.mode("overwrite")
+                .partitionBy("pred")
+                .parquet(path)
+            )
+            return int(obs.get["n"])
+
+        return self._write_snapshot("edges", write, mode)
 
     def write_nodes(self, nodes: DataFrame, n_buckets: int = 16,
                     mode: str = "overwrite") -> str:
         from pyspark.sql import Observation
 
-        snap = uuid.uuid4().hex[:12]
-        path = os.path.join(self.root, "nodes")
-        obs = Observation(f"nodes_{snap}")
-        (
-            nodes.observe(obs, F.count(F.lit(1)).alias("n"))
-            .repartition(n_buckets, "uri")
-            .sortWithinPartitions("uri")
-            .write.mode(mode)
-            .parquet(path)
-        )
-        self._append_manifest({
-            "table": "nodes", "snapshot_id": snap, "rows": int(obs.get["n"]),
-            "ts": time.time(), "mode": mode,
-        })
-        return snap
+        def write(path: str) -> int:
+            obs = Observation(f"nodes_{uuid.uuid4().hex[:8]}")
+            (
+                nodes.observe(obs, F.count(F.lit(1)).alias("n"))
+                .repartition(n_buckets, "uri")
+                .sortWithinPartitions("uri")
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            return int(obs.get["n"])
 
-    def read_edges(self, spark: SparkSession, pred: str | None = None) -> DataFrame:
-        df = spark.read.parquet(os.path.join(self.root, "edges"))
+        return self._write_snapshot("nodes", write, mode)
+
+    # ---- reads ---------------------------------------------------------
+
+    def _resolve_dirs(self, table: str, snapshot_id: str | None) -> list[str]:
+        snap = (self.snapshot(table, snapshot_id) if snapshot_id
+                else self.latest_snapshot(table))
+        if snap is None:
+            raise FileNotFoundError(f"table {table!r} has no committed snapshot")
+        dirs = [os.path.join(self.root, d) for d in snap["dirs"]]
+        missing = [d for d in dirs if not os.path.isdir(d)]
+        if missing:
+            raise FileNotFoundError(
+                f"snapshot {snap['snapshot_id']} of {table!r} was expired; "
+                f"missing data dirs: {missing}")
+        return dirs
+
+    def read_edges(self, spark: SparkSession, pred: str | None = None,
+                   snapshot_id: str | None = None) -> DataFrame:
+        # one partition-discovered read per snapshot dir (each dir is its own
+        # partitioned-table root; a single multi-path read would try to infer
+        # one partition scheme across roots and fail), unioned lazily —
+        # Catalyst still prunes pred directories inside every branch.
+        dirs = self._resolve_dirs("edges", snapshot_id)
+        df = spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            df = df.unionByName(spark.read.parquet(d))
         if pred is not None:
             # partition filter → directory pruning, no data read for other preds
             df = df.filter(F.col("pred") == pred)
         return df
 
-    def read_nodes(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(os.path.join(self.root, "nodes"))
+    def read_nodes(self, spark: SparkSession,
+                   snapshot_id: str | None = None) -> DataFrame:
+        dirs = self._resolve_dirs("nodes", snapshot_id)
+        df = spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            df = df.unionByName(spark.read.parquet(d))
+        return df
+
+    # ---- maintenance ---------------------------------------------------
+
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
+        """Drop data dirs referenced only by snapshots older than the last
+        ``keep_last``, plus orphan dirs from crashed (uncommitted) writers.
+        The head snapshot is always retained. Returns removed dir names."""
+        snaps = self.snapshots(table)
+        head = self._head().get(table)
+        keep_rows = snaps[-keep_last:] if keep_last > 0 else []
+        keep_ids = {r["snapshot_id"] for r in keep_rows} | ({head} if head else set())
+        live_dirs: set[str] = set()
+        for r in snaps:
+            if r["snapshot_id"] in keep_ids:
+                live_dirs.update(r["dirs"])
+        table_root = os.path.join(self.root, table)
+        removed: list[str] = []
+        if os.path.isdir(table_root):
+            for name in sorted(os.listdir(table_root)):
+                rel = os.path.join(table, name)
+                if name.startswith("snap-") and rel not in live_dirs:
+                    shutil.rmtree(os.path.join(table_root, name))
+                    removed.append(rel)
+        return removed
