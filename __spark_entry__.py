@@ -488,6 +488,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fingerprints(_t(spark, sf, "documents"))
     q["fingerprint"] = q_fingerprint
 
+    def q_streaming_first_seen(spark, sf):
+        """Stateful Structured Streaming dedup (applyInPandasWithState,
+        SURVEY.md §2.10 I2's streaming twin): drain the events table as a
+        bounded stream (availableNow) and emit each user_id exactly once
+        across micro-batches. The emitted SET is batch-slicing-independent,
+        so the DuckDB oracle is exactly SELECT DISTINCT user_id."""
+        import shutil
+        import tempfile
+
+        from uckg_spark.streaming.pages_stream import streaming_first_seen_keys
+
+        src = os.path.join(sf, "events.parquet")
+        schema = spark.read.parquet(src).schema
+        work = tempfile.mkdtemp(prefix="uckg_stream_q_")
+        # FileStreamSource sources a DIRECTORY; the sf tables are single
+        # parquet files, so stage the file into a stream-source dir
+        src_dir = os.path.join(work, "src")
+        os.makedirs(src_dir)
+        shutil.copy(src, os.path.join(src_dir, "events.parquet"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+        q_ = (
+            streaming_first_seen_keys(stream, "user_id", "bigint")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+        result = spark.read.parquet(out).select("user_id")
+        # materialize before the temp dir is reclaimed
+        result = spark.createDataFrame(result.collect(), schema=result.schema)
+        shutil.rmtree(work, ignore_errors=True)
+        return result
+    q["streaming_first_seen"] = q_streaming_first_seen
+
     return q
 
 
@@ -900,6 +941,10 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, (sum(term) % {FP_MOD})::BIGINT AS fingerprint
         FROM tok GROUP BY doc_id
+    """
+
+    o["streaming_first_seen"] = """
+        SELECT DISTINCT user_id FROM events
     """
 
     return o

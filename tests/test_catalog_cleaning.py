@@ -68,8 +68,9 @@ def test_hot_pred_spreads_over_writers(spark, tmp_path):
         F.concat(F.lit("o"), F.col("id")).alias("obj"),
     )
     cat = GraphCatalog(str(tmp_path / "skewgraph"))
-    cat.write_edges(edges, n_tasks=8)
-    files = glob.glob(str(tmp_path / "skewgraph/edges/pred=ucohasCVE_ID/*.parquet"))
+    snap = cat.write_edges(edges, n_tasks=8)
+    files = glob.glob(str(
+        tmp_path / f"skewgraph/edges/snap-{snap}/pred=ucohasCVE_ID/*.parquet"))
     assert len(files) > 1, files
     assert cat.latest_snapshot("edges")["rows"] == 20000
 

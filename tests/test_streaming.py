@@ -71,3 +71,36 @@ def test_windowed_mention_rate(spark, fixture_pages, tmp_path):
     # the aggregate is a plain query on the batch side too (same plan)
     out = mention_rate(pdf).collect()
     assert sum(r["n_pages"] for r in out) == len(fixture_pages)
+
+
+def test_first_seen_keys_multi_batch(spark, tmp_path):
+    """Key-only stateful dedup: emitted SET equals SELECT DISTINCT key no
+    matter how the input slices into micro-batches (the property that makes
+    the driver query exactly oracle-checkable)."""
+    from pyspark.sql import functions as F
+
+    from uckg_spark.streaming.pages_stream import streaming_first_seen_keys
+
+    in_path = str(tmp_path / "ev_in")
+    out_path = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+    ev = spark.range(600).select(
+        F.col("id").alias("event_id"), (F.col("id") % 37).alias("user_id"))
+    ev.repartition(6).write.mode("overwrite").parquet(in_path)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(in_path)
+    )
+    q = (
+        streaming_first_seen_keys(stream, "user_id", "bigint")
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["user_id"] for r in spark.read.parquet(out_path).collect())
+    assert got == list(range(37))  # exactly once per key, all keys

@@ -48,6 +48,7 @@ class KgDims:
 def linked_mentions(
     spark: SparkSession, pages: DataFrame, dims: KgDims,
     mention_partitions: int | None = None,
+    defer_barrier: bool = False,
 ) -> dict[str, DataFrame]:
     """Stages 1–3: extract, detect, link.
 
@@ -70,14 +71,43 @@ def linked_mentions(
     if mention_partitions:
         mentions = mentions.repartition(mention_partitions)
     mentions = mentions.persist()
-    # materialize the cache NOW (one scan — the same scan any first action
-    # would run). Downstream, AQE materializes the R7/R8 broadcast query
-    # stages CONCURRENTLY and independently; if the mention cache is still
-    # lazy at that point, each racing stage recomputes the full
-    # extract+scan kernel for partitions whose cache block isn't populated
-    # yet — measured as a ~2× wall regression at 8 cores (and worse with
-    # more cores: more concurrent stages, more duplicated scans).
-    mentions.count()
+    # materialize the cache BEFORE any downstream action (one scan — the
+    # same scan any first action would run). Downstream, AQE materializes
+    # the R7/R8 broadcast query stages CONCURRENTLY and independently; if
+    # the mention cache is still lazy at that point, each racing stage
+    # recomputes the full extract+scan kernel for partitions whose cache
+    # block isn't populated yet — measured as a ~2× wall regression at 8
+    # cores (and worse with more cores: more concurrent stages, more
+    # duplicated scans).
+    #
+    # With defer_barrier=True the materializing count runs in a background
+    # thread and a "_barrier" callable is returned in the dict: the caller
+    # constructs its (large, py4j-round-trip-heavy — measured ~4.5 s of
+    # driver-serial time) downstream plan WHILE executors run the scan,
+    # and joins the barrier before triggering any action. That driver
+    # time is core-count-independent, so hiding it behind the scan buys
+    # wall time at every cluster size and strong-scaling efficiency.
+    barrier = None
+    if defer_barrier:
+        import threading
+
+        err: list[BaseException] = []
+
+        def _materialize():
+            try:
+                mentions.count()
+            except BaseException as e:  # re-raised at the barrier
+                err.append(e)
+
+        t = threading.Thread(target=_materialize, daemon=True)
+        t.start()
+
+        def barrier():
+            t.join()
+            if err:
+                raise err[0]
+    else:
+        mentions.count()
 
     m_cve = mentions.filter(F.col("kind") == "cve").select(
         "url", F.col("canonical_id").alias("cve")
@@ -184,16 +214,25 @@ def linked_mentions(
     # materialized cache instead of re-driving its own broadcast exchange
     for k in ("cve", "cwe", "capec", "attack", "d3fend", "cpe"):
         out[k] = out[k].persist()
+    if barrier is not None:
+        out["_barrier"] = barrier
     return out
 
 
 def build_triples(
     spark: SparkSession, pages: DataFrame, dims: KgDims,
     mention_partitions: int | None = None,
+    mentions: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Stages 4–6: co-mention edges + entity records → repaired, deduped
-    triple set (the oracle-parity surface)."""
-    m = linked_mentions(spark, pages, dims, mention_partitions)
+    triple set (the oracle-parity surface).
+
+    ``mentions``: pass the dict from a prior ``linked_mentions`` call to
+    reuse its persisted stage (a fresh call would build new UDF plans that
+    miss Spark's cache-by-plan matching and re-run the whole scan)."""
+    m = mentions or linked_mentions(
+        spark, pages, dims, mention_partitions, defer_barrier=True
+    )
     m_cve, m_cwe, m_capec, m_attack, m_cpe = (
         m["cve"], m["cwe"], m["capec"], m["attack"], m["cpe"],
     )
@@ -299,7 +338,14 @@ def build_triples(
             m["d3fend"].select(F.col("d3_id").alias("id")), "id", "leftsemi")
     ))
 
-    return PT.repair_and_dedup(PT._union(parts))
+    result = PT.repair_and_dedup(PT._union(parts))
+    # join the scan-materialization barrier (started by linked_mentions
+    # while this plan was being constructed) before handing the plan to the
+    # caller: an action on `result` must never race the cache population.
+    b = m.get("_barrier")
+    if callable(b):
+        b()
+    return result
 
 
 def materialize_graph(triples: DataFrame) -> tuple[DataFrame, DataFrame]:

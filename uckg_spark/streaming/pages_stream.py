@@ -89,6 +89,37 @@ def streaming_first_seen(pages_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_first_seen_keys(stream: DataFrame, key_col: str,
+                              key_type: str = "string") -> DataFrame:
+    """Key-only variant of ``streaming_first_seen``: emit each key exactly
+    once across micro-batches (no timestamp payload, so the emitted SET is
+    batch-slicing-independent — equal to ``SELECT DISTINCT key`` over the
+    drained input, which makes it exactly oracle-checkable)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            return iter([])
+        for _ in pdfs:  # drain the iterator (required by the contract)
+            pass
+        state.update((True,))
+        yield pd.DataFrame({key_col: [key[0]]})
+
+    return (
+        stream.select(key_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=f"{key_col} {key_type}",
+            stateStructType="seen boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_first_seen_once(
     spark: SparkSession, in_path: str, out_path: str, checkpoint: str,
     max_files: int = 2,
