@@ -333,6 +333,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return brute_force_topk(emb, [float(x) for x in qrow], k=10)
     q["ann_cosine_topk"] = q_ann_cosine_topk
 
+    def q_ann_ivf_topk(spark, sf):
+        """IVF ANN: 16 deterministic coarse centroids, probe the 4 nearest
+        cells, exact cosine top-10 inside them. Assignment is shuffle-free
+        column algebra (centroid matrix as plan literals)."""
+        from uckg_spark.operators.similarity import ivf_topk
+
+        emb = _t(spark, sf, "embeddings")
+        qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        return ivf_topk(emb, [float(x) for x in qrow],
+                        n_centroids=16, n_probe=4, k=10)
+    q["ann_ivf_topk"] = q_ann_ivf_topk
+
     def q_ann_lsh_bucket(spark, sf):
         from uckg_spark.operators.similarity import hyperplane_signature
 
@@ -740,6 +752,44 @@ def oracle_sql() -> dict[str, str]:
                         * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
         FROM embeddings, q
         ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """
+
+    o["ann_ivf_topk"] = """
+        WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        cent AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
+                 FROM embeddings ORDER BY vec_id LIMIT 16),
+        probes AS (
+            SELECT c_id FROM cent, q
+            ORDER BY list_dot_product(cv, qv)
+                     / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+                     DESC, c_id
+            LIMIT 4
+        ),
+        scored AS (
+            SELECT e.vec_id, c.c_id,
+                   list_dot_product(e.embedding::DOUBLE[], c.cv)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.cv, c.cv))) AS cos_c
+            FROM embeddings e, cent c
+        ),
+        assign AS (
+            SELECT vec_id, c_id AS centroid_id
+            FROM (SELECT vec_id, c_id,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cos_c DESC, c_id) AS rn
+                  FROM scored)
+            WHERE rn = 1
+        )
+        SELECT e.vec_id, a.centroid_id,
+               round(list_dot_product(e.embedding::DOUBLE[], qv)
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+        FROM embeddings e JOIN assign a USING (vec_id), q
+        WHERE a.centroid_id IN (SELECT c_id FROM probes)
+        ORDER BY list_dot_product(e.embedding::DOUBLE[], qv)
+                 / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv, qv))) DESC, e.vec_id
+        LIMIT 10
     """
 
     plane_terms = []

@@ -94,6 +94,32 @@ class TestSimilarity:
         assert (0, 1) in pairs and pairs[(0, 1)] == 1.0
         assert not any(2 in p for p in pairs)
 
+    def test_ivf_topk_matches_python_model(self, spark):
+        """IVF = assign-to-nearest-centroid + probe-cell exact search: a
+        pure-Python model of the same arithmetic must reproduce the result
+        set exactly (the property the DuckDB oracle relies on)."""
+        vecs = [(i, [float((i * 5 + j * 7) % 13 + 1) for j in range(6)])
+                for i in range(40)]
+        df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+        q = vecs[2][1]
+        got = [(r["vec_id"], r["centroid_id"], r["cos_sim"]) for r in
+               similarity.ivf_topk(df, q, n_centroids=4, n_probe=2, k=5).collect()]
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+        cents = vecs[:4]
+        def assign(v):
+            return min(cents, key=lambda c: (-cos(c[1], v), c[0]))[0]
+        probes = [c for c, _ in sorted(cents, key=lambda c: (-cos(c[1], q), c[0]))[:2]]
+        model = sorted(
+            ((i, assign(v), cos(v, q)) for i, v in vecs if assign(v) in probes),
+            key=lambda t: (-t[2], t[0]))[:5]
+        assert got == [(i, c, round(s, 6)) for i, c, s in model]
+        # probe pruning is real: some corpus rows fall outside probed cells
+        assert len({assign(v) for _, v in vecs}) > 2
+
     def test_knn_join_pandas(self, spark):
         vecs = [(i, [float((i + j) % 5 + 1) for j in range(4)]) for i in range(30)]
         df = spark.createDataFrame(vecs, ["vec_id", "embedding"])

@@ -36,7 +36,15 @@ N_PAGES = int(os.environ.get("UCKG_SCALE_PAGES", "360000"))
 FILLER_PARAS = int(os.environ.get("UCKG_SCALE_FILLER", "50"))
 REPS = int(os.environ.get("UCKG_SCALE_REPS", "2"))
 CORES = tuple(int(c) for c in os.environ.get("UCKG_SCALE_CORES", "2,8").split(","))
-CORPUS = os.environ.get("UCKG_SCALE_CORPUS", f"/tmp/uckg_scale_corpus_{N_PAGES}")
+# corpus file count must be sized for the LARGEST core count measured:
+# with too-few large files the high-core run gets coarse waves + straggler
+# tails while the low-core run is unaffected — measured as 171 s vs 119 s
+# for the same 720k pages at local[8] with 32 vs 128 files. 16 tasks/core
+# at the top size keeps wave-tail noise ≪ wall at every measured size.
+PARTS = int(os.environ.get(
+    "UCKG_SCALE_PARTS", str(max(128, 16 * max(CORES)))))
+CORPUS = os.environ.get(
+    "UCKG_SCALE_CORPUS", f"/tmp/uckg_scale_corpus_{N_PAGES}_p{PARTS}")
 
 
 def _ensure_corpus(spark) -> None:
@@ -47,7 +55,7 @@ def _ensure_corpus(spark) -> None:
         return
     synthesize_pages_df(
         spark, N_PAGES, filler_paras=FILLER_PARAS,
-        partitions=max(32, spark.sparkContext.defaultParallelism * 2),
+        partitions=PARTS,
     ).write.mode("overwrite").parquet(CORPUS)
 
 
@@ -105,6 +113,7 @@ def orchestrate() -> None:
     summary = {
         "n_pages": N_PAGES,
         "page_html_bytes_avg": 10931,
+        "corpus_files": PARTS,
         "cores_pair": [lo, hi],
         "protocol": (
             "same job (pages->triples, plans/kg_pipeline.py), same on-disk "

@@ -88,11 +88,17 @@ def run_stage_with_resume(
     out_root: str,
     n_groups: int = 8,
     run_id: str | None = None,
+    input_snapshot_id: str = "fixture-v1",
 ) -> DataFrame:
     """Partition-group micro-batching with checkpointed resume (I1/I5).
 
     ``transform(pages_pending: DataFrame) -> DataFrame`` is the stage body;
     its output must retain the ``url`` column (the partition-group key).
+    ``input_snapshot_id`` should name the snapshot of the input table the
+    stage read (e.g. ``GraphCatalog.latest_snapshot(...)["snapshot_id"]``
+    for catalog-managed inputs) so each lineage row pins exactly which
+    input version produced the group — the resume decision and the A5/I3
+    delta trigger are then auditable against the snapshot log.
     All PENDING groups run in ONE Spark job: the output is written with
     ``partitionBy(_pg)`` + dynamic partition overwrite, so completed groups'
     directories are untouched and a re-run is idempotent. Per-group input
@@ -149,7 +155,7 @@ def run_stage_with_resume(
             st = stats.get(g)
             log.append({
                 "run_id": run_id, "stage": stage, "part_group": g,
-                "input_snapshot_id": "fixture-v1",
+                "input_snapshot_id": input_snapshot_id,
                 "row_count_in": int(in_counts.get(f"in_{g}") or 0),
                 "row_count_out": int(st["n_out"]) if st else 0,
                 "content_sha256": format(int(st["content_sum"]), "064x") if st else "0" * 64,

@@ -167,6 +167,96 @@ def lsh_bucketed_pairs(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse-quantizer seeds: the ``n_centroids`` rows with
+    the smallest ids (a bounded collect — n rows, not the corpus). A real
+    deployment refines these with k-means, where every iteration is one
+    ``ivf_assign_col`` pass + a groupBy-avg — the same shuffle-free
+    assignment below; seed selection is kept deterministic so the operator
+    is oracle-reproducible in any engine."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col).limit(n_centroids).collect()
+    )
+    return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def ivf_assign_col(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid id (cosine, ties to the smaller id) as pure column
+    algebra: the centroid matrix rides into the plan as literals (no join,
+    no shuffle — each row's assignment is embarrassingly parallel), sorted
+    via array_sort over struct(-cos, cid). Centroid norms are constant
+    expressions Catalyst folds at plan time."""
+    entries = []
+    for cid, cvec in centroids:
+        c = F.array(*[F.lit(float(x)) for x in cvec])
+        entries.append(F.struct(
+            (-(dot(vec, c) / (norm(vec) * norm(c)))).alias("nc"),
+            F.lit(int(cid)).cast("bigint").alias("cid"),
+        ))
+    return F.array_sort(F.array(*entries))[0]["cid"]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every row to its nearest coarse
+    centroid, search only the ``n_probe`` centroid cells nearest the query,
+    exact cosine + TakeOrdered inside the probed cells.
+
+    The 100 TB shape: assignment is shuffle-free column algebra; the probe
+    filter prunes the scan to ~n_probe/n_centroids of the corpus BEFORE any
+    exact scoring (with the assignment persisted/partitioned by centroid_id
+    it becomes directory-level pruning); the final top-k lowers to
+    TakeOrdered — no global sort. Grow n_centroids ~ sqrt(N) to keep cells
+    bounded; the centroid matrix stays a broadcast-sized literal table.
+    Probe cells are chosen by the same (-cos, cid) order the assignment
+    uses, computed driver-side over the collected centroid list with plain
+    sequential double arithmetic — the same left-fold an engine's
+    list_dot_product/F.aggregate performs, so an oracle reproduces it."""
+    if centroids is None:
+        centroids = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+
+    import math
+
+    def cosd(a: list[float], b: list[float]) -> float:
+        d = nb = na = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+            na += x * x
+            nb += y * y
+        return d / (math.sqrt(na) * math.sqrt(nb))
+
+    probe_ids = [cid for cid, _ in sorted(
+        centroids, key=lambda c: (-cosd(c[1], query_vec), c[0]))[:n_probe]]
+
+    vec_d = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        embeddings
+        .withColumn("centroid_id", ivf_assign_col(vec_d, centroids))
+        .filter(F.col("centroid_id").isin(probe_ids))
+        .select(
+            F.col(id_col),
+            "centroid_id",
+            (dot(vec_d, q) / (norm(vec_d) * norm(q))).alias("_cos_raw"),
+        )
+        .orderBy(F.col("_cos_raw").desc(), F.col(id_col))
+        .limit(k)
+        .select(id_col, "centroid_id", F.round("_cos_raw", 6).alias("cos_sim"))
+    )
+
+
 def knn_join_pandas(
     embeddings: DataFrame,
     queries: list[tuple[int, list[float]]],
