@@ -12,7 +12,8 @@ def test_graph_catalog_roundtrip(spark, fixture_pages, kg_dims, tmp_path):
     from uckg_spark.plans.kg_pipeline import build_triples, materialize_graph
     from uckg_spark.sources.pages import pages_df
 
-    triples = build_triples(spark, pages_df(spark, fixture_pages[:30]), kg_dims)
+    triples = build_triples(
+        spark, pages_df(spark, fixture_pages[:30]), kg_dims).persist()
     nodes, edges = materialize_graph(triples)
     cat = GraphCatalog(str(tmp_path / "graph"))
     s1 = cat.write_edges(edges)
@@ -38,7 +39,7 @@ def test_multivalued_props_survive(spark, fixture_pages, kg_dims):
     from uckg_spark.plans.kg_pipeline import build_triples, materialize_graph
     from uckg_spark.sources.pages import pages_df
 
-    triples = build_triples(spark, pages_df(spark, fixture_pages), kg_dims)
+    triples = build_triples(spark, pages_df(spark, fixture_pages), kg_dims).persist()
     multi = (
         triples.filter(F.col("obj_is_literal") & (F.col("pred") == T.P_SUMMARY))
         .groupBy("subj").agg(F.countDistinct("obj").alias("n"))

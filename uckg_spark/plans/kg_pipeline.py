@@ -29,19 +29,37 @@ P_EXPLOITS = T.UCO_BARE + "ucoexploitsVulnerability"  # decl uco2.ttl:45
 
 
 class KgDims:
-    """All dimension DataFrames + alias rows, built once per job."""
+    """All dimension DataFrames + alias rows, built once per job.
+
+    Every dim is ``localCheckpoint``-ed eagerly at construction:
+    ``spark.createDataFrame(local_rows)`` yields a Python-parallelized
+    ``Scan ExistingRDD`` whose every plan reference re-runs Python workers
+    to unpickle the rows, with the pickled partition data embedded in each
+    task binary. The R7 relationship subtree alone references the ATT&CK
+    dims 4+ times → hundreds of Python-eval tasks per broadcast subquery
+    (measured: 201-task broadcast stages, ~0.85 s/task deserialization,
+    G1 humongous allocations, and bimodal 2-5× wall variance from Python
+    worker-pool contention). After the checkpoint each dim is a stored
+    JVM-row scan: no Python re-eval, tiny task binaries. One-time cost
+    ~13 small jobs at init, amortized over the whole job. On a real
+    multi-executor cluster the dims would instead be read from parquet
+    reference tables (JVM-native scans) — same effect."""
 
     def __init__(self, spark: SparkSession):
         from ..fixtures import dicts as D
         from ..sources import dims as S
 
-        self.cve = S.dim_cve(spark)
-        self.cwe = S.dim_cwe(spark)
-        self.cpe = S.dim_cpe(spark)
-        self.cpe_vp = S.dim_cpe_by_vendor_product(spark)
-        self.attack_ents, self.attack_rels = S.dim_attack(spark)
-        self.capec = S.dim_capec(spark)
-        self.d3fend = S.dim_d3fend(spark)
+        def _mat(df):
+            return df.localCheckpoint(eager=True)
+
+        self.cve = _mat(S.dim_cve(spark))
+        self.cwe = _mat(S.dim_cwe(spark))
+        self.cpe = _mat(S.dim_cpe(spark))
+        self.cpe_vp = _mat(S.dim_cpe_by_vendor_product(spark))
+        ents, rels = S.dim_attack(spark)
+        self.attack_ents, self.attack_rels = _mat(ents), _mat(rels)
+        self.capec = _mat(S.dim_capec(spark))
+        self.d3fend = _mat(S.dim_d3fend(spark))
         self.alias_rows = D.alias_table()
 
 
@@ -49,6 +67,7 @@ def linked_mentions(
     spark: SparkSession, pages: DataFrame, dims: KgDims,
     mention_partitions: int | None = None,
     defer_barrier: bool = False,
+    truncate_lineage: bool | None = None,
 ) -> dict[str, DataFrame]:
     """Stages 1–3: extract, detect, link.
 
@@ -62,7 +81,23 @@ def linked_mentions(
     Mention rows are deliberately NOT deduplicated (a page may mention the
     same id twice): every consumer is a semi join, a pair-distinct, or the
     global A1 dedup — re-deduplicating here would be a wasted shuffle.
+
+    ``truncate_lineage`` (default: auto — on for local masters): after
+    materialization, each per-kind table is ``localCheckpoint``-ed instead
+    of persisted. Downstream emission branches then reference a stored RDD
+    instead of carrying the full scan+join plan subtree: task binaries
+    shrink ~an order of magnitude and one build_triples action schedules
+    ~23 AQE jobs instead of ~67 (measured on the fixture corpus — repeated
+    actions degraded to 50-90 s without truncation, driver-side task
+    (de)serialization dominated). On a MULTI-EXECUTOR cluster localCheckpoint
+    trades that for fault-tolerance (checkpoint blocks die with their
+    executor and are NOT recomputable), so the auto default keeps plain
+    persist() there — production resumability lives in the lineage layer's
+    parquet stage boundaries (lineage.py), which truncate plans the same
+    way with durable storage.
     """
+    if truncate_lineage is None:
+        truncate_lineage = spark.sparkContext.master.startswith("local")
     mentions = scan_pages(spark, pages, dims.alias_rows)
     # the mention table is ~1000× smaller than pages; re-bucketing it to a
     # size-appropriate partition count before caching caps the task count
@@ -71,43 +106,6 @@ def linked_mentions(
     if mention_partitions:
         mentions = mentions.repartition(mention_partitions)
     mentions = mentions.persist()
-    # materialize the cache BEFORE any downstream action (one scan — the
-    # same scan any first action would run). Downstream, AQE materializes
-    # the R7/R8 broadcast query stages CONCURRENTLY and independently; if
-    # the mention cache is still lazy at that point, each racing stage
-    # recomputes the full extract+scan kernel for partitions whose cache
-    # block isn't populated yet — measured as a ~2× wall regression at 8
-    # cores (and worse with more cores: more concurrent stages, more
-    # duplicated scans).
-    #
-    # With defer_barrier=True the materializing count runs in a background
-    # thread and a "_barrier" callable is returned in the dict: the caller
-    # constructs its (large, py4j-round-trip-heavy — measured ~4.5 s of
-    # driver-serial time) downstream plan WHILE executors run the scan,
-    # and joins the barrier before triggering any action. That driver
-    # time is core-count-independent, so hiding it behind the scan buys
-    # wall time at every cluster size and strong-scaling efficiency.
-    barrier = None
-    if defer_barrier:
-        import threading
-
-        err: list[BaseException] = []
-
-        def _materialize():
-            try:
-                mentions.count()
-            except BaseException as e:  # re-raised at the barrier
-                err.append(e)
-
-        t = threading.Thread(target=_materialize, daemon=True)
-        t.start()
-
-        def barrier():
-            t.join()
-            if err:
-                raise err[0]
-    else:
-        mentions.count()
 
     m_cve = mentions.filter(F.col("kind") == "cve").select(
         "url", F.col("canonical_id").alias("cve")
@@ -209,13 +207,88 @@ def linked_mentions(
         "d3fend": m_d3fend,
         "cpe": m_cpe,
     }
-    # each per-kind table feeds 2-5 emission branches; persisting them (they
+    # each per-kind table feeds 2-5 emission branches; storing them (they
     # are mention-sized, tiny relative to pages) lets every branch read a
-    # materialized cache instead of re-driving its own broadcast exchange
-    for k in ("cve", "cwe", "capec", "attack", "d3fend", "cpe"):
-        out[k] = out[k].persist()
-    if barrier is not None:
+    # materialized copy instead of re-driving its own broadcast exchange
+    kinds = ("cve", "cwe", "capec", "attack", "d3fend", "cpe")
+    for k in kinds:
+        out[k] = (
+            out[k].localCheckpoint(eager=False) if truncate_lineage
+            else out[k].persist()
+        )
+
+    # Materialize the mention cache (and, when truncating, the per-kind
+    # checkpoints) BEFORE any downstream action. Downstream, AQE
+    # materializes the R7/R8 broadcast query stages CONCURRENTLY and
+    # independently; if the mention cache is still lazy at that point, each
+    # racing stage recomputes the full extract+scan kernel for partitions
+    # whose cache block isn't populated yet — measured as a ~2× wall
+    # regression at 8 cores (and worse with more cores: more concurrent
+    # stages, more duplicated scans). Lazy checkpoints are materialized
+    # ONLY here, single-threaded, so their first-action races can't happen.
+    #
+    # With defer_barrier=True the materializing runs in a background
+    # thread and a "_barrier" callable is returned in the dict: the caller
+    # constructs its (large, py4j-round-trip-heavy — measured ~4.5 s of
+    # driver-serial time) downstream plan WHILE executors run the scan,
+    # and joins the barrier before triggering any action. That driver
+    # time is core-count-independent, so hiding it behind the scan buys
+    # wall time at every cluster size and strong-scaling efficiency.
+    import threading
+
+    def _store_kinds():
+        """Materialize the per-kind checkpoints, all kinds in parallel
+        (independent reads of the mention cache — concurrent Spark jobs).
+        Serial, these 6 queries cost ~7 s at bench scale; in parallel ~2 s.
+        Must run AFTER the mention cache is populated (racing the scan
+        would duplicate the extract+scan kernel per racing stage)."""
+        if not truncate_lineage:
+            return
+        errs: list[BaseException] = []
+
+        def _one(k):
+            try:
+                out[k].count()  # first action stores the checkpoint blocks
+            except BaseException as e:
+                errs.append(e)
+
+        ts = [threading.Thread(target=_one, args=(k,), daemon=True)
+              for k in kinds]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        if errs:
+            raise errs[0]
+
+    if defer_barrier:
+        err: list[BaseException] = []
+
+        def _scan():
+            try:
+                mentions.count()
+            except BaseException as e:  # re-raised at the barrier
+                err.append(e)
+
+        t = threading.Thread(target=_scan, daemon=True)
+        t.start()
+
+        def barrier():
+            # join the scan first: only the plain count runs concurrently
+            # with the caller's py4j-heavy plan construction (low driver
+            # involvement); the Catalyst-heavy checkpoint queries run only
+            # after construction is done, avoiding driver-lock contention
+            # (measured: running them inside this background thread cost
+            # ~20 s extra wall at local[32]).
+            t.join()
+            if err:
+                raise err[0]
+            _store_kinds()
+
         out["_barrier"] = barrier
+    else:
+        mentions.count()
+        _store_kinds()
     return out
 
 
@@ -223,6 +296,7 @@ def build_triples(
     spark: SparkSession, pages: DataFrame, dims: KgDims,
     mention_partitions: int | None = None,
     mentions: dict[str, DataFrame] | None = None,
+    truncate_lineage: bool | None = None,
 ) -> DataFrame:
     """Stages 4–6: co-mention edges + entity records → repaired, deduped
     triple set (the oracle-parity surface).
@@ -231,7 +305,8 @@ def build_triples(
     reuse its persisted stage (a fresh call would build new UDF plans that
     miss Spark's cache-by-plan matching and re-run the whole scan)."""
     m = mentions or linked_mentions(
-        spark, pages, dims, mention_partitions, defer_barrier=True
+        spark, pages, dims, mention_partitions, defer_barrier=True,
+        truncate_lineage=truncate_lineage,
     )
     m_cve, m_cwe, m_capec, m_attack, m_cpe = (
         m["cve"], m["cwe"], m["capec"], m["attack"], m["cpe"],
