@@ -60,7 +60,9 @@ def main() -> None:
         "explode_tokens", "broadcast_lookup_join", "inner_fk_join",
         "window_dedup", "salted_agg", "event_window", "group_concat",
         "dedup_exact", "dedup_minhash", "dedup_simhash", "ngram_jaccard",
-        "ann_cosine_topk", "ann_lsh_bucket", "lang_id", "quality",
+        "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_bucket",
+        "minhash_lsh_pairs", "simhash_duplicates", "connected_components",
+        "knn_join_pandas", "lang_id", "quality",
         "token_count", "fingerprint",
     ]
     qs = entry_mod.queries()

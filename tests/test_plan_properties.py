@@ -60,10 +60,7 @@ def test_whole_stage_codegen_active_and_partial_agg(spark):
 
 
 def test_mention_link_joins_broadcast(spark, pages_path, kg_dims):
-    # truncate_lineage=False: assert on the LOGICAL join surface (the
-    # checkpointed default replaces these subtrees with stored-RDD scans)
-    lm = linked_mentions(spark, read_pages(spark, pages_path), kg_dims,
-                         truncate_lineage=False)
+    lm = linked_mentions(spark, read_pages(spark, pages_path), kg_dims)
     for kind in ("cwe", "capec", "attack"):
         plan = _plan(lm[kind])
         assert "BroadcastHashJoin" in plan, kind
@@ -76,8 +73,7 @@ def test_no_python_udf_in_emission(spark, pages_path, kg_dims):
     mapInPandas stages of the scan path."""
     from uckg_spark.plans.kg_pipeline import build_triples
 
-    plan = _plan(build_triples(spark, read_pages(spark, pages_path), kg_dims,
-                               truncate_lineage=False))
+    plan = _plan(build_triples(spark, read_pages(spark, pages_path), kg_dims))
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python UDF, ever
     assert "ArrowEvalPython" not in plan  # no scalar pandas UDF either
     # the ONLY Python entry point is the fused Arrow mapInPandas scan

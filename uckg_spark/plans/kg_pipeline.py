@@ -82,22 +82,17 @@ def linked_mentions(
     same id twice): every consumer is a semi join, a pair-distinct, or the
     global A1 dedup — re-deduplicating here would be a wasted shuffle.
 
-    ``truncate_lineage`` (default: auto — on for local masters): after
-    materialization, each per-kind table is ``localCheckpoint``-ed instead
-    of persisted. Downstream emission branches then reference a stored RDD
-    instead of carrying the full scan+join plan subtree: task binaries
-    shrink ~an order of magnitude and one build_triples action schedules
-    ~23 AQE jobs instead of ~67 (measured on the fixture corpus — repeated
-    actions degraded to 50-90 s without truncation, driver-side task
-    (de)serialization dominated). On a MULTI-EXECUTOR cluster localCheckpoint
-    trades that for fault-tolerance (checkpoint blocks die with their
-    executor and are NOT recomputable), so the auto default keeps plain
-    persist() there — production resumability lives in the lineage layer's
-    parquet stage boundaries (lineage.py), which truncate plans the same
-    way with durable storage.
+    ``truncate_lineage`` is accepted for API stability but ignored: the
+    per-kind tables are plain ``persist()``-ed. (A localCheckpoint variant
+    was measured and REJECTED: under AQE, ``Dataset.checkpoint`` pre-executes
+    the adaptive plan inside ``toRdd`` — the full page scan ran serially on
+    the driver thread at wrapper-construction time, costing ~187 s at 720k
+    pages before any overlap could start. The slow-mode pathology that
+    motivated it — multi-second task-binary deserialization storms — was
+    actually caused by Python-parallelized dim RDDs and is fixed at the
+    source in ``KgDims``.)
     """
-    if truncate_lineage is None:
-        truncate_lineage = spark.sparkContext.master.startswith("local")
+    del truncate_lineage
     mentions = scan_pages(spark, pages, dims.alias_rows)
     # the mention table is ~1000× smaller than pages; re-bucketing it to a
     # size-appropriate partition count before caching caps the task count
@@ -207,25 +202,20 @@ def linked_mentions(
         "d3fend": m_d3fend,
         "cpe": m_cpe,
     }
-    # each per-kind table feeds 2-5 emission branches; storing them (they
+    # each per-kind table feeds 2-5 emission branches; persisting them (they
     # are mention-sized, tiny relative to pages) lets every branch read a
-    # materialized copy instead of re-driving its own broadcast exchange
+    # materialized cache instead of re-driving its own broadcast exchange
     kinds = ("cve", "cwe", "capec", "attack", "d3fend", "cpe")
     for k in kinds:
-        out[k] = (
-            out[k].localCheckpoint(eager=False) if truncate_lineage
-            else out[k].persist()
-        )
+        out[k] = out[k].persist()
 
-    # Materialize the mention cache (and, when truncating, the per-kind
-    # checkpoints) BEFORE any downstream action. Downstream, AQE
-    # materializes the R7/R8 broadcast query stages CONCURRENTLY and
-    # independently; if the mention cache is still lazy at that point, each
-    # racing stage recomputes the full extract+scan kernel for partitions
-    # whose cache block isn't populated yet — measured as a ~2× wall
-    # regression at 8 cores (and worse with more cores: more concurrent
-    # stages, more duplicated scans). Lazy checkpoints are materialized
-    # ONLY here, single-threaded, so their first-action races can't happen.
+    # Materialize the mention cache AND the per-kind caches BEFORE any
+    # downstream action. Downstream, AQE materializes the R7/R8 broadcast
+    # query stages CONCURRENTLY and independently; if a cache is still lazy
+    # at that point, each racing stage recomputes the full extract+scan
+    # kernel for partitions whose cache block isn't populated yet —
+    # measured as a ~2× wall regression at 8 cores (and worse with more
+    # cores: more concurrent stages, more duplicated scans).
     #
     # With defer_barrier=True the materializing runs in a background
     # thread and a "_barrier" callable is returned in the dict: the caller
@@ -237,18 +227,16 @@ def linked_mentions(
     import threading
 
     def _store_kinds():
-        """Materialize the per-kind checkpoints, all kinds in parallel
+        """Materialize the per-kind caches, all kinds in parallel
         (independent reads of the mention cache — concurrent Spark jobs).
         Serial, these 6 queries cost ~7 s at bench scale; in parallel ~2 s.
         Must run AFTER the mention cache is populated (racing the scan
         would duplicate the extract+scan kernel per racing stage)."""
-        if not truncate_lineage:
-            return
         errs: list[BaseException] = []
 
         def _one(k):
             try:
-                out[k].count()  # first action stores the checkpoint blocks
+                out[k].count()  # populates this kind's cache blocks
             except BaseException as e:
                 errs.append(e)
 

@@ -47,10 +47,15 @@ def build_session(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             str(max(shuffle * 4, 64)),
         )
-        # target advisory partition SIZE, not max parallelism: small
-        # shuffles coalesce to a handful of tasks instead of `shuffle`
-        # micro-tasks (driver task dispatch is the serial bottleneck)
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # parallelismFirst (the Spark default) floors AQE coalescing at the
+        # cluster's parallelism rather than the 64 MB advisory size alone.
+        # With parallelismFirst=false a ~100 MB mention-scale shuffle
+        # coalesces to 1-2 partitions and the co-mention joins run nearly
+        # single-threaded — measured +80-110 s on the 720k-page corpus at
+        # local[8] (a data-proportional SERIAL term that caps strong
+        # scaling at any cluster size). Micro-task dispatch overhead for
+        # tiny shuffles stays bounded by minPartitionSize (1 MB default).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
