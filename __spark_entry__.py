@@ -463,10 +463,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .withColumn("session_id", F.sum("new_sess").over(
                 w.rowsBetween(Window.unboundedPreceding, 0)))
         )
+        # session_value via exact integer cents (value is 2-decimal by
+        # construction — verified 0 rows where value*100 is non-integer):
+        # no float sum is ever hashed, so engine summation order can never
+        # produce a divergent 2-dp rounding on either side.
         return (
             sess.groupBy("user_id", "session_id")
             .agg(F.count("*").alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("session_value"))
+                 F.round(
+                     F.sum(F.round(F.col("value") * 100)).cast("bigint")
+                     / 100.0, 2
+                 ).alias("session_value"))
         )
     q["sessionize"] = q_sessionize
 
@@ -917,14 +924,21 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END AS new_sess
             FROM events
         ), s AS (
+            -- ::BIGINT: DuckDB's window sum is HUGEINT — the harness's
+            -- pandas/Arrow fetch converts HUGEINT to float64/decimal128
+            -- (verified: 3 -> 3.0), so Spark's bigint 1 hashed != oracle's
+            -- 1.0 despite identical values. The ONLY uncast HUGEINT output
+            -- column across all oracle queries (round-2 red cell).
             SELECT user_id, value,
-                   sum(new_sess) OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id
-                                       ROWS UNBOUNDED PRECEDING) AS session_id
+                   (sum(new_sess) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING))::BIGINT
+                       AS session_id
             FROM g
         )
         SELECT user_id, session_id, count(*) AS n_events,
-               round(sum(value), 2) AS session_value
+               round(sum(round(value * 100))::BIGINT / 100.0, 2)
+                   AS session_value
         FROM s GROUP BY user_id, session_id
     """
 

@@ -51,6 +51,54 @@ class TestResume:
         assert len(rows2) == n1  # no duplicates, no losses
         assert rows2 == rows1  # texts identical across the resume boundary
 
+    def test_snapshot_advance_invalidates_stale_groups(
+        self, spark, fixture_pages, tmp_path
+    ):
+        """I3 delta semantics: when the input table advances to a new
+        snapshot, previously-completed groups are STALE and must re-run —
+        resume must never serve output computed from a superseded input
+        (the reference re-ingests the NVD delta on its daily DAG,
+        /root/reference/airflow/dags/ingestion_dag.py:53-77). The re-run
+        result must equal a from-scratch run on the new input."""
+        from uckg_spark.fixtures.pages import generate_pages
+
+        root = str(tmp_path / "stages_snap")
+        p1 = pages_df(spark, fixture_pages)
+
+        def stage_marked(marker):
+            def stage(part):
+                return extract_pages(part).withColumn("run_marker", F.lit(marker))
+            return stage
+
+        run_stage_with_resume(
+            spark, p1, "extract", stage_marked("A"), root, n_groups=4,
+            input_snapshot_id="snap-1")
+
+        # same snapshot, re-run: every group skipped (crash-resume path)
+        out_same = run_stage_with_resume(
+            spark, p1, "extract", stage_marked("X"), root, n_groups=4,
+            input_snapshot_id="snap-1")
+        assert {r["run_marker"] for r in out_same.collect()} == {"A"}
+
+        # input advances: 20 extra pages under a NEW snapshot id — every
+        # group's input may have changed, so all stale groups re-run
+        p2 = pages_df(spark, generate_pages(100))
+        out_new = run_stage_with_resume(
+            spark, p2, "extract", stage_marked("B"), root, n_groups=4,
+            input_snapshot_id="snap-2")
+        got = out_new.collect()
+        assert {r["run_marker"] for r in got} == {"B"}  # nothing stale kept
+        # equals a from-scratch run on the new input
+        scratch = run_stage_with_resume(
+            spark, p2, "extract", stage_marked("B"),
+            str(tmp_path / "scratch"), n_groups=4, input_snapshot_id="snap-2")
+        assert ({(r["url"], r["text_sha256"]) for r in got}
+                == {(r["url"], r["text_sha256"]) for r in scratch.collect()})
+        # lineage latest-wins: all groups now pinned to snap-2
+        log = LineageLog(root)
+        assert log.completed_groups("extract", "snap-2") == {0, 1, 2, 3}
+        assert log.completed_groups("extract", "snap-1") == set()
+
     def test_lineage_rows_complete(self, spark, fixture_pages, tmp_path):
         root = str(tmp_path / "stages2")
         pdf = pages_df(spark, fixture_pages)

@@ -50,8 +50,27 @@ class LineageLog:
         with open(self.path) as f:
             return [json.loads(line) for line in f if line.strip()]
 
-    def completed_groups(self, stage: str) -> set[int]:
-        return {r["part_group"] for r in self.rows() if r["stage"] == stage}
+    def completed_groups(
+        self, stage: str, input_snapshot_id: str | None = None
+    ) -> set[int]:
+        """Groups with a completed lineage row for ``stage``.
+
+        With ``input_snapshot_id``, a group only counts as completed if its
+        LATEST lineage row was produced from that exact input snapshot —
+        groups whose recorded snapshot is older are STALE and must re-run
+        (the reference's delta semantics: the daily DAG resets
+        ``init_finished=0`` and re-ingests when NVD advances,
+        /root/reference/airflow/dags/ingestion_dag.py:53-77 +
+        /root/reference/data_collection/cve_collection.py:313-336).
+        Without it, presence alone counts (crash-resume within one
+        snapshot). Latest-row-wins: re-runs append, never rewrite."""
+        if input_snapshot_id is None:
+            return {r["part_group"] for r in self.rows() if r["stage"] == stage}
+        latest: dict[int, str] = {}
+        for r in self.rows():  # file order == append order
+            if r["stage"] == stage:
+                latest[r["part_group"]] = r.get("input_snapshot_id", "")
+        return {g for g, snap in latest.items() if snap == input_snapshot_id}
 
     def append(self, row: dict) -> None:
         with open(self.path, "a") as f:
@@ -115,7 +134,11 @@ def run_stage_with_resume(
 
     run_id = run_id or uuid.uuid4().hex[:12]
     log = LineageLog(out_root)
-    done = log.completed_groups(stage)
+    # snapshot-aware skip: a group completed under an OLDER input snapshot
+    # is stale — re-running it is idempotent (dynamic partition overwrite
+    # replaces exactly that group's directory), so resume never serves
+    # output computed from a superseded input version.
+    done = log.completed_groups(stage, input_snapshot_id)
     stage_dir = os.path.join(out_root, stage)
     pending = [g for g in range(n_groups) if g not in done]
     if pending:
