@@ -147,15 +147,25 @@ def minhash_lsh_pairs(
     n: int = 3,
     text_col: str = "text",
     hasher: str = "md5",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs agreeing on all rows of ≥1 band.
 
     Scale path: the join key is (band_id, band_signature) — documents only
     meet if a band collides, so shuffle volume tracks true near-duplicates,
     not |docs|². Returns distinct (doc_a, doc_b), doc_a < doc_b.
+
+    ``sigs``: pass a precomputed ``minhash_signatures`` DataFrame
+    (doc_id, sig) to reuse an existing signature stage — a real pipeline
+    computes signatures ONCE and feeds both the per-doc dedup table and
+    the banded pair join. The banded table is persisted before the
+    self-join: both join sides reference the same subtree, and without
+    materialization Spark evaluates the (md5-heavy) signature expressions
+    twice — measured ~2× on this stage.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, n, text_col, hasher)
+    if sigs is None:
+        sigs = minhash_signatures(docs, num_hashes, n, text_col, hasher)
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -171,7 +181,10 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bsig")
+    ).select("doc_id", "bk.band", "bk.bsig").persist()
+    # materialize BEFORE the self-join: the join's two scans of this cache
+    # race otherwise, and partitions not yet cached are computed twice
+    banded.count()
     a = banded.alias("a")
     b = banded.alias("b")
     return (
