@@ -419,6 +419,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return connected_components(edges)
     q["connected_components"] = q_connected_components
 
+    def q_canonical_map(spark, sf):
+        """A2 canonicalization end-to-end: surface-form/canonical-id alias
+        clusters → one deterministic representative per cluster (the n10s
+        unique-URI MERGE analog, /root/reference/process/graph_updater.py:
+        30-45, extended to alias merging)."""
+        from uckg_spark.operators.canonicalize import canonical_map
+
+        docs = _t(spark, sf, "documents")
+        alias_edges = docs.select(
+            F.lower(F.get(F.split("text", " "), 0)).alias("surface_key"),
+            F.concat(F.lit("ent:"), (F.col("doc_id") % 97).cast("string"))
+            .alias("canonical_id"),
+        )
+        return canonical_map(alias_edges)
+    q["canonical_map"] = q_canonical_map
+
     def q_knn_join_pandas(spark, sf):
         # broadcast-query batch kNN (Arrow/numpy partition-local top-k)
         from uckg_spark.operators.similarity import knn_join_pandas
@@ -518,30 +534,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fingerprints(_t(spark, sf, "documents"))
     q["fingerprint"] = q_fingerprint
 
+    def _staged_stream(spark, sf, table):
+        """Stage a single-file sf table into a fresh dir (FileStreamSource
+        sources a DIRECTORY) and return (bounded stream, workdir). The
+        workdir stays on disk for the session — the result DataFrame reads
+        its sink lazily, and a corpus-sized result must never be collected
+        to the driver just to outlive a temp dir."""
+        import shutil
+        import tempfile
+
+        src = os.path.join(sf, f"{table}.parquet")
+        schema = spark.read.parquet(src).schema
+        work = tempfile.mkdtemp(prefix="uckg_stream_q_")
+        src_dir = os.path.join(work, "src")
+        os.makedirs(src_dir)
+        shutil.copy(src, os.path.join(src_dir, f"{table}.parquet"))
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        return stream, work
+
     def q_streaming_first_seen(spark, sf):
         """Stateful Structured Streaming dedup (applyInPandasWithState,
         SURVEY.md §2.10 I2's streaming twin): drain the events table as a
         bounded stream (availableNow) and emit each user_id exactly once
         across micro-batches. The emitted SET is batch-slicing-independent,
         so the DuckDB oracle is exactly SELECT DISTINCT user_id."""
-        import shutil
-        import tempfile
-
         from uckg_spark.streaming.pages_stream import streaming_first_seen_keys
 
-        src = os.path.join(sf, "events.parquet")
-        schema = spark.read.parquet(src).schema
-        work = tempfile.mkdtemp(prefix="uckg_stream_q_")
-        # FileStreamSource sources a DIRECTORY; the sf tables are single
-        # parquet files, so stage the file into a stream-source dir
-        src_dir = os.path.join(work, "src")
-        os.makedirs(src_dir)
-        shutil.copy(src, os.path.join(src_dir, "events.parquet"))
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src_dir)
-        )
+        stream, work = _staged_stream(spark, sf, "events")
         out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
         q_ = (
             streaming_first_seen_keys(stream, "user_id", "bigint")
@@ -552,12 +575,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .start()
         )
         q_.awaitTermination()
-        result = spark.read.parquet(out).select("user_id")
-        # materialize before the temp dir is reclaimed
-        result = spark.createDataFrame(result.collect(), schema=result.schema)
-        shutil.rmtree(work, ignore_errors=True)
-        return result
+        return spark.read.parquet(out).select("user_id")
     q["streaming_first_seen"] = q_streaming_first_seen
+
+    def q_streaming_mention_rate(spark, sf):
+        """Watermarked event-time windowed aggregate (the monitoring
+        surface of the streaming ingest mode): 10-minute tumbling counts
+        with a 30-minute watermark in APPEND mode — only windows fully
+        below the final watermark are emitted, and the oracle reproduces
+        that emission rule exactly (window_end <= max_event_time - 30min,
+        millisecond-floored like Spark's window assignment)."""
+        from uckg_spark.streaming.pages_stream import mention_rate
+
+        stream, work = _staged_stream(spark, sf, "events")
+        # watermarks require TIMESTAMP (tz-aware); events.ts is NTZ.
+        # Session tz is UTC, so the cast is a pure reinterpretation.
+        mapped = stream.select(
+            F.col("ts").cast("timestamp").alias("warc_ts"),
+            (F.col("user_id") % 5).cast("string").alias("lang"),
+        )
+        rated = mention_rate(mapped).select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "lang",
+            "n_pages",
+        )
+        out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+        q_ = (
+            rated.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+        return spark.read.parquet(out)
+    q["streaming_mention_rate"] = q_streaming_mention_rate
 
     return q
 
@@ -883,6 +936,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT s.b, w.lab FROM walk w JOIN sym s ON s.a = w.node
         )
         SELECT node, min(lab) AS component FROM walk GROUP BY node
+    """
+
+    o["canonical_map"] = """
+        WITH RECURSIVE e AS (
+            SELECT 'surface:' || lower(string_split(text, ' ')[1]) AS src,
+                   'ent:' || (doc_id % 97)::VARCHAR AS dst
+            FROM documents
+        ), sym AS (
+            SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e
+        ), walk(node, lab) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+            UNION
+            SELECT s.b, w.lab FROM walk w JOIN sym s ON s.a = w.node
+        ), comp AS (
+            SELECT node, min(lab) AS component FROM walk GROUP BY node
+        ), rep AS (
+            SELECT component,
+                   coalesce(min(CASE WHEN node NOT LIKE 'surface:%'
+                                THEN node END), min(node)) AS canonical
+            FROM comp GROUP BY component
+        )
+        SELECT c.node AS member, r.canonical AS canonical
+        FROM comp c JOIN rep r ON c.component = r.component
+    """
+
+    o["streaming_mention_rate"] = """
+        -- append-mode emission rule: a window is emitted iff its END is
+        -- <= the final watermark (max event time - 30 min). Bucketing
+        -- floors by MILLISECOND like Spark's window(): epoch_ms // 600000
+        -- (epoch(ts)::BIGINT would ROUND the fractional second and shift
+        -- boundary events into the next window).
+        WITH m AS (SELECT epoch_ms(max(ts))::BIGINT AS mxms FROM events),
+        b AS (
+            SELECT ((epoch_ms(ts) // 600000) * 600)::BIGINT AS ws,
+                   (user_id % 5)::VARCHAR AS lang
+            FROM events
+        )
+        SELECT strftime(make_timestamp(ws * 1000000),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               lang, count(*) AS n_pages
+        FROM b, m
+        WHERE (ws + 600) * 1000 <= mxms - 1800000
+        GROUP BY 1, 2
     """
 
     o["knn_join_pandas"] = """
