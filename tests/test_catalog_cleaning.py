@@ -14,20 +14,25 @@ def test_graph_catalog_roundtrip(spark, fixture_pages, kg_dims, tmp_path):
 
     triples = build_triples(
         spark, pages_df(spark, fixture_pages[:30]), kg_dims).persist()
-    nodes, edges = materialize_graph(triples)
-    cat = GraphCatalog(str(tmp_path / "graph"))
-    s1 = cat.write_edges(edges)
-    s2 = cat.write_nodes(nodes)
-    assert cat.latest_snapshot("edges")["snapshot_id"] == s1
-    assert cat.latest_snapshot("nodes")["snapshot_id"] == s2
-    # predicate-sliced read returns exactly that predicate's edges
-    from uckg_spark.kernel import templates as T
+    try:
+        nodes, edges = materialize_graph(triples)
+        cat = GraphCatalog(str(tmp_path / "graph"))
+        s1 = cat.write_edges(edges)
+        s2 = cat.write_nodes(nodes)
+        assert cat.latest_snapshot("edges")["snapshot_id"] == s1
+        assert cat.latest_snapshot("nodes")["snapshot_id"] == s2
+        # predicate-sliced read returns exactly that predicate's edges
+        from uckg_spark.kernel import templates as T
 
-    got = cat.read_edges(spark, T.P_HAS_CVE_ID)
-    want = edges.filter(edges.pred == T.P_HAS_CVE_ID)
-    assert got.count() == want.count()
-    assert {r["subj"] for r in got.collect()} == {r["subj"] for r in want.collect()}
-    assert cat.read_nodes(spark).count() == nodes.count()
+        got = cat.read_edges(spark, T.P_HAS_CVE_ID)
+        want = edges.filter(edges.pred == T.P_HAS_CVE_ID)
+        assert got.count() == want.count()
+        assert {r["subj"] for r in got.collect()} == {r["subj"] for r in want.collect()}
+        assert cat.read_nodes(spark).count() == nodes.count()
+    finally:
+        # session-scoped spark fixture: leaked cache blocks accumulate
+        # across the whole suite otherwise
+        triples.unpersist()
 
 
 def test_multivalued_props_survive(spark, fixture_pages, kg_dims):
@@ -40,18 +45,21 @@ def test_multivalued_props_survive(spark, fixture_pages, kg_dims):
     from uckg_spark.sources.pages import pages_df
 
     triples = build_triples(spark, pages_df(spark, fixture_pages), kg_dims).persist()
-    multi = (
-        triples.filter(F.col("obj_is_literal") & (F.col("pred") == T.P_SUMMARY))
-        .groupBy("subj").agg(F.countDistinct("obj").alias("n"))
-        .filter(F.col("n") > 1)
-        .orderBy("subj").limit(1).collect()
-    )
-    assert multi, "fixture corpus must contain a multi-summary subject"
-    subj, n_vals = multi[0]["subj"], multi[0]["n"]
-    nodes, _ = materialize_graph(triples)
-    props = nodes.filter(F.col("uri") == subj).collect()[0]["props"]
-    assert len(props[T.P_SUMMARY]) == n_vals
-    assert props[T.P_SUMMARY] == sorted(props[T.P_SUMMARY])
+    try:
+        multi = (
+            triples.filter(F.col("obj_is_literal") & (F.col("pred") == T.P_SUMMARY))
+            .groupBy("subj").agg(F.countDistinct("obj").alias("n"))
+            .filter(F.col("n") > 1)
+            .orderBy("subj").limit(1).collect()
+        )
+        assert multi, "fixture corpus must contain a multi-summary subject"
+        subj, n_vals = multi[0]["subj"], multi[0]["n"]
+        nodes, _ = materialize_graph(triples)
+        props = nodes.filter(F.col("uri") == subj).collect()[0]["props"]
+        assert len(props[T.P_SUMMARY]) == n_vals
+        assert props[T.P_SUMMARY] == sorted(props[T.P_SUMMARY])
+    finally:
+        triples.unpersist()
 
 
 def test_hot_pred_spreads_over_writers(spark, tmp_path):

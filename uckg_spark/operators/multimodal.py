@@ -2,11 +2,12 @@
 with typed metadata.
 
 The Spark-side machinery (schemas, partition-friendly batch shapes,
-mapInPandas signatures) is real and tested; the actual media DECODE step is
-stubbed behind ``MEDIA_DECODERS`` because the codec libraries are not in
-this container — each stub is deterministic so tests can assert the
-plumbing end-to-end. Swapping a stub for a real decoder (PIL/ffmpeg) does
-not change any Spark code.
+mapInPandas signatures) is real and tested. Decoders in ``MEDIA_DECODERS``:
+the IMAGE path really decodes PNG (pure stdlib: zlib inflate + scanline
+unfilter, dimensions + per-channel means as features) and falls back to a
+deterministic sha256 fake for codecs not in this container (JPEG/WebP);
+audio/video are deterministic fakes (no ffmpeg here). Swapping a fake for
+a real decoder (PIL/ffmpeg) does not change any Spark code.
 """
 
 from __future__ import annotations
@@ -35,9 +36,96 @@ FEATURE_SCHEMA = Ty.StructType([
 ])
 
 
-def _stub_decode_image(payload: bytes) -> list[float]:
-    """STUB — deterministic fake for the container (no PIL). A real
-    deployment replaces this with PIL decode → resize → channel means."""
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> dict | None:
+    """REAL pure-stdlib PNG decode (zlib inflate + scanline unfilter) —
+    no codec library needed. Supports the common web shapes: 8-bit
+    greyscale / RGB / RGBA, non-interlaced. Returns
+    {width, height, channels, means: [per-channel pixel mean 0-1]} or
+    None when the payload is not a decodable PNG (caller falls back)."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != PNG_MAGIC:
+        return None
+    pos, idat, hdr = 8, [], None
+    try:
+        while pos + 8 <= len(payload):
+            (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+                payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + length]
+            if ctype == b"IHDR":
+                hdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if hdr is None or not idat:
+            return None
+        width, height, depth, color, _comp, _filt, interlace = hdr
+        n_chan = {0: 1, 2: 3, 6: 4}.get(color)
+        if n_chan is None or depth != 8 or interlace != 0:
+            return None  # exotic shape — fall back to the hash stub
+        raw = zlib.decompress(b"".join(idat))
+        stride = width * n_chan
+        if len(raw) != height * (stride + 1):
+            return None
+        sums = [0] * n_chan
+        prev = bytearray(stride)
+        for y in range(height):
+            off = y * (stride + 1)
+            ftype, line = raw[off], bytearray(raw[off + 1:off + 1 + stride])
+            for x in range(stride):
+                a = line[x - n_chan] if x >= n_chan else 0
+                b = prev[x]
+                c = prev[x - n_chan] if x >= n_chan else 0
+                if ftype == 1:
+                    line[x] = (line[x] + a) & 0xFF
+                elif ftype == 2:
+                    line[x] = (line[x] + b) & 0xFF
+                elif ftype == 3:
+                    line[x] = (line[x] + (a + b) // 2) & 0xFF
+                elif ftype == 4:
+                    line[x] = (line[x] + _paeth(a, b, c)) & 0xFF
+            for x in range(stride):
+                sums[x % n_chan] += line[x]
+            prev = line
+        n_px = width * height
+        return {
+            "width": width, "height": height, "channels": n_chan,
+            "means": [s / (255.0 * n_px) for s in sums],
+        }
+    except Exception:
+        return None  # corrupt payload — not an image we can decode
+
+
+def _decode_image(payload: bytes) -> list[float]:
+    """Image feature vector: REAL PNG decode (dimensions + channel means)
+    when the payload is a PNG; deterministic sha256 fake otherwise (JPEG/
+    WebP codecs are not in this container — swapping in PIL here changes
+    no Spark code). 8 dims either way, so the Spark schema/batch shape is
+    payload-independent."""
+    png = decode_png(payload)
+    if png is not None:
+        means = (png["means"] + [0.0] * 4)[:4]
+        return [
+            min(png["width"] / 65535.0, 1.0),
+            min(png["height"] / 65535.0, 1.0),
+            *means,
+            png["channels"] / 4.0,
+            1.0,  # "decoded for real" flag
+        ]
     d = hashlib.sha256(payload).digest()
     return [b / 255.0 for b in d[:8]]
 
@@ -55,7 +143,7 @@ def _stub_frame_sample_video(payload: bytes) -> list[float]:
 
 
 MEDIA_DECODERS = {
-    "image": _stub_decode_image,
+    "image": _decode_image,  # REAL for PNG; hash fake for other codecs
     "audio": _stub_decode_audio,
     "video": _stub_frame_sample_video,
 }

@@ -49,8 +49,21 @@ class KgDims:
         from ..fixtures import dicts as D
         from ..sources import dims as S
 
+        # localCheckpoint blocks live only on current executors: safe in
+        # local mode (one JVM, no executor loss), but on a real cluster a
+        # lost executor permanently loses dim blocks mid-job. There, dims
+        # come from parquet reference tables anyway; until then, fall back
+        # to a replicated persist that survives single-executor loss.
+        is_local = spark.sparkContext.master.startswith("local")
+
         def _mat(df):
-            return df.localCheckpoint(eager=True)
+            if is_local:
+                return df.localCheckpoint(eager=True)
+            from pyspark import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK_2)
+            df.count()
+            return df
 
         self.cve = _mat(S.dim_cve(spark))
         self.cwe = _mat(S.dim_cwe(spark))
@@ -67,7 +80,6 @@ def linked_mentions(
     spark: SparkSession, pages: DataFrame, dims: KgDims,
     mention_partitions: int | None = None,
     defer_barrier: bool = False,
-    truncate_lineage: bool | None = None,
 ) -> dict[str, DataFrame]:
     """Stages 1–3: extract, detect, link.
 
@@ -82,17 +94,15 @@ def linked_mentions(
     same id twice): every consumer is a semi join, a pair-distinct, or the
     global A1 dedup — re-deduplicating here would be a wasted shuffle.
 
-    ``truncate_lineage`` is accepted for API stability but ignored: the
-    per-kind tables are plain ``persist()``-ed. (A localCheckpoint variant
-    was measured and REJECTED: under AQE, ``Dataset.checkpoint`` pre-executes
-    the adaptive plan inside ``toRdd`` — the full page scan ran serially on
-    the driver thread at wrapper-construction time, costing ~187 s at 720k
-    pages before any overlap could start. The slow-mode pathology that
-    motivated it — multi-second task-binary deserialization storms — was
-    actually caused by Python-parallelized dim RDDs and is fixed at the
-    source in ``KgDims``.)
+    The per-kind tables are plain ``persist()``-ed. (A localCheckpoint
+    variant was measured and REJECTED: under AQE, ``Dataset.checkpoint``
+    pre-executes the adaptive plan inside ``toRdd`` — the full page scan ran
+    serially on the driver thread at wrapper-construction time, costing
+    ~187 s at 720k pages before any overlap could start. The slow-mode
+    pathology that motivated it — multi-second task-binary deserialization
+    storms — was actually caused by Python-parallelized dim RDDs and is
+    fixed at the source in ``KgDims``.)
     """
-    del truncate_lineage
     mentions = scan_pages(spark, pages, dims.alias_rows)
     # the mention table is ~1000× smaller than pages; re-bucketing it to a
     # size-appropriate partition count before caching caps the task count
@@ -247,7 +257,16 @@ def linked_mentions(
         for t in ts:
             t.join()
         if errs:
-            raise errs[0]
+            # surface EVERY failed kind, not just the first: concurrent
+            # failures can have different root causes and hiding five of
+            # six masks the real one
+            primary = errs[0]
+            for extra in errs[1:]:
+                primary.add_note(
+                    f"additional concurrent kind-cache failure: "
+                    f"{type(extra).__name__}: {extra}"
+                )
+            raise primary
 
     if defer_barrier:
         err: list[BaseException] = []
@@ -284,7 +303,6 @@ def build_triples(
     spark: SparkSession, pages: DataFrame, dims: KgDims,
     mention_partitions: int | None = None,
     mentions: dict[str, DataFrame] | None = None,
-    truncate_lineage: bool | None = None,
 ) -> DataFrame:
     """Stages 4–6: co-mention edges + entity records → repaired, deduped
     triple set (the oracle-parity surface).
@@ -294,7 +312,6 @@ def build_triples(
     miss Spark's cache-by-plan matching and re-run the whole scan)."""
     m = mentions or linked_mentions(
         spark, pages, dims, mention_partitions, defer_barrier=True,
-        truncate_lineage=truncate_lineage,
     )
     m_cve, m_cwe, m_capec, m_attack, m_cpe = (
         m["cve"], m["cwe"], m["capec"], m["attack"], m["cpe"],
