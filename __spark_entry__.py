@@ -271,6 +271,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["salted_agg"] = q_salted_agg
 
+    def q_salted_distinct(spark, sf):
+        """Two-phase distinct for skewed keys: partial dedup on
+        (keys, salt) shrinks a hot key's shuffle traffic n_salt× before
+        the final exact dedup."""
+        from uckg_spark.operators.skew import salted_distinct
+
+        ev = _t(spark, sf, "events")
+        return salted_distinct(ev, ["user_id", "event_type"])
+    q["salted_distinct"] = q_salted_distinct
+
     def q_event_window(spark, sf):  # event-time tumbling window (streaming analog)
         ev = _t(spark, sf, "events")
         return (
@@ -731,6 +741,10 @@ def oracle_sql() -> dict[str, str]:
     o["salted_agg"] = """
         SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
         FROM events GROUP BY user_id
+    """
+
+    o["salted_distinct"] = """
+        SELECT DISTINCT user_id, event_type FROM events
     """
 
     o["event_window"] = """
