@@ -445,6 +445,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return canonical_map(alias_edges)
     q["canonical_map"] = q_canonical_map
 
+    def q_subsumption_closure(spark, sf):
+        """R2 reasoning twin (SURVEY §2.11): rdfs:subClassOf transitive
+        closure via semi-naive iteration over a 3-level hierarchy built
+        from the TPC-H FK chain (customer ⊂ nation ⊂ region ⊂ world)."""
+        from uckg_spark.operators.reasoning import transitive_closure
+
+        cust = _t(spark, sf, "customer").select(
+            F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))
+            .alias("child"),
+            F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string"))
+            .alias("parent"),
+        )
+        nat = _t(spark, sf, "nation").select(
+            F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string"))
+            .alias("child"),
+            F.concat(F.lit("region:"), F.col("n_regionkey").cast("string"))
+            .alias("parent"),
+        )
+        reg = _t(spark, sf, "region").select(
+            F.concat(F.lit("region:"), F.col("r_regionkey").cast("string"))
+            .alias("child"),
+            F.lit("world").alias("parent"),
+        )
+        edges = cust.unionByName(nat).unionByName(reg)
+        return transitive_closure(edges)
+    q["subsumption_closure"] = q_subsumption_closure
+
     def q_knn_join_pandas(spark, sf):
         # broadcast-query batch kNN (Arrow/numpy partition-local top-k)
         from uckg_spark.operators.similarity import knn_join_pandas
@@ -745,6 +772,23 @@ def oracle_sql() -> dict[str, str]:
 
     o["salted_distinct"] = """
         SELECT DISTINCT user_id, event_type FROM events
+    """
+
+    o["subsumption_closure"] = """
+        WITH RECURSIVE e AS (
+            SELECT 'cust:' || c_custkey::VARCHAR AS child,
+                   'nation:' || c_nationkey::VARCHAR AS parent FROM customer
+            UNION ALL
+            SELECT 'nation:' || n_nationkey::VARCHAR,
+                   'region:' || n_regionkey::VARCHAR FROM nation
+            UNION ALL
+            SELECT 'region:' || r_regionkey::VARCHAR, 'world' FROM region
+        ), tc(child, parent) AS (
+            SELECT child, parent FROM e
+            UNION
+            SELECT tc.child, e.parent FROM tc JOIN e ON tc.parent = e.child
+        )
+        SELECT child AS descendant, parent AS ancestor FROM tc
     """
 
     o["event_window"] = """

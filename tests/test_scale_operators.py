@@ -329,6 +329,41 @@ class TestMultimodal:
         assert abs(feat[0] - 4 / 65535.0) < 1e-12
         assert feat[6] == 3 / 4.0
 
+    def test_wav_decode_real(self):
+        """The audio decoder really parses PCM WAV: rate, duration, and
+        exact amplitude statistics; non-WAV falls back to the sha256 fake."""
+        import hashlib
+        import io
+        import struct
+        import wave
+
+        from uckg_spark.operators.multimodal import _decode_audio, decode_wav
+
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        samples = [0, 16384, -16384, 32767, -32768, 0, 8192, -8192]
+        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        w.close()
+        payload = buf.getvalue()
+
+        dec = decode_wav(payload)
+        assert dec["rate"] == 8000 and dec["channels"] == 1
+        assert dec["n_samples"] == len(samples)
+        want_mean = sum(abs(s) for s in samples) / (len(samples) * 32768.0)
+        assert abs(dec["mean_abs"] - want_mean) < 1e-12
+        assert abs(dec["peak"] - 1.0) < 1e-4  # -32768/32768
+
+        feat = _decode_audio(payload)
+        assert abs(feat[0] - 8000 / 96000.0) < 1e-12
+        assert abs(feat[2] - want_mean) < 1e-12
+
+        junk = b"RIFFnope" * 8
+        d = hashlib.sha256(b"audio:" + junk).digest()
+        assert _decode_audio(junk) == [b / 255.0 for b in d[:4]]
+
     def test_png_fallback_and_spark_path(self, spark):
         """Non-PNG payloads keep the deterministic sha256 fallback (the
         oracle contract), and a real PNG flows through the mapInPandas

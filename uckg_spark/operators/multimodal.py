@@ -4,10 +4,11 @@ with typed metadata.
 The Spark-side machinery (schemas, partition-friendly batch shapes,
 mapInPandas signatures) is real and tested. Decoders in ``MEDIA_DECODERS``:
 the IMAGE path really decodes PNG (pure stdlib: zlib inflate + scanline
-unfilter, dimensions + per-channel means as features) and falls back to a
-deterministic sha256 fake for codecs not in this container (JPEG/WebP);
-audio/video are deterministic fakes (no ffmpeg here). Swapping a fake for
-a real decoder (PIL/ffmpeg) does not change any Spark code.
+unfilter, dimensions + per-channel means as features) and the AUDIO path
+really decodes PCM WAV (RIFF parse + sample statistics); both fall back
+to a deterministic sha256 fake for codecs not in this container
+(JPEG/WebP/MP3/…). Video remains a deterministic fake (no ffmpeg here).
+Swapping a fake for a real decoder (PIL/ffmpeg) changes no Spark code.
 """
 
 from __future__ import annotations
@@ -130,8 +131,64 @@ def _decode_image(payload: bytes) -> list[float]:
     return [b / 255.0 for b in d[:8]]
 
 
-def _stub_decode_audio(payload: bytes) -> list[float]:
-    """STUB — deterministic fake (no soundfile/ffmpeg here)."""
+def decode_wav(payload: bytes) -> dict | None:
+    """REAL pure-stdlib WAV (RIFF/PCM) decode: header parse + 16-bit or
+    8-bit PCM sample statistics. Returns {rate, channels, n_samples,
+    mean_abs, peak} (amplitudes normalized to 0-1) or None when the
+    payload is not decodable PCM WAV (caller falls back)."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    try:
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid, clen = payload[pos:pos + 4], struct.unpack(
+                "<I", payload[pos + 4:pos + 8])[0]
+            body = payload[pos + 8:pos + 8 + clen]
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            return None
+        audio_fmt, channels, rate, _bps, _align, bits = fmt
+        if audio_fmt != 1 or bits not in (8, 16) or channels < 1:
+            return None  # non-PCM / exotic depth — fall back
+        if bits == 16:
+            n = len(data) // 2
+            samples = struct.unpack(f"<{n}h", data[:n * 2])
+            scale = 32768.0
+        else:
+            samples = [s - 128 for s in data]
+            scale = 128.0
+        if not samples:
+            return None
+        absvals = [abs(s) for s in samples]
+        return {
+            "rate": rate, "channels": channels,
+            "n_samples": len(samples) // channels,
+            "mean_abs": sum(absvals) / (len(absvals) * scale),
+            "peak": max(absvals) / scale,
+        }
+    except Exception:
+        return None
+
+
+def _decode_audio(payload: bytes) -> list[float]:
+    """Audio feature vector: REAL PCM WAV decode (rate, duration,
+    amplitude stats) when the payload is RIFF/WAVE; deterministic sha256
+    fake otherwise (compressed codecs are not in this container). 4 dims
+    either way — payload-independent batch shape."""
+    wav = decode_wav(payload)
+    if wav is not None:
+        return [
+            min(wav["rate"] / 96000.0, 1.0),
+            min(wav["n_samples"] / (wav["rate"] * 60.0), 1.0),  # ≤1 min cap
+            wav["mean_abs"],
+            wav["peak"],
+        ]
     d = hashlib.sha256(b"audio:" + payload).digest()
     return [b / 255.0 for b in d[:4]]
 
@@ -144,7 +201,7 @@ def _stub_frame_sample_video(payload: bytes) -> list[float]:
 
 MEDIA_DECODERS = {
     "image": _decode_image,  # REAL for PNG; hash fake for other codecs
-    "audio": _stub_decode_audio,
+    "audio": _decode_audio,  # REAL for PCM WAV; hash fake otherwise
     "video": _stub_frame_sample_video,
 }
 

@@ -76,11 +76,30 @@ class KgDims:
         self.alias_rows = D.alias_table()
 
 
+class MentionTables(dict):
+    """Per-kind mention DataFrames keyed by kind (plus ``mentions``).
+
+    Built with ``defer_barrier=True``, the scan materializes in a
+    background thread: callers MUST invoke :meth:`join_barrier` before
+    triggering any downstream action (``build_triples`` does). The method
+    is explicit and idempotent — it joins the scan thread, re-raises any
+    scan error, and materializes the per-kind caches; a second call is a
+    no-op. (Replaces a magic ``"_barrier"`` dict key that callers could
+    silently forget, swallowing scan errors.)"""
+
+    _barrier_fn = None
+
+    def join_barrier(self) -> None:
+        fn, self._barrier_fn = self._barrier_fn, None
+        if fn is not None:
+            fn()
+
+
 def linked_mentions(
     spark: SparkSession, pages: DataFrame, dims: KgDims,
     mention_partitions: int | None = None,
     defer_barrier: bool = False,
-) -> dict[str, DataFrame]:
+) -> "MentionTables":
     """Stages 1–3: extract, detect, link.
 
     SHUFFLE BUDGET: the mention stream is persisted once; every per-kind
@@ -203,7 +222,7 @@ def linked_mentions(
     # duplicates (url, cpeName) across exact/fuzzy carry identical field
     # values (same dictionary row) — the global dedup absorbs them
     m_cpe = cpe_exact.unionByName(cpe_fuzzy)
-    out = {
+    out = MentionTables({
         "mentions": mentions,
         "cve": m_cve,
         "cwe": m_cwe,
@@ -211,7 +230,7 @@ def linked_mentions(
         "attack": m_attack,
         "d3fend": m_d3fend,
         "cpe": m_cpe,
-    }
+    })
     # each per-kind table feeds 2-5 emission branches; persisting them (they
     # are mention-sized, tiny relative to pages) lets every branch read a
     # materialized cache instead of re-driving its own broadcast exchange
@@ -228,7 +247,7 @@ def linked_mentions(
     # cores: more concurrent stages, more duplicated scans).
     #
     # With defer_barrier=True the materializing runs in a background
-    # thread and a "_barrier" callable is returned in the dict: the caller
+    # thread behind MentionTables.join_barrier(): the caller
     # constructs its (large, py4j-round-trip-heavy — measured ~4.5 s of
     # driver-serial time) downstream plan WHILE executors run the scan,
     # and joins the barrier before triggering any action. That driver
@@ -292,7 +311,7 @@ def linked_mentions(
                 raise err[0]
             _store_kinds()
 
-        out["_barrier"] = barrier
+        out._barrier_fn = barrier
     else:
         mentions.count()
         _store_kinds()
@@ -422,9 +441,9 @@ def build_triples(
     # join the scan-materialization barrier (started by linked_mentions
     # while this plan was being constructed) before handing the plan to the
     # caller: an action on `result` must never race the cache population.
-    b = m.get("_barrier")
-    if callable(b):
-        b()
+    # (A plain dict passed via ``mentions`` was built eagerly — no barrier.)
+    if isinstance(m, MentionTables):
+        m.join_barrier()
     return result
 
 
