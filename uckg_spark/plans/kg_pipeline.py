@@ -381,16 +381,24 @@ def build_triples(
     rec_uri = F.concat(F.lit(T.EX_HASH), F.col("cpeName"))
     parts.append(PT.emit(cpe_records, PT.cpe_record_elements(rec_uri)))
 
-    # R5 — full CWE records for mentioned CWEs
+    # R5 — full CWE records for mentioned CWEs. m_cwe ids passed the
+    # dictionary inner-join upstream, so the distinct id set is bounded by
+    # |CWE dictionary| at ANY corpus size — an explicit broadcast replaces
+    # a two-shuffle sort-merge semi-join with a map-side probe. (The CVE
+    # gate at R2 stays a join: CVE ids are regex-canonical, not
+    # dictionary-validated, so their distinct count is corpus-driven.)
     parts.append(PT.emit_cwe_batch(
-        dims.cwe.join(m_cwe.select(F.col("cwe").alias("id_value")),
-                      "id_value", "leftsemi")
+        dims.cwe.join(
+            F.broadcast(m_cwe.select(F.col("cwe").alias("id_value")).distinct()),
+            "id_value", "leftsemi")
     ))
 
     # R6 — CAPEC records + exploitsVulnerability edges on co-mention
+    # (same dictionary-bounded broadcast argument as R5)
     parts.append(PT.emit_capec_batch(
-        dims.capec.join(m_capec.select(F.col("capec_id").alias("ID")),
-                        "ID", "leftsemi")
+        dims.capec.join(
+            F.broadcast(m_capec.select(F.col("capec_id").alias("ID")).distinct()),
+            "ID", "leftsemi")
     ))
     ce = m_capec.join(m_cve, "url").select("capec_id", "cve").distinct()
     capec_uri = F.concat(F.lit("https://capec.mitre.org/data/definitions/"),
@@ -431,10 +439,12 @@ def build_triples(
     ))
 
     # R8 — D3FEND record batch for mentioned, in-dictionary d3fend ids
-    # (incl. the _ID stray-quote typo: no _ID triples, d3fend_rml.ttl:29)
+    # (incl. the _ID stray-quote typo: no _ID triples, d3fend_rml.ttl:29).
+    # d3fend ids are dictionary-validated upstream → broadcast like R5/R6.
     parts.append(PT.emit_d3fend_batch(
         dims.d3fend.join(
-            m["d3fend"].select(F.col("d3_id").alias("id")), "id", "leftsemi")
+            F.broadcast(m["d3fend"].select(F.col("d3_id").alias("id")).distinct()),
+            "id", "leftsemi")
     ))
 
     result = PT.repair_and_dedup(PT._union(parts))
