@@ -625,8 +625,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from uckg_spark.streaming.pages_stream import mention_rate
 
         stream, work = _staged_stream(spark, sf, "events")
-        # watermarks require TIMESTAMP (tz-aware); events.ts is NTZ.
-        # Session tz is UTC, so the cast is a pure reinterpretation.
+        # watermarks require TIMESTAMP (tz-aware); events.ts is NTZ. The
+        # NTZ→timestamp cast reinterprets in the SESSION timezone — pin it
+        # to UTC so a harness session built with a non-UTC default can't
+        # shift every window boundary.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         mapped = stream.select(
             F.col("ts").cast("timestamp").alias("warc_ts"),
             (F.col("user_id") % 5).cast("string").alias("lang"),
