@@ -66,6 +66,13 @@ def main(sf_dir: str) -> int:
             cur = con.execute(sql)
             dcols = [d[0] for d in cur.description]
             drows = [tuple(r) for r in cur.fetchall()]
+            # the grading driver fetches via pandas/Arrow, which converts
+            # DuckDB HUGEINT/DECIMAL columns to float64/decimal128 —
+            # fetchall() preserves ints, so a query can pass here yet fail
+            # the driver (rounds 1-2 `sessionize`). Hash the pandas fetch
+            # too and flag any divergence between the two oracle paths.
+            pdf = con.execute(sql).df()
+            prows = [tuple(r) for r in pdf.itertuples(index=False)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error {e}")
             failures += 1
@@ -76,7 +83,11 @@ def main(sf_dir: str) -> int:
         if len(srows) != len(drows):
             problems.append(f"rows {len(srows)} vs {len(drows)}")
         if not problems and value_hash(srows, scols) != value_hash(drows, dcols):
-            problems.append("value hash mismatch")
+            problems.append("value hash mismatch (fetchall path)")
+        if not problems and value_hash(srows, scols) != value_hash(prows, list(pdf.columns)):
+            problems.append(
+                "value hash mismatch on the PANDAS fetch path only — "
+                "likely an uncast HUGEINT/DECIMAL oracle column (add ::BIGINT)")
             sset = {tuple(str(x) for x in r) for r in srows}
             dset = {tuple(str(x) for x in r) for r in drows}
             only_s = list(sset - dset)[:2]
