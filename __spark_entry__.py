@@ -398,6 +398,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                  n=SHINGLE_N, sigs=_shared_sigs(spark, sf))
     q["minhash_lsh_pairs"] = q_minhash_lsh_pairs
 
+    def q_dedup_exact_apply(spark, sf):
+        """The APPLY step of exact dedup: the kept corpus (one keeper per
+        byte-identical group, min doc_id)."""
+        from uckg_spark.operators.dedup import exact_dedup_apply
+
+        docs = _t(spark, sf, "documents")
+        return exact_dedup_apply(docs).select("doc_id")
+    q["dedup_exact_apply"] = q_dedup_exact_apply
+
+    def q_near_dup_keepers(spark, sf):
+        """End-to-end near-dup removal: LSH candidate pairs → connected
+        components over the pair graph → min-doc_id keeper per cluster +
+        all unpaired docs (the full 10^12-scale dedup composition)."""
+        from uckg_spark.operators.dedup import near_duplicate_keepers
+
+        docs = _t(spark, sf, "documents")
+        return near_duplicate_keepers(
+            docs, num_hashes=N_MINHASH, bands=2, n=SHINGLE_N,
+            sigs=_shared_sigs(spark, sf))
+    q["near_dup_keepers"] = q_near_dup_keepers
+
     def q_simhash_duplicates(spark, sf):
         from uckg_spark.operators.dedup import simhash_duplicates
 
@@ -967,6 +988,49 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    """
+
+    o["dedup_exact_apply"] = """
+        SELECT doc_id FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS k
+            FROM documents
+        ) WHERE doc_id = k
+    """
+
+    # pairs CTE identical to minhash_lsh_pairs, then components over the
+    # pair graph (numeric labels — same partition as the operator's string
+    # labels) and min-doc_id keeper per cluster + unpaired docs
+    o["near_dup_keepers"] = f"""
+        {shingle_cte.replace("WITH toks", "WITH RECURSIVE toks")}, sig AS (
+            SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id
+        ), banded AS (
+            SELECT doc_id, 0 AS band,
+                   mh0::VARCHAR || '_' || mh1::VARCHAR AS bsig FROM sig
+            UNION ALL
+            SELECT doc_id, 1, mh2::VARCHAR || '_' || mh3::VARCHAR FROM sig
+        ), pr AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        ), sym AS (
+            SELECT doc_a AS a, doc_b AS b FROM pr
+            UNION SELECT doc_b, doc_a FROM pr
+        ), walk(node, lab) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+            UNION
+            SELECT s.b, w.lab FROM walk w JOIN sym s ON s.a = w.node
+        ), comp AS (
+            SELECT node, min(lab) AS component FROM walk GROUP BY node
+        ), keepers AS (
+            SELECT component, min(node) AS keeper FROM comp GROUP BY component
+        )
+        SELECT c.node AS doc_id, k.keeper AS cluster_id
+        FROM comp c JOIN keepers k ON c.component = k.component
+        WHERE c.node = k.keeper
+        UNION ALL
+        SELECT d.doc_id, d.doc_id
+        FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM comp WHERE comp.node = d.doc_id)
     """
 
     o["simhash_duplicates"] = f"""

@@ -43,6 +43,67 @@ def shingles(c: Column, n: int = 3) -> Column:
     )
 
 
+def exact_dedup_apply(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The APPLY step of exact dedup: return the corpus with one keeper
+    per byte-identical group (min doc_id — the A3 deterministic winner).
+    One digest shuffle with map-side partial min; the keeper semi-join is
+    on doc_id (unique, well-spread)."""
+    keepers = (
+        docs.select(F.md5(F.col(text_col)).alias("digest"), "doc_id")
+        .groupBy("digest")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return docs.join(keepers, "doc_id", "leftsemi")
+
+
+def near_duplicate_keepers(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    hasher: str = "md5",
+    sigs: DataFrame | None = None,
+) -> DataFrame:
+    """End-to-end near-dup removal — the composition a 10^12-doc training
+    pipeline actually runs: MinHash-LSH candidate pairs → connected
+    components over the pair graph (transitive near-dup clusters) → keep
+    the MIN doc_id per cluster, plus every unpaired doc.
+
+    Returns (doc_id, cluster_id) for KEPT docs; cluster_id is the min
+    doc_id of the doc's near-dup cluster (its own id when unpaired).
+    Every stage is the scale path: banded join (shuffle tracks true
+    near-dups, not |docs|²), min-label propagation (no single-reducer
+    hotspots), keeper choice inside the CC aggregate."""
+    from .canonicalize import connected_components
+
+    pairs = minhash_lsh_pairs(docs, num_hashes, bands, n, text_col,
+                              hasher, sigs=sigs)
+    cc = connected_components(
+        pairs.select(F.col("doc_a").cast("string").alias("src"),
+                     F.col("doc_b").cast("string").alias("dst"))
+    )
+    # per cluster: keeper = min doc id (string min != numeric min, so cast
+    # back and take the numeric min per component)
+    members = cc.select(
+        F.col("node").cast("bigint").alias("doc_id"),
+        F.col("component"),
+    )
+    keepers = members.groupBy("component").agg(
+        F.min("doc_id").alias("keeper_id"))
+    clustered = (
+        members.join(keepers, "component")
+        .filter(F.col("doc_id") == F.col("keeper_id"))
+        .select("doc_id", F.col("keeper_id").alias("cluster_id"))
+    )
+    unpaired = (
+        docs.join(members.select("doc_id"), "doc_id", "leftanti")
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+    )
+    return clustered.unionByName(unpaired)
+
+
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Groups of byte-identical documents; keeper = min doc_id (A3-style
     deterministic winner). Returns (digest, keeper_id, dup_ids, n)."""
