@@ -61,6 +61,24 @@ class TestDedup:
                  dedup.minhash_lsh_pairs(_docs(spark), num_hashes=8, bands=4).collect()}
         assert (0, 3) in pairs
 
+    def test_exact_dedup_apply_keeps_min(self, spark):
+        kept = sorted(r["doc_id"] for r in
+                      dedup.exact_dedup_apply(_docs(spark)).collect())
+        assert kept == [0, 1, 2, 4]  # doc 3 (exact dup of 0) removed
+
+    def test_near_dup_keepers_clusters_and_passthrough(self, spark):
+        out = {r["doc_id"]: r["cluster_id"] for r in
+               dedup.near_duplicate_keepers(
+                   _docs(spark), num_hashes=8, bands=4).collect()}
+        # docs 0 and 3 are identical → same cluster, min id (0) kept;
+        # doc 3 removed entirely
+        assert 3 not in out
+        assert out[0] == 0
+        # doc 2 shares nothing → unpaired passthrough, own cluster
+        assert out[2] == 2
+        # every kept doc appears exactly once
+        assert len(out) == len(set(out))
+
     def test_simhash_exact_dups_equal(self, spark):
         fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(_docs(spark)).collect()}
         assert fps[0] == fps[3]
