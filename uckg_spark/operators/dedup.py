@@ -174,31 +174,50 @@ def minhash_signatures(
     CollapseProject keeps a multiply-referenced non-trivial alias as a
     projection boundary — inlining it (round-1 shape) re-tokenized and
     re-shingled every row once PER HASH FAMILY (measured 3.3× on this
-    stage at sf0.1)."""
+    stage at sf0.1). The md5 DIGEST ARRAYS get the same treatment: the 4
+    slices of family p's digest live in 4 separate transform lambdas, and
+    CSE does not share subexpressions across lambda scopes — without the
+    materialized `_dig{p}` column every digest was computed once per
+    SLICE, 4× the md5 budget (measured ~15% wall on this stage at sf0.1
+    with k=4 — shingling dominates there; the md5 saving grows linearly
+    with k since slices amortize 4 hashes per digest)."""
     pre = docs.select(
         "doc_id", F.array_distinct(shingles(F.col(text_col), n)).alias("_sh")
     )
     sh = F.col("_sh")
 
-    def min_hash_j(j: int) -> Column:
-        # NB: unary lambdas only — pyspark treats a 2-arg transform lambda
-        # as (element, index)
-        if hasher == "xxhash64":
-            salt = j
+    if hasher == "xxhash64":
+        def min_hash_x(j: int) -> Column:
+            # NB: unary lambdas only — pyspark treats a 2-arg transform
+            # lambda as (element, index)
             return F.array_min(F.transform(
-                sh, lambda s: F.xxhash64(F.lit(salt), s)
+                sh, lambda s: F.xxhash64(F.lit(j), s)
             ))
-        prefix = f"{j // 4}:"
+
+        sig = F.array(*[min_hash_x(j) for j in range(num_hashes)])
+        return pre.select("doc_id", sig.alias("sig"))
+
+    n_fams = (num_hashes + 3) // 4
+
+    def _fam_digests(p: int) -> Column:
+        # factory (not a default-arg lambda): pyspark treats a 2-parameter
+        # transform lambda as (element, index)
+        return F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{p}:"), s)))
+
+    digs = pre.select(
+        "doc_id",
+        *[_fam_digests(p).alias(f"_dig{p}") for p in range(n_fams)],
+    )
+
+    def min_hash_j(j: int) -> Column:
         off = 8 * (j % 4) + 1
         return F.array_min(F.transform(
-            sh,
-            lambda s: F.conv(
-                F.substring(F.md5(F.concat(F.lit(prefix), s)), off, 8), 16, 10
-            ).cast("bigint"),
+            F.col(f"_dig{j // 4}"),
+            lambda d: F.conv(F.substring(d, off, 8), 16, 10).cast("bigint"),
         ))
 
     sig = F.array(*[min_hash_j(j) for j in range(num_hashes)])
-    return pre.select("doc_id", sig.alias("sig"))
+    return digs.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
