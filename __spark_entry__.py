@@ -911,18 +911,19 @@ def oracle_sql() -> dict[str, str]:
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         cent AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
                  FROM embeddings ORDER BY vec_id LIMIT 16),
+        -- probe/assignment ranking drops the norm of the FIXED side (a
+        -- common positive factor): order equals full cosine, and the SQL
+        -- mirrors the Spark operator's arithmetic bit-for-bit
         probes AS (
             SELECT c_id FROM cent, q
-            ORDER BY list_dot_product(cv, qv)
-                     / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv)))
+            ORDER BY list_dot_product(cv, qv) / sqrt(list_dot_product(cv, cv))
                      DESC, c_id
             LIMIT 4
         ),
         scored AS (
             SELECT e.vec_id, c.c_id,
                    list_dot_product(e.embedding::DOUBLE[], c.cv)
-                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
-                      * sqrt(list_dot_product(c.cv, c.cv))) AS cos_c
+                   / sqrt(list_dot_product(c.cv, c.cv)) AS cos_c
             FROM embeddings e, cent c
         ),
         assign AS (

@@ -188,13 +188,17 @@ def ivf_assign_col(vec: Column, centroids: list[tuple[int, list[float]]]) -> Col
     """Nearest-centroid id (cosine, ties to the smaller id) as pure column
     algebra: the centroid matrix rides into the plan as literals (no join,
     no shuffle — each row's assignment is embarrassingly parallel), sorted
-    via array_sort over struct(-cos, cid). Centroid norms are constant
-    expressions Catalyst folds at plan time."""
+    via array_sort over struct(-score, cid). Centroid norms are constant
+    expressions Catalyst folds at plan time. The ROW norm is deliberately
+    absent: it is a common positive factor across all centroids, so
+    ranking by dot/|c| equals ranking by full cosine — and including it
+    cost one array-fold per CENTROID per row (n_centroids× the fold
+    budget; subexpression elimination does not span the struct entries)."""
     entries = []
     for cid, cvec in centroids:
         c = F.array(*[F.lit(float(x)) for x in cvec])
         entries.append(F.struct(
-            (-(dot(vec, c) / (norm(vec) * norm(c)))).alias("nc"),
+            (-(dot(vec, c) / norm(c))).alias("nc"),
             F.lit(int(cid)).cast("bigint").alias("cid"),
         ))
     return F.array_sort(F.array(*entries))[0]["cid"]
@@ -229,16 +233,18 @@ def ivf_topk(
 
     import math
 
-    def cosd(a: list[float], b: list[float]) -> float:
-        d = nb = na = 0.0
-        for x, y in zip(a, b):
+    def probe_score(c: list[float], q: list[float]) -> float:
+        # dot/|c| — the query norm is constant across candidates, so the
+        # ranking equals full cosine (mirrors ivf_assign_col's formula and
+        # the oracle's, keeping the float arithmetic bit-identical)
+        d = nc = 0.0
+        for x, y in zip(c, q):
             d += x * y
-            na += x * x
-            nb += y * y
-        return d / (math.sqrt(na) * math.sqrt(nb))
+            nc += x * x
+        return d / math.sqrt(nc)
 
     probe_ids = [cid for cid, _ in sorted(
-        centroids, key=lambda c: (-cosd(c[1], query_vec), c[0]))[:n_probe]]
+        centroids, key=lambda c: (-probe_score(c[1], query_vec), c[0]))[:n_probe]]
 
     vec_d = F.col(vec_col).cast("array<double>")
     q = F.array(*[F.lit(float(x)) for x in query_vec])
