@@ -2,7 +2,9 @@
 __spark_entry__ query on Spark AND its oracle_sql on DuckDB, compare
 row count, column names, and an order-insensitive value hash.
 
-Usage: python tools/check_entry.py [sf_dir]
+Usage: python tools/check_entry.py [sf_dir] [query_name ...]
+(query names filter the run to a subset; entry() smoke runs only on a
+full, unfiltered pass)
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     import duckdb
 
     import __spark_entry__ as entry_mod
@@ -48,6 +50,12 @@ def main(sf_dir: str) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    if only:
+        unknown = [n for n in only if n not in qs]
+        if unknown:
+            print(f"FAIL unknown query names: {unknown}")
+            return 1
+        qs = {n: qs[n] for n in only}
     failures = 0
     for name, fn in qs.items():
         try:
@@ -82,32 +90,37 @@ def main(sf_dir: str) -> int:
             problems.append(f"cols {sorted(scols)} vs {sorted(dcols)}")
         if len(srows) != len(drows):
             problems.append(f"rows {len(srows)} vs {len(drows)}")
+        def sample_diff(rows_a, rows_b, la, lb):
+            aset = {tuple(str(x) for x in r) for r in rows_a}
+            bset = {tuple(str(x) for x in r) for r in rows_b}
+            return f"{la}-only {list(aset - bset)[:2]} {lb}-only {list(bset - aset)[:2]}"
+
         if not problems and value_hash(srows, scols) != value_hash(drows, dcols):
             problems.append("value hash mismatch (fetchall path)")
+            problems.append(sample_diff(srows, drows, "spark", "duck"))
         if not problems and value_hash(srows, scols) != value_hash(prows, list(pdf.columns)):
             problems.append(
                 "value hash mismatch on the PANDAS fetch path only — "
                 "likely an uncast HUGEINT/DECIMAL oracle column (add ::BIGINT)")
-            sset = {tuple(str(x) for x in r) for r in srows}
-            dset = {tuple(str(x) for x in r) for r in drows}
-            only_s = list(sset - dset)[:2]
-            only_d = list(dset - sset)[:2]
-            problems.append(f"spark-only {only_s} duck-only {only_d}")
+            # diff against the PANDAS rows — srows vs drows are hash-equal
+            # when this branch fires, so that diff is always empty
+            problems.append(sample_diff(srows, prows, "spark", "pandas"))
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures += 1
         else:
             print(f"OK   {name} ({len(srows)} rows)")
-    # entry smoke
-    try:
-        n = entry_mod.entry(spark).count()
-        print(f"OK   entry() → {n} rows")
-    except Exception as e:
-        print(f"FAIL entry(): {e}")
-        failures += 1
+    # entry smoke (full pass only)
+    if not only:
+        try:
+            n = entry_mod.entry(spark).count()
+            print(f"OK   entry() → {n} rows")
+        except Exception as e:
+            print(f"FAIL entry(): {e}")
+            failures += 1
     return failures
 
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    sys.exit(1 if main(sf) else 0)
+    sys.exit(1 if main(sf, sys.argv[2:] or None) else 0)

@@ -291,29 +291,44 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
     oracle-portable).
     """
     # hash each token ONCE, MATERIALIZED in its own projection — the bit
-    # sums reference the array `bits` times, and inlining (round-1 shape)
-    # re-tokenized + re-hashed every row once per bit
+    # sums reference the array, and inlining (round-1 shape) re-tokenized
+    # + re-hashed every row once per bit
     if hasher == "xxhash64":
         hash_expr = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
     else:
         hash_expr = F.transform(tokens(F.col(text_col)), lambda t: h32(t))
     pre = docs.select("doc_id", hash_expr.alias("_th"))
-    hashes = F.col("_th")
 
-    def bit_sum(b: int) -> Column:
-        shift = b  # bind per-bit shift outside the binary merge lambda
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("bigint"),
-            lambda acc, h: acc
+    # ONE fold over the token-hash array carrying all `bits` running sums
+    # as the accumulator (round-3 shape ran `bits` independent aggregate
+    # passes — one full array traversal per bit). Per-bit arithmetic and
+    # per-plane float/int addition ORDER are identical to the unfused
+    # form (sum_b accumulates token 0,1,2,… contributions in sequence),
+    # so fingerprints are bit-identical and the oracle SQL is unchanged.
+    bit_idx = F.array(*[F.lit(b) for b in range(bits)])
+    zero = F.array(*[F.lit(0).cast("bigint") for _ in range(bits)])
+    sums = F.aggregate(
+        F.col("_th"),
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_idx,
+            lambda a, b: a
             + F.when(
-                F.shiftright(h, shift).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1),
             ).otherwise(F.lit(-1)),
-        )
-    fp = None
-    for b in range(bits):
-        term = F.when(bit_sum(b) > 0, F.lit(2 ** b).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        fp = term if fp is None else fp + term
+        ),
+    )
+    weights = F.array(*[F.lit(2 ** b).cast("bigint") for b in range(bits)])
+    fp = F.aggregate(
+        F.zip_with(
+            sums, weights,
+            lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
     return pre.select("doc_id", fp.alias("simhash"))
 
 

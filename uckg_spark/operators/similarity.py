@@ -68,21 +68,34 @@ def plane_weight(p: int, i: int) -> float:
 def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
     """Deterministic random-hyperplane LSH signature: plane p's weight for
     coordinate i is ±1 by bit 0 of h32('p:i') — reproducible in any engine
-    with md5. Returns the signature as a bigint bucket id."""
-    sig = None
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(plane_weight(p, i)) for i in range(dim)]),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0).cast("double"),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(proj > 0, F.lit(2 ** p).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        sig = bit if sig is None else sig + bit
-    return sig
+    with md5. Returns the signature as a bigint bucket id.
+
+    ONE fold over the vector carrying all n_planes running projections as
+    the accumulator (the round-3 shape ran n_planes independent aggregate
+    passes — one full vector traversal per plane). The weight matrix rides
+    in TRANSPOSED (per-coordinate weight rows), so plane p's sum still
+    accumulates coordinate 0,1,2,… contributions in sequence — the float
+    addition order, and therefore the signature, is bit-identical to the
+    unfused form and to the oracle SQL."""
+    w_t = F.array(*[
+        F.array(*[F.lit(plane_weight(p, i)) for p in range(n_planes)])
+        for i in range(dim)
+    ])
+    zero = F.array(*[F.lit(0.0).cast("double") for _ in range(n_planes)])
+    sums = F.aggregate(
+        F.zip_with(vec, w_t, lambda x, wrow: F.transform(wrow, lambda w: x * w)),
+        zero,
+        lambda acc, contrib: F.zip_with(acc, contrib, lambda a, v: a + v),
+    )
+    plane_weights = F.array(*[F.lit(2 ** p).cast("bigint") for p in range(n_planes)])
+    return F.aggregate(
+        F.zip_with(
+            sums, plane_weights,
+            lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
 
 
 def adaptive_n_planes(n_rows: int, target_bucket_rows: int = 1024,
