@@ -57,6 +57,22 @@ class TestConnectedComponentsRandom:
                for r in connected_components(df).collect()}
         assert got == _uf_components(edges)
 
+    @pytest.mark.parametrize("seed", [5, 21, 77])
+    def test_multi_round_contraction(self, spark, seed):
+        """Force the residual-star loop across rounds: a tiny
+        edges_per_partition budget splits a 200-edge graph over many
+        union-find partitions, so nodes come back with several local reps
+        and the contraction must iterate (the 100-TB code path — a single
+        partition solving everything in round 1 never exercises it)."""
+        rng = random.Random(seed)
+        edges = [(f"n{rng.randrange(60)}", f"n{rng.randrange(60)}")
+                 for _ in range(200)]
+        df = spark.createDataFrame(edges, ["src", "dst"]).repartition(8)
+        got = {r["node"]: r["component"]
+               for r in connected_components(
+                   df, edges_per_partition=20).collect()}
+        assert got == _uf_components(edges)
+
 
 def _py_closure(edges):
     """DFS reachability reference over the direct-edge DAG/graph."""

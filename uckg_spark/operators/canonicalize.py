@@ -5,118 +5,155 @@ The reference canonicalizes by Neo4j's unique-URI MERGE
 (/root/reference/process/graph_updater.py:30-45) — one node per URI. At
 10^12 docs the graft also merges *alias clusters*: surface forms and
 canonical ids form a bipartite graph whose connected components are the
-true entities. Implemented as iterative min-label propagation — pure
-DataFrame joins, driver loop to fixpoint (bounded by graph diameter), no
-GraphFrames dependency. (The alternating large-star/small-star technique
-of Kiveris et al., SoCC'14, converges in fewer rounds on high-diameter
-graphs; alias graphs are shallow — star-shaped around canonical ids — so
-plain propagation converges in 2-3 rounds and skips the extra shuffles.)
+true entities.
 
-Determinism: the component representative is the lexicographic MIN node id,
-independent of partitioning and iteration order.
+Algorithm: two-phase contraction. Each round runs an exact union-find over
+every partition's LOCAL edge set (one Arrow mapInPandas pass — the same
+sanctioned kernel family as operators/extract.py), emitting
+(node, local-min-rep) pairs; a node that straddles partitions comes back
+with several reps, and the residual star edges among those reps form the
+next round's (dramatically smaller) graph. This is the contraction family
+of Kiveris et al., SoCC'14 — local union-find collapses ALL intra-partition
+structure in one pass, so rounds track the partition count, not the graph
+diameter (plain min-label propagation, the round-3 shape, paid one Spark
+job per diameter step: 5+ jobs at bench scale where per-job latency
+dominates; this shape pays 1 job per round and converges in 1 round
+whenever the edge set fits one partition's budget).
+
+Determinism: union-by-min keeps every union-find root the lexicographic
+MIN of its set, so the final component id = min node id of the component —
+independent of partitioning and round count (min of mins).
+
+Scale: edges_per_partition bounds the per-task union-find memory (a dict
+over the partition's node set); the residual graph shrinks by roughly the
+average partition's contraction factor each round, and every shuffle
+(repartition / groupBy) is sized to the CURRENT edge count, never the
+session default.
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+_MAP_SCHEMA = "node string, rep string"
+
+
+def _local_union_find(batches: Iterator) -> Iterator:
+    """Exact union-find over one partition's edges (u, v); emits every node
+    of the partition with its local component's MIN node id. Union-by-min:
+    roots are always their set's minimum, so attaching the larger root
+    under the smaller keeps the invariant without a separate pass."""
+    import pandas as pd
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for pdf in batches:
+        for a, b in zip(pdf["u"], pdf["v"]):
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+    nodes = list(parent)
+    # chunked emit keeps Arrow batches bounded on dense partitions
+    for i in range(0, len(nodes), 1_000_000):
+        chunk = nodes[i:i + 1_000_000]
+        yield pd.DataFrame(
+            {"node": chunk, "rep": [find(x) for x in chunk]}
+        )
+
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, checkpoint_every: int = 3
+    edges: DataFrame, max_iter: int = 25,
+    edges_per_partition: int = 2_000_000,
 ) -> DataFrame:
     """edges(src: string, dst: string) → (node: string, component: string).
 
-    component = min node id in the component. Iterates min-label
-    propagation until fixpoint (bounded by max_iter); each iteration is a
-    shuffle on node id — salting is unnecessary because the label table is
-    (node → label), one row per node, and the join key is the node id
-    (unique). Giant components cost iterations (graph diameter), not
-    single-reducer hotspots.
-    """
-    import uuid
-
-    from pyspark.sql import Observation
-
+    component = min node id in the component (string/binary order — UTF-8
+    byte order equals code-point order, so the Python min inside the kernel
+    agrees with Spark's and the SQL oracle's)."""
     spark = edges.sparkSession
-    # undirected + both directions from ONE scan of the (possibly
-    # expensive) edge input: explode 2 structs per edge instead of a
-    # two-branch union that scans the upstream plan twice
-    sym = (
+
+    # canonical undirected form: (u, v) with u < v, self-loops dropped,
+    # deduped — union-find needs each link once, not both directions
+    E = (
         edges.select(
-            F.explode(F.array(
-                F.struct(F.col("src").alias("a"), F.col("dst").alias("b")),
-                F.struct(F.col("dst").alias("a"), F.col("src").alias("b")),
-            )).alias("e")
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
         )
-        .select("e.a", "e.b")
-        .filter(F.col("a") != F.col("b"))
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .persist()
     )
-    n_edges = sym.count()
-    # size the loop's shuffle width to the LABEL data, not the session
-    # default: each iteration shuffles only (node, label) rows, and at
-    # bench scale a 32-wide shuffle is pure task-dispatch overhead
-    # (measured ~2× per-iteration). ~1M edges/partition keeps partitions
-    # comfortably in memory at any scale.
-    loop_parts = max(1, n_edges // 1_000_000)
-    sp0 = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
-        labels = (
-            sym.select(F.col("a").alias("node"))
-            .distinct()
-            .withColumn("component", F.col("node"))
+    n_cur = E.count()
+
+    mapping: DataFrame | None = None  # node → current rep, all orig nodes
+    cur = E
+    persisted = [E]
+    for _ in range(max_iter):
+        if n_cur == 0:
+            break
+        parts = max(1, n_cur // edges_per_partition)
+        local = cur.repartition(parts, "u").mapInPandas(
+            _local_union_find, _MAP_SCHEMA
+        )
+        grp = (
+            local.repartition(parts, "node")
+            .groupBy("node")
+            .agg(
+                F.min("rep").alias("rep"),
+                F.collect_set("rep").alias("_reps"),
+            )
             .persist()
         )
-        for i in range(max_iter):
-            # candidate label per node = min over neighbors' labels and own.
-            # The fixpoint check rides the SAME job: each node's old label
-            # is recovered inside the aggregate (min over its single own
-            # row) and an Observation sums label changes as rows stream
-            # out — ONE action per iteration, no separate old-vs-new
-            # join/count job (which previously doubled per-iteration job
-            # overhead, the dominant cost of this driver-looped operator).
-            neigh = (
-                sym.join(labels.withColumnRenamed("node", "b"), "b")
-                .select(F.col("a").alias("node"), "component")
+        persisted.append(grp)
+        # residual graph: a node seen by k>1 partitions links its k reps —
+        # star via the min rep preserves connectivity exactly
+        nxt = (
+            grp.filter(F.size("_reps") > 1)
+            .select(F.col("rep").alias("u"), F.explode("_reps").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .persist()
+        )
+        persisted.append(nxt)
+        n_cur = nxt.count()  # the round's ONLY action (fills grp's cache)
+
+        flat = grp.select("node", "rep")
+        if mapping is None:
+            mapping = flat
+        else:
+            # only nodes whose current rep was itself re-mapped change
+            remap = flat.select(
+                F.col("node").alias("rep"), F.col("rep").alias("_new")
             )
-            cand = (
-                labels.withColumn("_own", F.lit(True))
-                .unionByName(neigh.withColumn("_own", F.lit(False)))
+            mapping = mapping.join(remap, "rep", "left").select(
+                "node", F.coalesce("_new", "rep").alias("rep")
             )
-            agg = cand.groupBy("node").agg(
-                F.min("component").alias("component"),
-                F.min(F.when(F.col("_own"), F.col("component"))).alias("_old"),
-            )
-            obs = Observation(f"cc_changed_{uuid.uuid4().hex[:8]}")
-            new_labels = (
-                agg.observe(
-                    obs,
-                    F.sum((F.col("component") != F.col("_old")).cast("long"))
-                    .alias("changed"),
-                )
-                .drop("_old")
-                .persist()
-            )
-            new_labels.count()  # the iteration's ONLY action: fills the
-            labels.unpersist()  # cache + populates the changed count
-            labels = new_labels
-            if int(obs.get["changed"] or 0) == 0:
-                break
-            if (i + 1) % checkpoint_every == 0:
-                # break the lineage chain: each iteration's logical plan
-                # nests all previous ones, and Catalyst re-optimizes the
-                # whole stack every round (measured: per-iteration wall
-                # grows 1 s → 3 s by iteration 4 without truncation).
-                # localCheckpoint is safe here even on a multi-executor
-                # cluster: losing a block only loses intermediate labels,
-                # and re-running the operator is idempotent.
-                labels = labels.localCheckpoint()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", sp0)
-    sym.unpersist()
+        cur = nxt
+
+    if mapping is None:  # no edges at all
+        return spark.createDataFrame([], "node string, component string")
+
+    labels = mapping.select("node", F.col("rep").alias("component")).persist()
+    labels.count()
+    for df in persisted:
+        df.unpersist()
     return labels
 
 
