@@ -233,8 +233,11 @@ def linked_mentions(
     })
     # each per-kind table feeds 2-5 emission branches; persisting them (they
     # are mention-sized, tiny relative to pages) lets every branch read a
-    # materialized cache instead of re-driving its own broadcast exchange
-    kinds = ("cve", "cwe", "capec", "attack", "d3fend", "cpe")
+    # materialized cache instead of re-driving its own broadcast exchange.
+    # attack/d3fend are NOT persisted: build_triples gates those record
+    # batches on the shared mention-id distinct instead (the tables remain
+    # constructible for direct callers, just lazy).
+    kinds = ("cve", "cwe", "capec", "cpe")
     for k in kinds:
         out[k] = out[k].persist()
 
@@ -332,9 +335,37 @@ def build_triples(
     m = mentions or linked_mentions(
         spark, pages, dims, mention_partitions, defer_barrier=True,
     )
-    m_cve, m_cwe, m_capec, m_attack, m_cpe = (
-        m["cve"], m["cwe"], m["capec"], m["attack"], m["cpe"],
+    m_cve, m_cwe, m_capec, m_cpe = (
+        m["cve"], m["cwe"], m["capec"], m["cpe"],
     )
+
+    # STAGE-DEPTH BUDGET (the round-3 AQE-latency thread): at small scale
+    # AQE materializes each upstream shuffle/broadcast query stage in
+    # sequence, so the emission DAG's wall tracks its STAGE COUNT, not its
+    # row count. Round 3 paid one distinct shuffle per dictionary gate
+    # (4×), one url-join + distinct per co-mention family (3×), and two
+    # ATT&CK entity emits with separate distincts — ~15 stages. This shape
+    # fuses them: ONE shared (kind, id) distinct feeds every dictionary
+    # gate (identical subplans → Catalyst/AQE exchange reuse computes the
+    # shuffle once), ONE url join + ONE distinct serves all three
+    # co-mention families (per-kind CASE element arrays, single explode),
+    # and ONE union-distinct serves both ATT&CK entity id sets. The triple
+    # SET is unchanged (parity tests assert set equality).
+
+    # shared distinct mention-id table. Ids here are NOT yet
+    # dictionary-validated (the per-kind tables are) — every consumer is a
+    # semi join against the dictionary, where invalid ids simply match
+    # nothing, so validation is free and the distinct count stays bounded
+    # by |dictionary| + |regex-shaped tokens in corpus| per kind.
+    mid = m["mentions"].select("kind", "canonical_id").distinct()
+
+    def mentioned_ids(kind: str, out_col: str, strip_prefix: int = 0) -> DataFrame:
+        ids = mid.filter(F.col("kind") == kind).select(
+            (F.col("canonical_id") if not strip_prefix
+             else F.substring("canonical_id", strip_prefix + 1, 2_000_000))
+            .alias(out_col)
+        )
+        return F.broadcast(ids)
 
     vuln = F.concat(F.lit(T.UCO_HASH + "VULN-"), F.col("cve"))
     cve_uri = F.concat(F.lit(T.UCO_HASH), F.col("cve"))
@@ -348,7 +379,10 @@ def build_triples(
     ]))
 
     # R2 — full CVE records for mentioned, in-dictionary CVEs
-    # (semi joins dedup inherently — no distinct on the mention side)
+    # (semi joins dedup inherently — no distinct on the mention side;
+    # the CVE gate stays a JOIN, not a broadcast id set: CVE ids are
+    # regex-canonical, not dictionary-validated, so their distinct count
+    # is corpus-driven.)
     mentioned_cve_dim = dims.cve.join(
         m_cve.select(F.col("cve").alias("id")), "id", "leftsemi"
     )
@@ -357,67 +391,70 @@ def build_triples(
     )
     parts.append(PT.emit_cve_batch(records, cwe_pairs, cpe_pairs))
 
-    # R3 — CVE × CWE co-mentions → ExploitTarget cluster
-    cc = m_cve.join(m_cwe, "url").select("cve", "cwe").distinct()
-    et = F.concat(F.lit(T.UCO_HASH + "ExploitTarget-"), F.col("cwe"))
-    cc_vuln = F.concat(F.lit(T.UCO_HASH + "VULN-"), F.col("cve"))
-    cc_cwe = F.concat(F.lit(T.UCO_HASH), F.col("cwe"))
-    parts.append(PT.emit(cc, [
-        PT.type_el(et, T.CL_EXPLOIT_TARGET),
-        PT.type_el(cc_vuln, T.CL_VULNERABILITY),
-        PT.type_el(cc_cwe, T.CL_CWE),
-        PT.uri_el(et, T.P_HAS_VULNERABILITY, cc_vuln),
-        PT.uri_el(et, T.P_HAS_WEAKNESS, cc_cwe),
-    ]))
+    # R3 + R4 edges + R6 edges — the three co-mention families share ONE
+    # url join + ONE distinct (round 3 ran each as its own join+distinct
+    # stage chain). The join is deliberately left to AQE: broadcast at
+    # small scale, skew-split at web scale.
+    other = (
+        m_cwe.select("url", F.lit("cwe").alias("ckind"), F.col("cwe").alias("val"))
+        .unionByName(m_cpe.select(
+            "url", F.lit("cpe").alias("ckind"), F.col("cpeName").alias("val")))
+        .unionByName(m_capec.select(
+            "url", F.lit("capec").alias("ckind"),
+            F.col("capec_id").cast("string").alias("val")))
+    )
+    co_pairs = m_cve.join(other, "url").select("ckind", "cve", "val").distinct()
+    et_p = F.concat(F.lit(T.UCO_HASH + "ExploitTarget-"), F.col("val"))
+    cwe_p = F.concat(F.lit(T.UCO_HASH), F.col("val"))
+    cpe_p = F.concat(F.lit(T.EX_HASH), F.col("val"))
+    capec_p = F.concat(F.lit("https://capec.mitre.org/data/definitions/"),
+                       F.col("val"), F.lit(".html"))
+    co_arr = (
+        F.when(F.col("ckind") == "cwe", F.array(
+            PT.type_el(et_p, T.CL_EXPLOIT_TARGET),
+            PT.type_el(vuln, T.CL_VULNERABILITY),
+            PT.type_el(cwe_p, T.CL_CWE),
+            PT.uri_el(et_p, T.P_HAS_VULNERABILITY, vuln),
+            PT.uri_el(et_p, T.P_HAS_WEAKNESS, cwe_p),
+        ))
+        .when(F.col("ckind") == "cpe", F.array(
+            PT.uri_el(cve_uri, T.P_HAS_CPE, cpe_p),
+            PT.type_el(cpe_p, T.CL_CPE),
+        ))
+        .otherwise(F.array(  # capec
+            PT.uri_el(capec_p, P_EXPLOITS, vuln),
+            PT.type_el(vuln, T.CL_VULNERABILITY),
+        ))
+    )
+    parts.append(PT.emit(co_pairs, [], [co_arr]))
 
-    # R4 — CVE × CPE co-mentions (edges) + CPE records for linked mentions
-    cp = m_cve.join(m_cpe.select("url", "cpeName"), "url").select("cve", "cpeName").distinct()
-    cp_cpe = F.concat(F.lit(T.EX_HASH), F.col("cpeName"))
-    parts.append(PT.emit(cp, [
-        PT.uri_el(F.concat(F.lit(T.UCO_HASH), F.col("cve")), T.P_HAS_CPE, cp_cpe),
-        PT.type_el(cp_cpe, T.CL_CPE),
-    ]))
+    # R4 records — CPE records for linked mentions
     cpe_records = m_cpe.drop("url").dropDuplicates(["cpeName"])
     rec_uri = F.concat(F.lit(T.EX_HASH), F.col("cpeName"))
     parts.append(PT.emit(cpe_records, PT.cpe_record_elements(rec_uri)))
 
-    # R5 — full CWE records for mentioned CWEs. m_cwe ids passed the
-    # dictionary inner-join upstream, so the distinct id set is bounded by
-    # |CWE dictionary| at ANY corpus size — an explicit broadcast replaces
-    # a two-shuffle sort-merge semi-join with a map-side probe. (The CVE
-    # gate at R2 stays a join: CVE ids are regex-canonical, not
-    # dictionary-validated, so their distinct count is corpus-driven.)
+    # R5 — full CWE records for mentioned CWEs. The mention-id set is
+    # dictionary-bounded after the semi join, so an explicit broadcast
+    # replaces a two-shuffle sort-merge semi-join with a map-side probe.
     parts.append(PT.emit_cwe_batch(
-        dims.cwe.join(
-            F.broadcast(m_cwe.select(F.col("cwe").alias("id_value")).distinct()),
-            "id_value", "leftsemi")
+        dims.cwe.join(mentioned_ids("cwe", "id_value"), "id_value", "leftsemi")
     ))
 
-    # R6 — CAPEC records + exploitsVulnerability edges on co-mention
-    # (same dictionary-bounded broadcast argument as R5)
+    # R6 records — CAPEC records for mentioned ids (canonical_id is
+    # "CAPEC-<n>"; the dictionary keys on the bare number)
     parts.append(PT.emit_capec_batch(
         dims.capec.join(
-            F.broadcast(m_capec.select(F.col("capec_id").alias("ID")).distinct()),
+            mentioned_ids("capec", "ID", strip_prefix=len("CAPEC-")),
             "ID", "leftsemi")
     ))
-    ce = m_capec.join(m_cve, "url").select("capec_id", "cve").distinct()
-    capec_uri = F.concat(F.lit("https://capec.mitre.org/data/definitions/"),
-                         F.col("capec_id"), F.lit(".html"))
-    ce_vuln = F.concat(F.lit(T.UCO_HASH + "VULN-"), F.col("cve"))
-    parts.append(PT.emit(ce, [
-        PT.uri_el(capec_uri, P_EXPLOITS, ce_vuln),
-        PT.type_el(ce_vuln, T.CL_VULNERABILITY),
-    ]))
 
-    # R7 — ATT&CK entity records for every mentioned id (any kind) + all 7
-    # typed relationship edges with a mentioned SOURCE OR TARGET, plus
-    # entity records for both endpoints of each emitted edge.
-    # mentioned_att is bounded by the ATT&CK dictionary (~thousands), so it
-    # broadcasts no matter how many pages mention it.
-    mentioned_att = m["attack"].select(F.col("att_id").alias("ID")).distinct()
-    parts.append(PT.emit_attack_entities(
-        dims.attack_ents.join(mentioned_att, "ID", "leftsemi")
-    ))
+    # R7 — ATT&CK: all 7 typed relationship edges with a mentioned SOURCE
+    # OR TARGET, plus entity records for every mentioned id and for both
+    # endpoints of each emitted edge — ONE id union + ONE distinct + ONE
+    # emit (round 3 emitted mentioned and endpoint entities separately).
+    # mentioned_att is bounded by the ATT&CK dictionary at any corpus size.
+    mentioned_att = mid.filter(F.col("kind") == "attack").select(
+        F.col("canonical_id").alias("ID"))
     rels = dims.attack_rels
     gated_rels = rels.join(
         F.broadcast(mentioned_att.withColumnRenamed("ID", "source_id")),
@@ -429,22 +466,24 @@ def build_triples(
     # A1 dedup absorbs the duplicate triples
     parts.append(PT.emit_attack_relationships(dims.attack_ents, gated_rels))
     valid_gated = PT.valid_attack_rels(dims.attack_ents, gated_rels)
-    endpoints = (
-        valid_gated.select(F.col("source_id").alias("ID"))
+    ent_ids = (
+        mentioned_att
+        .unionByName(valid_gated.select(F.col("source_id").alias("ID")))
         .unionByName(valid_gated.select(F.col("target_id").alias("ID")))
         .distinct()
     )
     parts.append(PT.emit_attack_entities(
-        dims.attack_ents.join(endpoints, "ID", "leftsemi")
+        dims.attack_ents.join(F.broadcast(ent_ids), "ID", "leftsemi")
     ))
 
     # R8 — D3FEND record batch for mentioned, in-dictionary d3fend ids
     # (incl. the _ID stray-quote typo: no _ID triples, d3fend_rml.ttl:29).
-    # d3fend ids are dictionary-validated upstream → broadcast like R5/R6.
+    # Mentions carry the d3fend_id column's value, so the gate semi-joins
+    # on d3fend_id directly (equivalent to round 3's d3_id gate: the
+    # dictionary row is identified either way).
     parts.append(PT.emit_d3fend_batch(
         dims.d3fend.join(
-            F.broadcast(m["d3fend"].select(F.col("d3_id").alias("id")).distinct()),
-            "id", "leftsemi")
+            mentioned_ids("d3fend", "d3fend_id"), "d3fend_id", "leftsemi")
     ))
 
     result = PT.repair_and_dedup(PT._union(parts))
