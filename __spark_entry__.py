@@ -43,6 +43,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 N_MINHASH = 4
 SHINGLE_N = 3
 SIMHASH_BITS = 16
+SIMHASH_K = 2  # simhash_near_dup hamming radius (k+1 banding chunks)
 N_PLANES = 6
 EMB_DIM = 64
 FP_MOD = (1 << 61) - 1
@@ -431,6 +432,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["simhash_duplicates"] = q_simhash_duplicates
 
+    def q_simhash_near_dup(spark, sf):
+        """Distance-≤k simhash dedup: chunk-banded candidate generation
+        (pigeonhole over k+1 fingerprint chunks) + exact popcount verify —
+        the production generalization of the distance-0 grouping above."""
+        from uckg_spark.operators.dedup import simhash_near_dup_pairs
+
+        docs = _t(spark, sf, "documents")
+        return simhash_near_dup_pairs(docs, bits=SIMHASH_BITS, k=SIMHASH_K)
+    q["simhash_near_dup"] = q_simhash_near_dup
+
     def q_connected_components(spark, sf):
         # doc↔token bipartite graph (first + last token per doc) → alias
         # clusters via iterative min-label propagation
@@ -649,27 +660,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # watermarks require TIMESTAMP (tz-aware); events.ts is NTZ. The
         # NTZ→timestamp cast reinterprets in the SESSION timezone — pin it
         # to UTC so a harness session built with a non-UTC default can't
-        # shift every window boundary.
+        # shift every window boundary. Restored afterward: queries must
+        # not leak session-conf changes to whatever runs next.
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        mapped = stream.select(
-            F.col("ts").cast("timestamp").alias("warc_ts"),
-            (F.col("user_id") % 5).cast("string").alias("lang"),
-        )
-        rated = mention_rate(mapped).select(
-            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
-            .alias("window_start"),
-            "lang",
-            "n_pages",
-        )
-        out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
-        q_ = (
-            rated.writeStream.format("parquet")
-            .option("path", out)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q_.awaitTermination()
+        try:
+            mapped = stream.select(
+                F.col("ts").cast("timestamp").alias("warc_ts"),
+                (F.col("user_id") % 5).cast("string").alias("lang"),
+            )
+            rated = mention_rate(mapped).select(
+                F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+                .alias("window_start"),
+                "lang",
+                "n_pages",
+            )
+            out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+            q_ = (
+                rated.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination()
+        finally:
+            # all tz-sensitive work happened inside the (terminated)
+            # streaming query; the parquet holds plain strings/longs, so
+            # the lazy read below is timezone-independent
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
         return spark.read.parquet(out)
     q["streaming_mention_rate"] = q_streaming_mention_rate
 
@@ -1045,6 +1064,31 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(list_sort(list(doc_id)), '|') AS doc_ids,
                count(*) AS n
         FROM fp GROUP BY simhash HAVING count(*) > 1
+    """
+
+    n_chunks = SIMHASH_K + 1
+    chunk_w = SIMHASH_BITS // n_chunks
+    chunk_branches = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, "
+        f"(simhash >> {c * chunk_w}) & "
+        f"{(1 << (SIMHASH_BITS - c * chunk_w if c == n_chunks - 1 else chunk_w)) - 1}"
+        f" AS cval FROM fp"
+        for c in range(n_chunks)
+    )
+    o["simhash_near_dup"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
+        ), fp AS (
+            SELECT doc_id, ({bit_terms})::BIGINT AS simhash
+            FROM tok WHERE tk <> '' GROUP BY doc_id
+        ), banded AS (
+            {chunk_branches}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM banded a JOIN banded b
+          ON a.chunk = b.chunk AND a.cval = b.cval AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_K}
     """
 
     o["connected_components"] = """

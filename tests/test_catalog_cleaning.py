@@ -106,3 +106,16 @@ def test_needs_sync(tmp_path):
     assert not needs_sync(log, "extract", 100)
     assert needs_sync(log, "extract", 150)  # source moved ahead → re-run
     assert needs_sync(log, "other_stage", 1)
+    # a snapshot-advance re-run APPENDS a second row for the same group;
+    # only the latest row may count (summing both would claim 100+120=220
+    # ingested and miss a real delta at 150 < 220)
+    log.append({"run_id": "r2", "stage": "extract", "part_group": 0,
+                "input_snapshot_id": "s2", "row_count_in": 120,
+                "row_count_out": 120, "content_sha256": "y" * 64,
+                "wall_ms": 1, "ts": 1.0})
+    assert not needs_sync(log, "extract", 120)
+    assert needs_sync(log, "extract", 150)
+    # snapshot-pinned: the group's latest row is from s2, so under s2 the
+    # trigger sees 120 ingested; under a NEWER snapshot s3 nothing counts
+    assert not needs_sync(log, "extract", 120, input_snapshot_id="s2")
+    assert needs_sync(log, "extract", 1, input_snapshot_id="s3")

@@ -77,12 +77,29 @@ class LineageLog:
             f.write(json.dumps(row) + "\n")
 
 
-def needs_sync(log: "LineageLog", stage: str, current_input_count: int) -> bool:
+def needs_sync(
+    log: "LineageLog", stage: str, current_input_count: int,
+    input_snapshot_id: str | None = None,
+) -> bool:
     """A5/I3 count-delta trigger: re-run iff the source has more rows than
     the last completed run ingested (the Airflow DAG's Neo4j-vs-NVD count
-    compare, /root/reference/airflow/dags/ingestion_dag.py:53-77)."""
+    compare, /root/reference/airflow/dags/ingestion_dag.py:53-77).
+
+    Lineage rows append (latest-row-wins, like ``completed_groups``), so
+    only each part_group's LATEST row counts toward the ingested total —
+    summing every row double-counts groups re-run after a snapshot
+    advance, which could report "in sync" while the current input holds
+    rows never ingested under the latest snapshot. With
+    ``input_snapshot_id``, groups whose latest row came from a different
+    snapshot contribute NOTHING (they are stale and must re-run anyway)."""
+    latest: dict[int, dict] = {}
+    for r in log.rows():  # file order == append order
+        if r["stage"] == stage:
+            latest[r["part_group"]] = r
     ingested = sum(
-        r["row_count_in"] for r in log.rows() if r["stage"] == stage
+        r["row_count_in"] for r in latest.values()
+        if input_snapshot_id is None
+        or r.get("input_snapshot_id", "") == input_snapshot_id
     )
     return current_input_count > ingested
 
