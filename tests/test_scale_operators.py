@@ -86,6 +86,24 @@ class TestDedup:
         dups = dedup.simhash_duplicates(_docs(spark)).collect()
         assert any(set(r["doc_ids"]) >= {0, 3} for r in dups)
 
+    def test_simhash_near_dup_matches_brute_force(self, spark):
+        """Chunk banding at radius k is LOSSLESS (pigeonhole): the banded
+        pair set must equal the all-pairs popcount-≤k set exactly, for
+        every k — including k where bits % (k+1) != 0 (uneven last chunk)."""
+        docs = _docs(spark)
+        fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+        for k in (0, 1, 2, 3):
+            got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in
+                   dedup.simhash_near_dup_pairs(docs, bits=16, k=k).collect()}
+            want = {
+                (a, b, bin(fps[a] ^ fps[b]).count("1"))
+                for a in fps for b in fps
+                if a < b and bin(fps[a] ^ fps[b]).count("1") <= k
+            }
+            assert got == want, f"k={k}"
+        # the exact dup pair is always present at any radius
+        assert any(p[:2] == (0, 3) for p in got)
+
 
 class TestSimilarity:
     def test_brute_force_topk_matches_python(self, spark):

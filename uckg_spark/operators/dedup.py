@@ -333,12 +333,77 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
 
 
 def simhash_duplicates(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
-    """Docs sharing an identical simhash fingerprint (hamming distance 0 —
-    banding over fingerprint chunks generalizes to distance ≤ k)."""
+    """Docs sharing an identical simhash fingerprint (hamming distance 0;
+    ``simhash_near_dup_pairs`` generalizes to distance ≤ k)."""
     fp = simhash(docs, bits, text_col)
     return (
         fp.groupBy("simhash")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
              F.count("*").alias("n"))
         .filter(F.col("n") > 1)
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, bits: int = 16, k: int = 2, text_col: str = "text",
+    hasher: str = "md5", fps: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs at hamming distance ≤ k — the production
+    simhash dedup query (distance-0 grouping misses one-bit flips from a
+    single changed token).
+
+    Scale shape (the Manku/Jain/Sarma banding scheme): split the bits-bit
+    fingerprint into k+1 contiguous chunks; by pigeonhole, two fingerprints
+    within distance k agree EXACTLY on ≥1 chunk, so candidates only meet
+    in a (chunk_id, chunk_value) bucket — the join shuffle keys on chunk
+    collisions (expected bucket size |docs| / 2^(bits/(k+1))), never
+    |docs|². Candidates are then verified exactly: popcount of the XOR'd
+    fingerprints ≤ k. Both engines compute the verification identically
+    (bit_count(xor) here = Spark bit_count of bitwiseXOR).
+
+    ``fps``: pass a precomputed ``simhash`` DataFrame (doc_id, simhash) to
+    reuse an existing fingerprint stage. The banded table is persisted
+    before the self-join — both sides reference the same subtree, and
+    without materialization the (tokenize+hash-heavy) fingerprint
+    expressions evaluate twice.
+
+    Returns distinct (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤ k
+    (0 included — exact dups are near-dups too)."""
+    n_chunks = k + 1
+    w = bits // n_chunks
+    if fps is None:
+        fps = simhash(docs, bits, text_col, hasher)
+
+    def chunk_val(c: int) -> Column:
+        width = bits - c * w if c == n_chunks - 1 else w
+        return (
+            F.call_function("shiftright", F.col("simhash"), F.lit(c * w))
+            .bitwiseAND(F.lit((1 << width) - 1))
+        )
+
+    banded = fps.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(c).alias("chunk"), chunk_val(c).alias("cval"))
+            for c in range(n_chunks)
+        ])).alias("bk"),
+    ).select("doc_id", "simhash", "bk.chunk", "bk.cval").persist()
+    banded.count()  # materialize before the self-join (no racing scans)
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= k)
+        .distinct()
     )
