@@ -353,15 +353,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = q_ann_cosine_topk
 
     def q_ann_ivf_topk(spark, sf):
-        """IVF ANN: 16 deterministic coarse centroids, probe the 4 nearest
-        cells, exact cosine top-10 inside them. Assignment is shuffle-free
-        column algebra (centroid matrix as plan literals)."""
-        from uckg_spark.operators.similarity import ivf_topk
+        """IVF ANN: 16 deterministic coarse seeds refined by ONE
+        deterministic k-means pass (fixed-point sums — order-independent,
+        so the oracle reproduces the refined centroids bit-for-bit),
+        probe the 4 nearest cells, exact cosine top-10 inside them.
+        Assignment is shuffle-free column algebra (centroid matrix as
+        plan literals)."""
+        from uckg_spark.operators.similarity import (
+            ivf_centroids, ivf_refine_centroids, ivf_topk)
 
         emb = _t(spark, sf, "embeddings")
         qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+        cents = ivf_refine_centroids(emb, ivf_centroids(emb, 16), iters=1)
         return ivf_topk(emb, [float(x) for x in qrow],
-                        n_centroids=16, n_probe=4, k=10)
+                        n_probe=4, k=10, centroids=cents)
     q["ann_ivf_topk"] = q_ann_ivf_topk
 
     def q_ann_lsh_bucket(spark, sf):
@@ -926,10 +931,46 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cos_sim DESC, vec_id LIMIT 10
     """
 
-    o["ann_ivf_topk"] = """
+    ivf_sums = ", ".join(
+        f"sum(floor((e.embedding::DOUBLE[])[{d + 1}] * 1048576.0))::BIGINT AS s{d}"
+        for d in range(EMB_DIM)
+    )
+    ivf_refined_list = ", ".join(
+        f"(cl.s{d}::DOUBLE / cl.n) / 1048576.0" for d in range(EMB_DIM)
+    )
+    o["ann_ivf_topk"] = f"""
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-        cent AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
-                 FROM embeddings ORDER BY vec_id LIMIT 16),
+        cent0 AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings ORDER BY vec_id LIMIT 16),
+        -- ONE deterministic k-means pass (mirrors ivf_refine_centroids):
+        -- assign to seed cells, per-cell mean via FIXED-POINT sums
+        -- (floor(x*2^20) as bigint — order-independent, so both engines
+        -- compute bit-identical refined centroids); empty cells keep seeds
+        scored0 AS (
+            SELECT e.vec_id, c.c_id,
+                   list_dot_product(e.embedding::DOUBLE[], c.cv)
+                   / sqrt(list_dot_product(c.cv, c.cv)) AS cos_c
+            FROM embeddings e, cent0 c
+        ),
+        assign0 AS (
+            SELECT vec_id, c_id AS centroid_id
+            FROM (SELECT vec_id, c_id,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cos_c DESC, c_id) AS rn
+                  FROM scored0)
+            WHERE rn = 1
+        ),
+        cells AS (
+            SELECT a.centroid_id AS c_id, count(*) AS n, {ivf_sums}
+            FROM embeddings e JOIN assign0 a USING (vec_id)
+            GROUP BY 1
+        ),
+        cent AS (
+            SELECT c0.c_id,
+                   CASE WHEN cl.c_id IS NULL THEN c0.cv
+                        ELSE [{ivf_refined_list}] END AS cv
+            FROM cent0 c0 LEFT JOIN cells cl USING (c_id)
+        ),
         -- probe/assignment ranking drops the norm of the FIXED side (a
         -- common positive factor): order equals full cosine, and the SQL
         -- mirrors the Spark operator's arithmetic bit-for-bit

@@ -156,6 +156,45 @@ class TestSimilarity:
         # probe pruning is real: some corpus rows fall outside probed cells
         assert len({assign(v) for _, v in vecs}) > 2
 
+    def test_ivf_refinement_improves_recall_on_skewed_seeds(self, spark):
+        """One deterministic k-means pass must (a) fix the recall the
+        deterministic id-ordered seeds lose when they all land in one
+        cluster, and (b) be a fixpoint-stable, partitioning-independent
+        refinement (fixed-point sums — iter 2 equals iter 1 here)."""
+        import random
+
+        rng = random.Random(7)
+
+        def jitter(base, amp=0.05):
+            return [x + rng.uniform(-amp, amp) for x in base]
+
+        a, b, c = [1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]
+        rows = [(i, jitter(a)) for i in range(8)]         # seeds: ALL in A
+        rows += [(i, jitter(b)) for i in range(8, 40)]
+        rows += [(i, jitter(c)) for i in range(40, 64)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = [0.0, 0.7, 0.7, 0.0]  # between B and C: truth spans both
+        truth = {r["vec_id"] for r in
+                 similarity.brute_force_topk(emb, q, k=10).collect()}
+        seeds = similarity.ivf_centroids(emb, 8)
+
+        def recall(cents):
+            got = {r["vec_id"] for r in similarity.ivf_topk(
+                emb, q, n_probe=2, k=10, centroids=cents).collect()}
+            return len(got & truth) / 10
+
+        r0 = recall(seeds)
+        refined = similarity.ivf_refine_centroids(emb, seeds, iters=1)
+        r1 = recall(refined)
+        assert r0 <= 0.8 and r1 == 1.0 and r1 > r0
+        # fixed-point sums ⇒ BIT-IDENTICAL centroids under any
+        # partitioning (the property the DuckDB oracle relies on; a plain
+        # float sum would vary with partition-merge order)
+        assert similarity.ivf_refine_centroids(
+            emb.repartition(7, "vec_id"), seeds, iters=1) == refined
+        assert recall(similarity.ivf_refine_centroids(
+            emb, seeds, iters=2)) == 1.0
+
     def test_knn_join_pandas(self, spark):
         vecs = [(i, [float((i + j) % 5 + 1) for j in range(4)]) for i in range(30)]
         df = spark.createDataFrame(vecs, ["vec_id", "embedding"])

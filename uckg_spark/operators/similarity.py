@@ -185,16 +185,64 @@ def ivf_centroids(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> list[tuple[int, list[float]]]:
     """Deterministic coarse-quantizer seeds: the ``n_centroids`` rows with
-    the smallest ids (a bounded collect — n rows, not the corpus). A real
-    deployment refines these with k-means, where every iteration is one
-    ``ivf_assign_col`` pass + a groupBy-avg — the same shuffle-free
-    assignment below; seed selection is kept deterministic so the operator
+    the smallest ids (a bounded collect — n rows, not the corpus).
+    Refine with ``ivf_refine_centroids`` (deterministic k-means) before
+    serving; seed selection is kept deterministic so the whole quantizer
     is oracle-reproducible in any engine."""
     rows = (
         embeddings.select(id_col, vec_col)
         .orderBy(id_col).limit(n_centroids).collect()
     )
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
+
+
+def ivf_refine_centroids(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    iters: int = 1,
+    vec_col: str = "embedding",
+    scale: int = 1 << 20,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd (k-means) refinement of the IVF coarse
+    quantizer: ``iters`` passes of shuffle-free nearest-centroid
+    assignment → per-cell mean. Real IVF recall depends on this once the
+    deterministic seeds land in unbalanced cells.
+
+    Per-cell sums run over FIXED-POINT values (floor(x · 2^20) as bigint):
+    integer addition is exact and order-independent, so the refined
+    centroids are bit-identical under any partitioning AND reproducible
+    by an oracle engine's SQL — a plain float sum would vary with Spark's
+    partition-merge order and could flip assignments vs the oracle. The
+    2^-20 quantization (~1e-6) is far below embedding precision. Each
+    pass is ONE job: groupBy on ≤ n_centroids keys with map-side partial
+    aggregation + a bounded (n_centroids × dim) collect — the k-means
+    shape that holds at any corpus size. Empty cells keep their current
+    centroid (deterministic degenerate-cell handling)."""
+    dim = len(centroids[0][1])
+    vec_d = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        aggs = [F.count(F.lit(1)).alias("_n")] + [
+            F.sum(
+                F.floor(F.element_at("_v", d + 1) * F.lit(float(scale)))
+                .cast("bigint")
+            ).alias(f"_s{d}")
+            for d in range(dim)
+        ]
+        rows = (
+            embeddings.select(
+                ivf_assign_col(vec_d, centroids).alias("_cid"),
+                vec_d.alias("_v"),
+            )
+            .groupBy("_cid").agg(*aggs).collect()
+        )
+        by_cid = {int(r["_cid"]): r for r in rows}
+        centroids = [
+            (cid,
+             [(float(r[f"_s{d}"]) / r["_n"]) / scale for d in range(dim)]
+             if (r := by_cid.get(cid)) is not None else cvec)
+            for cid, cvec in centroids
+        ]
+    return centroids
 
 
 def ivf_assign_col(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
