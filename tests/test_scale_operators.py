@@ -156,6 +156,50 @@ class TestSimilarity:
         # probe pruning is real: some corpus rows fall outside probed cells
         assert len({assign(v) for _, v in vecs}) > 2
 
+    def test_multi_table_lsh_recovers_salt_cap_recall(self, spark):
+        """Quantifies what max_bucket_rows costs and what n_tables buys:
+        a 60-row near-identical cluster (base chosen with |projection| >
+        0.5 on every plane of tables 0-2, so bucket splitting — not
+        hyperplane straddle — is the only recall loss) capped at 20 rows
+        splits into 3 salt groups; each independent table recovers a
+        different random partition's cross pairs. Precision stays 1.0:
+        the exact-cosine verify never admits a false pair."""
+        import itertools
+        import random
+
+        rng = random.Random(11)
+        base = [0.585, 0.335, 0.467, 0.128, -0.794, 0.176, -0.99, -0.713]
+        rows = [(i, [x + rng.uniform(-0.01, 0.01) for x in base])
+                for i in range(60)]
+        rows += [(100 + i, [rng.uniform(-1, 1) for _ in range(8)])
+                 for i in range(20)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        thr = 0.999
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (math.sqrt(sum(x * x for x in a))
+                        * math.sqrt(sum(y * y for y in b)))
+
+        truth = {(a, b) for (a, va), (b, vb) in itertools.combinations(rows, 2)
+                 if cos(va, vb) >= thr}
+        assert len(truth) == 1770  # the full cluster clique
+
+        def run(**kw):
+            return {(r["id_a"], r["id_b"]) for r in similarity.lsh_bucketed_pairs(
+                emb, dim=8, n_planes=4, threshold=thr, **kw).collect()}
+
+        assert run() == truth  # uncapped: margin-safe base ⇒ recall 1.0
+        recalls = []
+        for n_tables in (1, 2, 3):
+            got = run(max_bucket_rows=20, n_tables=n_tables)
+            assert got <= truth  # precision 1.0 at any table count
+            recalls.append(len(got) / len(truth))
+        r1, r2, r3 = recalls
+        assert r1 < 0.35          # the cap's measured cost at g=3
+        assert r1 < r2 < r3       # each table strictly adds recall
+        assert r2 >= 0.45 and r3 >= 0.6
+
     def test_ivf_refinement_improves_recall_on_skewed_seeds(self, spark):
         """One deterministic k-means pass must (a) fix the recall the
         deterministic id-ordered seeds lose when they all land in one

