@@ -95,6 +95,59 @@ def test_commit_conflict_detected(spark, tmp_path):
     assert cat.latest_snapshot("edges")["snapshot_id"] == s1
 
 
+def _race_commits(args):
+    """Worker for the lock-free CAS test: n client-level OCC commits
+    (re-read head, commit, retry on conflict) against a shared catalog."""
+    root, table, wid, n_commits = args
+    cat = GraphCatalog(root)
+    for i in range(n_commits):
+        sid = f"w{wid}c{i}"
+        while True:
+            parent = cat._head().get(table)
+            try:
+                cat._commit(table, {
+                    "table": table, "snapshot_id": sid, "parent_id": parent,
+                    "rows": 0, "rows_written": 0, "dirs": [], "ts": 0.0,
+                    "mode": "append",
+                }, expected_parent=parent)
+                break
+            except CommitConflictError:
+                continue  # another writer won — re-read the new head
+    return wid
+
+
+def test_concurrent_writers_without_locks(tmp_path):
+    """The commit protocol must serialize RACING PROCESSES through the
+    link-based CAS alone (no flock anywhere): every commit lands exactly
+    once, the per-table parent chain is gapless, and cross-table commits
+    interleave freely. This is the object-store honesty property — an
+    advisory-lock protocol passes a threaded test but corrupts state on
+    stores with no lock primitive."""
+    import multiprocessing as mp
+
+    root = str(tmp_path / "g")
+    cat = GraphCatalog(root)
+    jobs = [(root, "edges", w, 5) for w in range(4)]
+    jobs += [(root, "nodes", w, 3) for w in (90, 91)]
+    with mp.get_context("fork").Pool(len(jobs)) as pool:
+        pool.map(_race_commits, jobs)
+
+    edge_log = cat.snapshots("edges")
+    node_log = cat.snapshots("nodes")
+    assert sorted(r["snapshot_id"] for r in edge_log) == sorted(
+        f"w{w}c{i}" for w in range(4) for i in range(5))
+    assert len(node_log) == 6
+    # gapless parent chain per table: commit i's parent is commit i-1
+    for log in (edge_log, node_log):
+        for prev, cur in zip(log, log[1:]):
+            assert cur["parent_id"] == prev["snapshot_id"]
+        assert log[0]["parent_id"] is None
+    assert cat.latest_snapshot("edges")["snapshot_id"] == edge_log[-1]["snapshot_id"]
+    assert cat.latest_snapshot("nodes")["snapshot_id"] == node_log[-1]["snapshot_id"]
+    # one version file per successful commit — losers leave no trace
+    assert len(cat._versions()) == 26
+
+
 def test_read_before_any_commit_raises(spark, tmp_path):
     cat = GraphCatalog(str(tmp_path / "g"))
     with pytest.raises(FileNotFoundError):

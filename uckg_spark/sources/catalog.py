@@ -9,14 +9,20 @@ semantics on plain parquet:
   ``<table>/snap-<id>/`` directory; committed data files are never mutated.
   A writer that dies mid-write leaves an orphan directory that no reader
   ever sees (readers resolve data through the committed metadata only).
-- **Atomic commit.** A snapshot becomes visible by swapping the head
-  pointer (``_head.json``) via write-temp + ``os.replace`` — atomic on
-  POSIX — under a file lock. This is the single-node analog of an Iceberg
-  catalog's atomic metadata-pointer CAS.
+- **Atomic commit, no locks.** Metadata lives in numbered, immutable
+  version files (``_heads/v<N>.json``, each holding the full head map
+  plus that commit's snapshot row — the Iceberg HadoopCatalog layout).
+  A commit writes a temp file, then CASes it to ``v<N+1>.json`` with
+  ``os.link`` — atomic, and FAILS if the version already exists (the
+  rename-if-absent primitive object stores and HDFS offer; plain
+  ``os.replace`` silently overwrites and is NOT a CAS). A lost physical
+  race re-reads the head and retries. No flock: nothing here assumes
+  advisory locks exist, which object-store-backed deployments don't have.
 - **Optimistic concurrency.** Each commit names the parent snapshot it was
-  based on; if the head moved in the meantime the commit raises
-  ``CommitConflictError`` instead of silently clobbering a concurrent
-  writer (Iceberg's validate-then-swap loop).
+  based on; if a concurrent commit moved the TABLE's head the retry
+  re-validation raises ``CommitConflictError`` instead of silently
+  clobbering the interleaved writer (Iceberg's validate-then-swap loop);
+  commits to OTHER tables interleave freely through the retry.
 - **Time travel.** ``read_edges(..., snapshot_id=...)`` reads any retained
   snapshot; ``expire_snapshots`` garbage-collects unreferenced data dirs
   (and orphans from crashed writers).
@@ -34,13 +40,12 @@ Layout choices for the KG access paths:
 
 from __future__ import annotations
 
-import fcntl
 import json
 import os
+import random
 import shutil
 import time
 import uuid
-from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -53,19 +58,27 @@ class CommitConflictError(RuntimeError):
 class GraphCatalog:
     def __init__(self, root: str):
         self.root = root
-        os.makedirs(root, exist_ok=True)
-        self.manifest_path = os.path.join(root, "_manifest.jsonl")
-        self._head_path = os.path.join(root, "_head.json")
-        self._lock_path = os.path.join(root, "_commit.lock")
+        self._heads_dir = os.path.join(root, "_heads")
+        os.makedirs(self._heads_dir, exist_ok=True)
 
     # ---- metadata ------------------------------------------------------
 
+    def _versions(self) -> list[str]:
+        """Committed version-file names, oldest first (v000...1.json, …)."""
+        return sorted(
+            n for n in os.listdir(self._heads_dir)
+            if n.startswith("v") and n.endswith(".json")
+        )
+
+    def _load_version(self, name: str) -> dict:
+        with open(os.path.join(self._heads_dir, name)) as f:
+            return json.load(f)
+
     def snapshots(self, table: str | None = None) -> list[dict]:
-        """All committed snapshots, oldest first (the snapshot log)."""
-        if not os.path.exists(self.manifest_path):
-            return []
-        with open(self.manifest_path) as f:
-            rows = [json.loads(line) for line in f if line.strip()]
+        """All committed snapshots, oldest first (the snapshot log — each
+        version file embeds exactly the commit that created it, so losers
+        of a commit race leave no trace in the log)."""
+        rows = [self._load_version(n)["commit"] for n in self._versions()]
         if table is not None:
             rows = [r for r in rows if r["table"] == table]
         return rows
@@ -76,46 +89,60 @@ class GraphCatalog:
                 return r
         raise KeyError(f"no snapshot {snapshot_id!r} for table {table!r}")
 
+    def _head_state(self) -> tuple[int, dict]:
+        """(latest version number, its full per-table head map)."""
+        versions = self._versions()
+        if not versions:
+            return 0, {}
+        last = versions[-1]
+        return int(last[1:-5]), self._load_version(last)["heads"]
+
     def _head(self) -> dict:
-        if not os.path.exists(self._head_path):
-            return {}
-        with open(self._head_path) as f:
-            return json.load(f)
+        return self._head_state()[1]
 
     def latest_snapshot(self, table: str) -> dict | None:
         head = self._head().get(table)
         return self.snapshot(table, head) if head else None
 
-    @contextmanager
-    def _commit_lock(self):
-        with open(self._lock_path, "a") as lk:
-            fcntl.flock(lk, fcntl.LOCK_EX)
-            try:
-                yield
-            finally:
-                fcntl.flock(lk, fcntl.LOCK_UN)
-
-    def _commit(self, table: str, row: dict, expected_parent: str | None) -> None:
-        """Validate-then-swap: append the manifest row and advance the head
-        pointer atomically, failing if a concurrent commit moved the head."""
-        with self._commit_lock():
-            head = self._head()
-            if head.get(table) != expected_parent:
+    def _commit(self, table: str, row: dict, expected_parent: str | None,
+                max_attempts: int = 24) -> None:
+        """Lock-free validate-then-CAS: write the new head map + commit row
+        to a temp file, then ``os.link`` it to the next version number —
+        atomic, and it FAILS (EEXIST) when a concurrent commit claimed
+        that version first. On a lost physical race, re-read and retry:
+        if the re-read shows THIS table's head moved, the conflict is
+        logical and ``CommitConflictError`` propagates (a stale writer
+        must never clobber); if only other tables advanced, the commit
+        retries against the new version number. This is exactly Iceberg's
+        HadoopTableOperations rename-if-absent protocol — no flock, so it
+        remains correct where advisory locks don't exist (object stores,
+        NFS)."""
+        for attempt in range(max_attempts):
+            version, heads = self._head_state()
+            if heads.get(table) != expected_parent:
                 raise CommitConflictError(
-                    f"{table}: head is {head.get(table)!r}, "
+                    f"{table}: head is {heads.get(table)!r}, "
                     f"commit expected parent {expected_parent!r}"
                 )
-            with open(self.manifest_path, "a") as f:
-                f.write(json.dumps(row) + "\n")
-                f.flush()
-                os.fsync(f.fileno())
-            head[table] = row["snapshot_id"]
-            tmp = self._head_path + ".tmp"
+            heads = dict(heads)
+            heads[table] = row["snapshot_id"]
+            tmp = os.path.join(self._heads_dir, f".tmp-{uuid.uuid4().hex}")
             with open(tmp, "w") as f:
-                json.dump(head, f)
+                json.dump({"heads": heads, "commit": row}, f)
                 f.flush()
                 os.fsync(f.fileno())
-            os.replace(tmp, self._head_path)  # atomic pointer swap
+            dst = os.path.join(self._heads_dir, f"v{version + 1:012d}.json")
+            try:
+                os.link(tmp, dst)  # atomic create-if-absent — the CAS
+                return
+            except FileExistsError:
+                # lost the physical race; back off briefly and re-validate
+                time.sleep(random.uniform(0.001, 0.01) * (attempt + 1))
+            finally:
+                os.unlink(tmp)
+        raise CommitConflictError(
+            f"{table}: lost the head CAS race {max_attempts} times "
+            f"(pathological commit contention)")
 
     # ---- writes --------------------------------------------------------
 
