@@ -483,6 +483,75 @@ class TestMultimodal:
         d = hashlib.sha256(b"audio:" + junk).digest()
         assert _decode_audio(junk) == [b / 255.0 for b in d[:4]]
 
+    @staticmethod
+    def _gif(width, height, frames_pixels, colors, per_frame_codes=None):
+        """Hand-assemble an animated GIF (2-color global palette, LZW min
+        code size 2 ⇒ 3-bit codes, CLEAR=4 END=5). By default each frame
+        is encoded with the table-free CLEAR-per-pixel scheme; pass
+        explicit code lists to exercise dictionary growth."""
+        import struct
+
+        def pack_codes(codes, width_bits=3):  # LSB-first per GIF spec
+            acc = nb = 0
+            out = bytearray()
+            for c in codes:
+                acc |= c << nb
+                nb += width_bits
+                while nb >= 8:
+                    out.append(acc & 0xFF)
+                    acc >>= 8
+                    nb -= 8
+            if nb:
+                out.append(acc & 0xFF)
+            return bytes(out)
+
+        gct = b"".join(bytes(c) for c in colors)
+        out = (b"GIF89a" + struct.pack("<HH", width, height)
+               + bytes([0x80, 0, 0]) + gct)
+        for i, px in enumerate(frames_pixels):
+            if i == 1:  # graphic-control extension → exercises block skip
+                out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+            codes = per_frame_codes[i] if per_frame_codes else None
+            if codes is None:
+                codes = [4]
+                for p in px:
+                    codes += [p, 4]
+                codes[-1] = 5
+            data = pack_codes(codes)
+            out += (b"\x2C" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+                    + bytes([2]) + bytes([len(data)]) + data + b"\x00")
+        return out + b"\x3B"
+
+    def test_gif_decode_real(self):
+        """The video decoder REALLY decodes GIF: dimensions, frame count,
+        exact sampled-frame channel means; LZW with dictionary growth and
+        the KwKwK self-reference code; non-GIF falls back to the fake."""
+        import hashlib
+
+        from uckg_spark.operators.multimodal import _decode_video, decode_gif
+
+        colors = [(0, 0, 0), (255, 255, 255)]
+        gif = self._gif(2, 2, [[0, 1, 1, 0], [1, 1, 1, 1]], colors)
+        dec = decode_gif(gif)
+        assert dec["width"] == 2 and dec["height"] == 2 and dec["n_frames"] == 2
+        for ch in range(3):  # 6 white of 8 sampled pixels across 2 frames
+            assert abs(dec["means"][ch] - 0.75) < 1e-12
+        feat = _decode_video(gif)
+        assert len(feat) == 6
+        assert abs(feat[2] - 2 / 255.0) < 1e-12 and abs(feat[3] - 0.75) < 1e-12
+
+        # real LZW stream WITH dictionary growth + the KwKwK case:
+        # pixels [0,0,0,0] encode as CLEAR,0,6,0,END (code 6 is emitted
+        # before the decoder has defined it — the self-reference branch)
+        gif2 = self._gif(2, 2, [[0, 0, 0, 0]], colors,
+                         per_frame_codes=[[4, 0, 6, 0, 5]])
+        dec2 = decode_gif(gif2)
+        assert dec2["n_frames"] == 1 and dec2["means"] == [0.0, 0.0, 0.0]
+
+        junk = b"GIFnope" * 8
+        d = hashlib.sha256(b"video:" + junk).digest()
+        assert _decode_video(junk) == [b / 255.0 for b in d[:6]]
+
     def test_png_fallback_and_spark_path(self, spark):
         """Non-PNG payloads keep the deterministic sha256 fallback (the
         oracle contract), and a real PNG flows through the mapInPandas

@@ -4,11 +4,12 @@ with typed metadata.
 The Spark-side machinery (schemas, partition-friendly batch shapes,
 mapInPandas signatures) is real and tested. Decoders in ``MEDIA_DECODERS``:
 the IMAGE path really decodes PNG (pure stdlib: zlib inflate + scanline
-unfilter, dimensions + per-channel means as features) and the AUDIO path
-really decodes PCM WAV (RIFF parse + sample statistics); both fall back
-to a deterministic sha256 fake for codecs not in this container
-(JPEG/WebP/MP3/…). Video remains a deterministic fake (no ffmpeg here).
-Swapping a fake for a real decoder (PIL/ffmpeg) changes no Spark code.
+unfilter, dimensions + per-channel means as features), the AUDIO path
+really decodes PCM WAV (RIFF parse + sample statistics), and the VIDEO
+path really decodes animated GIF (variable-width LZW + even frame
+sampling). Each falls back to a deterministic sha256 fake for codecs not
+in this container (JPEG/WebP/MP3/MP4/…). Swapping a fake for a real
+decoder (PIL/ffmpeg) changes no Spark code.
 """
 
 from __future__ import annotations
@@ -193,8 +194,154 @@ def _decode_audio(payload: bytes) -> list[float]:
     return [b / 255.0 for b in d[:4]]
 
 
-def _stub_frame_sample_video(payload: bytes) -> list[float]:
-    """STUB — deterministic fake frame sampler (no ffmpeg here)."""
+def _gif_lzw_decode(min_code_size: int, data: bytes, max_pixels: int) -> list[int] | None:
+    """Variable-width GIF LZW decode (LSB-first bit packing, CLEAR/END
+    codes, 12-bit table cap) → palette-index list, or None on corruption."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, tuple[int, ...]] = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    bitpos, nbits = 0, len(data) * 8
+    while True:
+        if bitpos + code_size > nbits:
+            break
+        code = 0
+        for k in range(code_size):
+            code |= ((data[bitpos >> 3] >> (bitpos & 7)) & 1) << k
+            bitpos += 1
+        if code == end:
+            break
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+        elif code == next_code:  # the KwKwK self-reference case
+            entry = prev + (prev[0],)
+            table[next_code] = entry
+            next_code += 1
+        else:
+            return None
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
+        out.extend(entry)
+        prev = entry
+        if len(out) >= max_pixels:
+            break
+    return out
+
+
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
+
+
+def decode_gif(payload: bytes, sample_frames: int = 4) -> dict | None:
+    """REAL pure-stdlib GIF decode + frame sampler (same spirit as the PNG
+    path: no codec library). Parses the logical screen + color tables,
+    walks every image descriptor (skipping extension blocks), LZW-decodes
+    up to ``sample_frames`` frames evenly spaced across the animation, and
+    maps palette indices through the active color table. Returns
+    {width, height, n_frames, means: [r, g, b] over sampled frames, 0-1}
+    or None when the payload is not a decodable GIF (caller falls back).
+    Interlaced frames need no row reordering: channel MEANS are
+    pixel-order-independent."""
+    import struct
+
+    if len(payload) < 13 or payload[:6] not in GIF_MAGICS:
+        return None
+    try:
+        width, height = struct.unpack("<HH", payload[6:10])
+        flags = payload[10]
+        pos, gct = 13, None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            gct = payload[pos:pos + 3 * n]
+            pos += 3 * n
+        frames = []  # (fw, fh, color_table, min_code_size, lzw_bytes)
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension: label byte + data sub-blocks
+                pos += 2
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif b0 == 0x2C:  # image descriptor
+                _fx, _fy, fw, fh, ff = struct.unpack(
+                    "<HHHHB", payload[pos + 1:pos + 10])
+                pos += 10
+                lct = None
+                if ff & 0x80:
+                    n = 2 << (ff & 7)
+                    lct = payload[pos:pos + 3 * n]
+                    pos += 3 * n
+                mcs = payload[pos]
+                pos += 1
+                chunks = []
+                while payload[pos] != 0:
+                    ln = payload[pos]
+                    chunks.append(payload[pos + 1:pos + 1 + ln])
+                    pos += 1 + ln
+                pos += 1
+                frames.append((fw, fh, lct or gct, mcs, b"".join(chunks)))
+            else:
+                return None
+        if not frames:
+            return None
+        n_frames = len(frames)
+        k = min(sample_frames, n_frames)
+        idxs = sorted({round(i * (n_frames - 1) / (k - 1)) for i in range(k)}) \
+            if k > 1 else [0]
+        sums, n_px = [0, 0, 0], 0
+        for fi in idxs:
+            fw, fh, ct, mcs, data = frames[fi]
+            if ct is None or not (0 < fw * fh):
+                return None
+            px = _gif_lzw_decode(mcs, data, fw * fh)
+            if px is None or len(px) < fw * fh:
+                return None
+            for p in px[:fw * fh]:
+                base = 3 * p
+                if base + 3 > len(ct):
+                    return None
+                sums[0] += ct[base]
+                sums[1] += ct[base + 1]
+                sums[2] += ct[base + 2]
+            n_px += fw * fh
+        return {
+            "width": width, "height": height, "n_frames": n_frames,
+            "means": [s / (255.0 * n_px) for s in sums],
+        }
+    except Exception:
+        return None  # corrupt payload — not a GIF we can decode
+
+
+def _decode_video(payload: bytes) -> list[float]:
+    """Video feature vector: REAL GIF decode + frame sampling (dimensions,
+    frame count, sampled-frame channel means) when the payload is GIF;
+    deterministic sha256 fake otherwise (MP4/WebM need ffmpeg, which this
+    container lacks — swapping it in changes no Spark code). 6 dims either
+    way — payload-independent batch shape."""
+    gif = decode_gif(payload)
+    if gif is not None:
+        return [
+            min(gif["width"] / 65535.0, 1.0),
+            min(gif["height"] / 65535.0, 1.0),
+            min(gif["n_frames"] / 255.0, 1.0),
+            *gif["means"],
+        ]
     d = hashlib.sha256(b"video:" + payload).digest()
     return [b / 255.0 for b in d[:6]]
 
@@ -202,7 +349,7 @@ def _stub_frame_sample_video(payload: bytes) -> list[float]:
 MEDIA_DECODERS = {
     "image": _decode_image,  # REAL for PNG; hash fake for other codecs
     "audio": _decode_audio,  # REAL for PCM WAV; hash fake otherwise
-    "video": _stub_frame_sample_video,
+    "video": _decode_video,  # REAL for GIF; hash fake for ffmpeg codecs
 }
 
 
