@@ -44,6 +44,13 @@ N_MINHASH = 4
 SHINGLE_N = 3
 SIMHASH_BITS = 16
 SIMHASH_K = 2  # simhash_near_dup hamming radius (k+1 banding chunks)
+# simhash_near_dup uses 32-bit fingerprints: at 16 bits a 5k-doc corpus
+# packs ~150 docs per banding chunk value and the candidate join
+# quadratizes (measured 3.4 s at sf0.1); 32 bits ≈ production density
+SIMHASH_ND_BITS = 32
+# IVF refinement samples 1 row in 4 (vec_id % 4 = 0) — deterministic,
+# oracle-reproducible; full-corpus refinement doubled ann_ivf_topk's wall
+IVF_SAMPLE_MOD = 4
 N_PLANES = 6
 EMB_DIM = 64
 FP_MOD = (1 << 61) - 1
@@ -358,13 +365,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         so the oracle reproduces the refined centroids bit-for-bit),
         probe the 4 nearest cells, exact cosine top-10 inside them.
         Assignment is shuffle-free column algebra (centroid matrix as
-        plan literals)."""
+        plan literals). Refinement runs over the deterministic 1/4
+        id-stratified sample (vec_id % 4 = 0): centroid means are
+        statistics, and the sample cuts the extra refinement scan 4× —
+        measured, refinement had doubled this query's wall time."""
         from uckg_spark.operators.similarity import (
             ivf_centroids, ivf_refine_centroids, ivf_topk)
 
         emb = _t(spark, sf, "embeddings")
         qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
-        cents = ivf_refine_centroids(emb, ivf_centroids(emb, 16), iters=1)
+        cents = ivf_refine_centroids(
+            emb, ivf_centroids(emb, 16), iters=1, sample_mod=IVF_SAMPLE_MOD)
         return ivf_topk(emb, [float(x) for x in qrow],
                         n_probe=4, k=10, centroids=cents)
     q["ann_ivf_topk"] = q_ann_ivf_topk
@@ -444,7 +455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from uckg_spark.operators.dedup import simhash_near_dup_pairs
 
         docs = _t(spark, sf, "documents")
-        return simhash_near_dup_pairs(docs, bits=SIMHASH_BITS, k=SIMHASH_K)
+        return simhash_near_dup_pairs(docs, bits=SIMHASH_ND_BITS, k=SIMHASH_K)
     q["simhash_near_dup"] = q_simhash_near_dup
 
     def q_connected_components(spark, sf):
@@ -945,12 +956,18 @@ def oracle_sql() -> dict[str, str]:
         -- ONE deterministic k-means pass (mirrors ivf_refine_centroids):
         -- assign to seed cells, per-cell mean via FIXED-POINT sums
         -- (floor(x*2^20) as bigint — order-independent, so both engines
-        -- compute bit-identical refined centroids); empty cells keep seeds
+        -- compute bit-identical refined centroids); empty cells keep
+        -- seeds. Refinement runs over the deterministic 1/{IVF_SAMPLE_MOD}
+        -- id-stratified sample, exactly as the Spark operator does.
+        esample AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % {IVF_SAMPLE_MOD} = 0
+        ),
         scored0 AS (
             SELECT e.vec_id, c.c_id,
                    list_dot_product(e.embedding::DOUBLE[], c.cv)
                    / sqrt(list_dot_product(c.cv, c.cv)) AS cos_c
-            FROM embeddings e, cent0 c
+            FROM esample e, cent0 c
         ),
         assign0 AS (
             SELECT vec_id, c_id AS centroid_id
@@ -962,7 +979,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         cells AS (
             SELECT a.centroid_id AS c_id, count(*) AS n, {ivf_sums}
-            FROM embeddings e JOIN assign0 a USING (vec_id)
+            FROM esample e JOIN assign0 a USING (vec_id)
             GROUP BY 1
         ),
         cent AS (
@@ -1107,12 +1124,17 @@ def oracle_sql() -> dict[str, str]:
         FROM fp GROUP BY simhash HAVING count(*) > 1
     """
 
+    nd_bit_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (({_h32_sql('tk')} >> {b}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_ND_BITS)
+    )
     n_chunks = SIMHASH_K + 1
-    chunk_w = SIMHASH_BITS // n_chunks
+    chunk_w = SIMHASH_ND_BITS // n_chunks
     chunk_branches = " UNION ALL ".join(
         f"SELECT doc_id, simhash, {c} AS chunk, "
         f"(simhash >> {c * chunk_w}) & "
-        f"{(1 << (SIMHASH_BITS - c * chunk_w if c == n_chunks - 1 else chunk_w)) - 1}"
+        f"{(1 << (SIMHASH_ND_BITS - c * chunk_w if c == n_chunks - 1 else chunk_w)) - 1}"
         f" AS cval FROM fp"
         for c in range(n_chunks)
     )
@@ -1120,7 +1142,7 @@ def oracle_sql() -> dict[str, str]:
         WITH tok AS (
             SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents
         ), fp AS (
-            SELECT doc_id, ({bit_terms})::BIGINT AS simhash
+            SELECT doc_id, ({nd_bit_terms})::BIGINT AS simhash
             FROM tok WHERE tk <> '' GROUP BY doc_id
         ), banded AS (
             {chunk_branches}

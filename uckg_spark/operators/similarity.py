@@ -243,6 +243,8 @@ def ivf_refine_centroids(
     iters: int = 1,
     vec_col: str = "embedding",
     scale: int = 1 << 20,
+    id_col: str = "vec_id",
+    sample_mod: int | None = None,
 ) -> list[tuple[int, list[float]]]:
     """Deterministic Lloyd (k-means) refinement of the IVF coarse
     quantizer: ``iters`` passes of shuffle-free nearest-centroid
@@ -258,8 +260,19 @@ def ivf_refine_centroids(
     pass is ONE job: groupBy on ≤ n_centroids keys with map-side partial
     aggregation + a bounded (n_centroids × dim) collect — the k-means
     shape that holds at any corpus size. Empty cells keep their current
-    centroid (deterministic degenerate-cell handling)."""
+    centroid (deterministic degenerate-cell handling).
+
+    ``sample_mod`` refines over the deterministic id-stratified sample
+    ``id_col % sample_mod == 0`` instead of the full corpus: centroid
+    MEANS are statistics, so a 1/m sample moves each refined centroid by
+    O(1/sqrt(cell_n/m)) while cutting the refinement pass's scan and fold
+    cost m×. The predicate is pure column algebra (pushes to the scan)
+    and exactly reproducible by an oracle's WHERE clause — unlike
+    rand()-based sampling, which no second engine can replay."""
     dim = len(centroids[0][1])
+    src = embeddings
+    if sample_mod is not None and sample_mod > 1:
+        src = embeddings.filter(F.col(id_col) % sample_mod == 0)
     vec_d = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
         aggs = [F.count(F.lit(1)).alias("_n")] + [
@@ -270,7 +283,7 @@ def ivf_refine_centroids(
             for d in range(dim)
         ]
         rows = (
-            embeddings.select(
+            src.select(
                 ivf_assign_col(vec_d, centroids).alias("_cid"),
                 vec_d.alias("_v"),
             )
@@ -290,20 +303,47 @@ def ivf_assign_col(vec: Column, centroids: list[tuple[int, list[float]]]) -> Col
     """Nearest-centroid id (cosine, ties to the smaller id) as pure column
     algebra: the centroid matrix rides into the plan as literals (no join,
     no shuffle — each row's assignment is embarrassingly parallel), sorted
-    via array_sort over struct(-score, cid). Centroid norms are constant
-    expressions Catalyst folds at plan time. The ROW norm is deliberately
-    absent: it is a common positive factor across all centroids, so
-    ranking by dot/|c| equals ranking by full cosine — and including it
-    cost one array-fold per CENTROID per row (n_centroids× the fold
-    budget; subexpression elimination does not span the struct entries)."""
-    entries = []
-    for cid, cvec in centroids:
-        c = F.array(*[F.lit(float(x)) for x in cvec])
-        entries.append(F.struct(
-            (-(dot(vec, c) / norm(c))).alias("nc"),
+    via array_sort over struct(-score, cid).
+
+    ONE fold over the vector carrying all n_centroids running dot products
+    as the accumulator (the round-3 shape ran one independent fold per
+    centroid — n_centroids full vector traversals per row; the refinement
+    pass made that the dominant cost of ann_ivf_topk). The centroid matrix
+    rides in TRANSPOSED (per-coordinate rows), so centroid c's dot still
+    accumulates coordinate 0,1,2,… in sequence — float addition order, and
+    therefore every assignment, is bit-identical to the unfused form.
+    Centroid norms are computed DRIVER-side with the same sequential
+    left-fold an engine's list_dot_product performs (plain doubles →
+    identical IEEE results), riding in as plain literals instead of
+    n_centroids folded sqrt(dot(c,c)) expression trees. The ROW norm is
+    deliberately absent: it is a common positive factor across all
+    centroids, so ranking by dot/|c| equals ranking by full cosine."""
+    import math
+
+    n = len(centroids)
+    dim = len(centroids[0][1])
+    c_t = F.array(*[
+        F.array(*[F.lit(float(centroids[j][1][i])) for j in range(n)])
+        for i in range(dim)
+    ])
+    zero = F.array(*[F.lit(0.0).cast("double") for _ in range(n)])
+    dots = F.aggregate(
+        F.zip_with(vec, c_t, lambda x, crow: F.transform(crow, lambda w: x * w)),
+        zero,
+        lambda acc, contrib: F.zip_with(acc, contrib, lambda a, v: a + v),
+    )
+    meta = F.array(*[
+        F.struct(
+            F.lit(math.sqrt(sum(float(x) * float(x) for x in cvec))).alias("nm"),
             F.lit(int(cid)).cast("bigint").alias("cid"),
-        ))
-    return F.array_sort(F.array(*entries))[0]["cid"]
+        )
+        for cid, cvec in centroids
+    ])
+    scored = F.zip_with(
+        dots, meta,
+        lambda d, m: F.struct((-(d / m["nm"])).alias("nc"), m["cid"].alias("cid")),
+    )
+    return F.array_sort(scored)[0]["cid"]
 
 
 def ivf_topk(
