@@ -367,8 +367,9 @@ def build_triples(
         )
         return F.broadcast(ids)
 
-    vuln = F.concat(F.lit(T.UCO_HASH + "VULN-"), F.col("cve"))
-    cve_uri = F.concat(F.lit(T.UCO_HASH), F.col("cve"))
+    sq = PT.sq
+    vuln = f"concat({sq(T.UCO_HASH + 'VULN-')}, `cve`)"
+    cve_uri = f"concat({sq(T.UCO_HASH)}, `cve`)"
     parts: list[DataFrame] = []
 
     # R1 — every CVE id mention
@@ -404,33 +405,35 @@ def build_triples(
             F.col("capec_id").cast("string").alias("val")))
     )
     co_pairs = m_cve.join(other, "url").select("ckind", "cve", "val").distinct()
-    et_p = F.concat(F.lit(T.UCO_HASH + "ExploitTarget-"), F.col("val"))
-    cwe_p = F.concat(F.lit(T.UCO_HASH), F.col("val"))
-    cpe_p = F.concat(F.lit(T.EX_HASH), F.col("val"))
-    capec_p = F.concat(F.lit("https://capec.mitre.org/data/definitions/"),
-                       F.col("val"), F.lit(".html"))
+    et_p = f"concat({sq(T.UCO_HASH + 'ExploitTarget-')}, `val`)"
+    cwe_p = f"concat({sq(T.UCO_HASH)}, `val`)"
+    cpe_p = f"concat({sq(T.EX_HASH)}, `val`)"
+    capec_p = "concat('https://capec.mitre.org/data/definitions/', `val`, '.html')"
+    cwe_els = ", ".join([
+        PT.type_el(et_p, T.CL_EXPLOIT_TARGET),
+        PT.type_el(vuln, T.CL_VULNERABILITY),
+        PT.type_el(cwe_p, T.CL_CWE),
+        PT.uri_el(et_p, T.P_HAS_VULNERABILITY, vuln),
+        PT.uri_el(et_p, T.P_HAS_WEAKNESS, cwe_p),
+    ])
+    cpe_els = ", ".join([
+        PT.uri_el(cve_uri, T.P_HAS_CPE, cpe_p),
+        PT.type_el(cpe_p, T.CL_CPE),
+    ])
+    capec_els = ", ".join([
+        PT.uri_el(capec_p, P_EXPLOITS, vuln),
+        PT.type_el(vuln, T.CL_VULNERABILITY),
+    ])
     co_arr = (
-        F.when(F.col("ckind") == "cwe", F.array(
-            PT.type_el(et_p, T.CL_EXPLOIT_TARGET),
-            PT.type_el(vuln, T.CL_VULNERABILITY),
-            PT.type_el(cwe_p, T.CL_CWE),
-            PT.uri_el(et_p, T.P_HAS_VULNERABILITY, vuln),
-            PT.uri_el(et_p, T.P_HAS_WEAKNESS, cwe_p),
-        ))
-        .when(F.col("ckind") == "cpe", F.array(
-            PT.uri_el(cve_uri, T.P_HAS_CPE, cpe_p),
-            PT.type_el(cpe_p, T.CL_CPE),
-        ))
-        .otherwise(F.array(  # capec
-            PT.uri_el(capec_p, P_EXPLOITS, vuln),
-            PT.type_el(vuln, T.CL_VULNERABILITY),
-        ))
+        f"(CASE WHEN `ckind` = 'cwe' THEN array({cwe_els})"
+        f" WHEN `ckind` = 'cpe' THEN array({cpe_els})"
+        f" ELSE array({capec_els}) END)"
     )
     parts.append(PT.emit(co_pairs, [], [co_arr]))
 
     # R4 records — CPE records for linked mentions
     cpe_records = m_cpe.drop("url").dropDuplicates(["cpeName"])
-    rec_uri = F.concat(F.lit(T.EX_HASH), F.col("cpeName"))
+    rec_uri = f"concat({sq(T.EX_HASH)}, `cpeName`)"
     parts.append(PT.emit(cpe_records, PT.cpe_record_elements(rec_uri)))
 
     # R5 — full CWE records for mentioned CWEs. The mention-id set is

@@ -27,62 +27,76 @@ from ..kernel import templates as T
 
 TRIPLE_COLS = ["subj", "pred", "obj", "obj_is_literal", "obj_datatype"]
 
+_TRIPLE_STRUCT_SQL = "struct<subj:string,pred:string,obj:string,lit:boolean,dt:string>"
 
-def _el(subj: Column, pred: str | Column, obj: Column,
-        lit: bool, dt: str | None) -> Column:
-    """One triple as a struct element."""
-    p = F.lit(pred) if isinstance(pred, str) else pred
-    return F.struct(
-        subj.cast("string").alias("subj"),
-        p.cast("string").alias("pred"),
-        obj.cast("string").alias("obj"),
-        F.lit(lit).alias("lit"),
-        F.lit(dt).cast("string").alias("dt"),
+# The element builders generate SQL TEXT, compiled by ONE F.expr call per
+# emitted array. The round-3 Column-based forms were semantically identical
+# but made ~30 Py4J round-trips per element (~21k per build_triples call,
+# 5.7 s of socket chatter measured under cProfile — more than the emission
+# itself executes in). The SQL text parses JVM-side in milliseconds and
+# analyzes to the same Catalyst expression trees, so plan shape, parity,
+# and oracle agreement are untouched; only the Python-side construction
+# cost changes. Subjects/objects are SQL expression strings; ``raw`` marks
+# a pred/cls argument that is an expression rather than a constant.
+
+
+def sq(s: str) -> str:
+    """SQL single-quoted string literal (backslash-escaping parser form)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+class raw(str):
+    """Marks a pred/cls argument as a ready SQL expression; a plain str is
+    treated as a constant and quoted."""
+
+
+def _el(subj: str, pred: str, obj: str, lit: bool, dt: str | None) -> str:
+    """One triple as a named_struct SQL fragment."""
+    p = pred if isinstance(pred, raw) else sq(pred)
+    dt_sql = f"cast({sq(dt)} as string)" if dt is not None else "cast(null as string)"
+    return (
+        f"named_struct('subj', cast(({subj}) as string), "
+        f"'pred', cast(({p}) as string), "
+        f"'obj', cast(({obj}) as string), "
+        f"'lit', {'true' if lit else 'false'}, "
+        f"'dt', {dt_sql})"
     )
 
 
-def lit_el(subj: Column, pred: str | Column, obj: Column,
-           dt: str = T.XSD_STRING) -> Column:
+def lit_el(subj: str, pred: str | raw, obj: str, dt: str = T.XSD_STRING) -> str:
     return _el(subj, pred, obj, True, dt)
 
 
-def uri_el(subj: Column, pred: str | Column, obj: Column) -> Column:
+def uri_el(subj: str, pred: str | raw, obj: str) -> str:
     return _el(subj, pred, obj, False, None)
 
 
-def type_el(subj: Column, cls: str | Column) -> Column:
-    obj = F.lit(cls) if isinstance(cls, str) else cls
+def type_el(subj: str, cls: str | raw) -> str:
+    obj = cls if isinstance(cls, raw) else sq(cls)
     return _el(subj, T.RDF_TYPE, obj, False, None)
 
 
-def bool_col(c: Column) -> Column:
-    return F.when(c, F.lit("true")).otherwise(F.lit("false"))
+def bool_col(c: str) -> str:
+    return f"(CASE WHEN {c} THEN 'true' ELSE 'false' END)"
 
 
-def emit(df: DataFrame, elements: list[Column],
-         element_arrays: list[Column] | None = None) -> DataFrame:
-    """ONE explode per table: singles + optional array-of-struct columns
-    (from F.transform over array fields) flattened together. P7 filter
-    applied uniformly: null subj/obj never emit; empty-string literal
-    objects never emit."""
-    parts = [F.array(*elements)] if elements else []
-    parts += [F.coalesce(a, F.array().cast(
-        "array<struct<subj:string,pred:string,obj:string,lit:boolean,dt:string>>"
-    )) for a in (element_arrays or [])]
-    arr = parts[0] if len(parts) == 1 else F.concat(*parts)
+def emit(df: DataFrame, elements: list[str],
+         element_arrays: list[str] | None = None) -> DataFrame:
+    """ONE explode per table: singles + optional array-of-struct SQL
+    fragments (from transform() over array fields) flattened together. P7
+    filter applied uniformly: null subj/obj never emit; empty-string
+    literal objects never emit."""
+    empty = f"cast(array() as array<{_TRIPLE_STRUCT_SQL}>)"
+    parts = [f"array({', '.join(elements)})"] if elements else []
+    parts += [f"coalesce(({a}), {empty})" for a in (element_arrays or [])]
+    arr = parts[0] if len(parts) == 1 else f"concat({', '.join(parts)})"
     return (
-        df.select(F.explode(arr).alias("t"))
-        .filter(
-            F.col("t.subj").isNotNull()
-            & F.col("t.obj").isNotNull()
-            & (~F.col("t.lit") | (F.col("t.obj") != ""))
-        )
-        .select(
-            F.col("t.subj").alias("subj"),
-            F.col("t.pred").alias("pred"),
-            F.col("t.obj").alias("obj"),
-            F.col("t.lit").alias("obj_is_literal"),
-            F.col("t.dt").alias("obj_datatype"),
+        df.select(F.explode(F.expr(arr)).alias("t"))
+        .where("t.subj IS NOT NULL AND t.obj IS NOT NULL"
+               " AND (NOT t.lit OR t.obj != '')")
+        .selectExpr(
+            "t.subj AS subj", "t.pred AS pred", "t.obj AS obj",
+            "t.lit AS obj_is_literal", "t.dt AS obj_datatype",
         )
     )
 
@@ -205,17 +219,17 @@ def build_cve_stage(
     return records, cwe_pairs, cpe_pairs
 
 
-def cpe_record_elements(subj: Column) -> list[Column]:
+def cpe_record_elements(subj: str) -> list[str]:
     """CPEMap datatype predicates (cve_rml.ttl:146-194) over a pair/record
     table with columns cpeName/cpeNameId/cpeLastModified/titles/
     dictionary_found — shared by the dictionary batch and R4."""
     return [
         type_el(subj, T.CL_CPE),
-        lit_el(subj, T.P_CPE_NAME, F.col("cpeName")),
-        lit_el(subj, T.P_CPE_NAME_ID, F.col("cpeNameId")),
-        lit_el(subj, T.P_CPE_LAST_MODIFIED, F.col("cpeLastModified"), T.XSD_DATETIME),
-        lit_el(subj, T.P_CPE_TITLES, F.col("titles"), T.RDF_JSON),
-        lit_el(subj, T.P_DICTIONARY_FOUND, bool_col(F.col("dictionary_found")), T.XSD_BOOLEAN),
+        lit_el(subj, T.P_CPE_NAME, "`cpeName`"),
+        lit_el(subj, T.P_CPE_NAME_ID, "`cpeNameId`"),
+        lit_el(subj, T.P_CPE_LAST_MODIFIED, "`cpeLastModified`", T.XSD_DATETIME),
+        lit_el(subj, T.P_CPE_TITLES, "`titles`", T.RDF_JSON),
+        lit_el(subj, T.P_DICTIONARY_FOUND, bool_col("`dictionary_found`"), T.XSD_BOOLEAN),
     ]
 
 
@@ -223,8 +237,8 @@ def emit_cve_batch(
     records: DataFrame, cwe_pairs: DataFrame, cpe_pairs: DataFrame
 ) -> DataFrame:
     """mapping/cve/cve_rml.ttl — all five TriplesMaps, four explodes."""
-    vuln = F.concat(F.lit(T.UCO_HASH + "VULN-"), F.col("id"))
-    cve = F.concat(F.lit(T.UCO_HASH), F.col("id"))
+    vuln = f"concat({sq(T.UCO_HASH + 'VULN-')}, `id`)"
+    cve = f"concat({sq(T.UCO_HASH)}, `id`)"
 
     # VULMap + CVEMap scalar predicates + summaries (descriptions array
     # flattened in the SAME explode via transform)
@@ -233,37 +247,32 @@ def emit_cve_batch(
         [
             type_el(vuln, T.CL_VULNERABILITY),
             type_el(cve, T.CL_CVE),
-            lit_el(vuln, T.P_PUBLISHED, F.col("published"), T.XSD_DATETIME),
-            lit_el(vuln, T.P_LAST_MODIFIED, F.col("lastModified"), T.XSD_DATETIME),
+            lit_el(vuln, T.P_PUBLISHED, "`published`", T.XSD_DATETIME),
+            lit_el(vuln, T.P_LAST_MODIFIED, "`lastModified`", T.XSD_DATETIME),
             uri_el(vuln, T.P_HAS_CVE_ID, cve),
-            lit_el(cve, T.RDFS_LABEL, F.col("id")),
-            lit_el(cve, T.P_VULN_STATUS, F.col("vulnStatus")),
-            lit_el(cve, T.P_VECTOR_STRING, F.col("vectorString")),
-            lit_el(cve, T.P_BASE_SEVERITY, F.col("baseSeverity")),
-            lit_el(cve, T.P_EXPLOITABILITY, F.col("exploitabilityScore")),
-            lit_el(cve, T.P_IMPACT, F.col("impactScore")),
-            lit_el(cve, T.P_OBTAIN_ALL_PRIV, bool_col(F.col("obtainAllPrivilege")), T.XSD_BOOLEAN),
-            lit_el(cve, T.P_USER_INTERACTION, bool_col(F.col("userInteractionRequired")), T.XSD_BOOLEAN),
-            lit_el(cve, T.P_EVALUATOR_SOLUTION, F.col("evaluatorSolution")),
+            lit_el(cve, T.RDFS_LABEL, "`id`"),
+            lit_el(cve, T.P_VULN_STATUS, "`vulnStatus`"),
+            lit_el(cve, T.P_VECTOR_STRING, "`vectorString`"),
+            lit_el(cve, T.P_BASE_SEVERITY, "`baseSeverity`"),
+            lit_el(cve, T.P_EXPLOITABILITY, "`exploitabilityScore`"),
+            lit_el(cve, T.P_IMPACT, "`impactScore`"),
+            lit_el(cve, T.P_OBTAIN_ALL_PRIV, bool_col("`obtainAllPrivilege`"), T.XSD_BOOLEAN),
+            lit_el(cve, T.P_USER_INTERACTION, bool_col("`userInteractionRequired`"), T.XSD_BOOLEAN),
+            lit_el(cve, T.P_EVALUATOR_SOLUTION, "`evaluatorSolution`"),
         ],
-        [
-            F.transform(
-                "descriptions",
-                lambda d: lit_el(vuln, T.P_SUMMARY, d["value"]),
-            )
-        ],
+        [f"transform(`descriptions`, d -> {lit_el(vuln, T.P_SUMMARY, 'd.value')})"],
     )
 
-    cve_of_pair = F.concat(F.lit(T.UCO_HASH), F.col("cve_id"))
-    cpe_uri = F.concat(F.lit(T.EX_HASH), F.col("cpeName"))
+    cve_of_pair = f"concat({sq(T.UCO_HASH)}, `cve_id`)"
+    cpe_uri = f"concat({sq(T.EX_HASH)}, `cpeName`)"
     cpe_part = emit(cpe_pairs, [
         uri_el(cve_of_pair, T.P_HAS_CPE, cpe_uri),  # :72-78
         *cpe_record_elements(cpe_uri),  # :146-194
     ])
 
-    et = F.concat(F.lit(T.UCO_HASH + "ExploitTarget-"), F.col("cwe_value"))
-    cwe_uri = F.concat(F.lit(T.UCO_HASH), F.col("cwe_value"))
-    vuln_of_pair = F.concat(F.lit(T.UCO_HASH + "VULN-"), F.col("cve_id"))
+    et = f"concat({sq(T.UCO_HASH + 'ExploitTarget-')}, `cwe_value`)"
+    cwe_uri = f"concat({sq(T.UCO_HASH)}, `cwe_value`)"
+    vuln_of_pair = f"concat({sq(T.UCO_HASH + 'VULN-')}, `cve_id`)"
     cwe_part = emit(cwe_pairs, [
         # CWEMap + CWETypeMap (:197-236)
         type_el(et, T.CL_EXPLOIT_TARGET),
@@ -305,20 +314,18 @@ CWE_LIT_PLAN: list[tuple[str, str, str]] = [
 
 
 def emit_cwe_batch(cwe_dim: DataFrame) -> DataFrame:
-    wid = F.col("id_value")
-    et = F.concat(F.lit(T.UCO_HASH + "ExploitTarget-"), wid)
-    cwe_uri = F.concat(F.lit(T.UCO_HASH), wid)
+    et = f"concat({sq(T.UCO_HASH + 'ExploitTarget-')}, `id_value`)"
+    cwe_uri = f"concat({sq(T.UCO_HASH)}, `id_value`)"
 
-    def obs_el(e: Column) -> Column:
-        ex_uri = F.concat(F.lit(T.EX_HASH), e["cwe_id"], F.lit("-"), e["Reference"])
-        cve_uri = F.concat(F.lit(T.UCO_HASH), e["Reference"])
-        return F.array(
-            type_el(ex_uri, T.CL_OBSERVED_EXAMPLE),  # :27-28
-            type_el(cve_uri, T.CL_CVE),  # :41
-            lit_el(ex_uri, T.P_OBS_DESCRIPTION, e["Description"]),  # :31
-            uri_el(ex_uri, T.P_EXAMPLE_OBSERVED_IN, cve_uri),  # :38-40
-            uri_el(cwe_uri, T.P_HAS_OBSERVED_EXAMPLE, ex_uri),  # :272-275
-        )
+    ex_uri = f"concat({sq(T.EX_HASH)}, e.cwe_id, '-', e.Reference)"
+    ex_cve_uri = f"concat({sq(T.UCO_HASH)}, e.Reference)"
+    obs_el = "array(" + ", ".join([
+        type_el(ex_uri, T.CL_OBSERVED_EXAMPLE),  # :27-28
+        type_el(ex_cve_uri, T.CL_CVE),  # :41
+        lit_el(ex_uri, T.P_OBS_DESCRIPTION, "e.Description"),  # :31
+        uri_el(ex_uri, T.P_EXAMPLE_OBSERVED_IN, ex_cve_uri),  # :38-40
+        uri_el(cwe_uri, T.P_HAS_OBSERVED_EXAMPLE, ex_uri),  # :272-275
+    ]) + ")"
 
     return emit(
         cwe_dim,
@@ -328,9 +335,9 @@ def emit_cwe_batch(cwe_dim: DataFrame) -> DataFrame:
             # J3 self-join on id_value is identity — emitted directly (:74-83)
             uri_el(et, T.P_HAS_WEAKNESS, cwe_uri),
         ]
-        + [lit_el(cwe_uri, p, F.col(f), dt) for (p, f, dt) in CWE_LIT_PLAN],
+        + [lit_el(cwe_uri, p, f"`{f}`", dt) for (p, f, dt) in CWE_LIT_PLAN],
         # null observed_examples → null array → coalesced inside emit()
-        [F.flatten(F.transform(F.col("observed_examples"), obs_el))],
+        [f"flatten(transform(`observed_examples`, e -> {obs_el}))"],
     )
 
 
@@ -340,17 +347,17 @@ def emit_cwe_batch(cwe_dim: DataFrame) -> DataFrame:
 
 
 def emit_attack_entities(ent_df: DataFrame) -> DataFrame:
-    uri = F.concat(F.lit(T.EX_HASH), F.col("ID"))
-    cls = F.try_element_at(
-        F.create_map(*[F.lit(x) for kv in T.ATTACK_ENTITY_CLASS.items() for x in kv]),
-        F.col("kind"),
+    uri = f"concat({sq(T.EX_HASH)}, `ID`)"
+    cls_map = ", ".join(
+        f"{sq(k)}, {sq(v)}" for k, v in T.ATTACK_ENTITY_CLASS.items()
     )
+    cls = raw(f"try_element_at(map({cls_map}), `kind`)")
     return emit(ent_df, [
         type_el(uri, cls),
-        lit_el(uri, T.P_EX_NAME, F.col("name")),
-        lit_el(uri, T.P_EX_DESCRIPTION, F.col("description")),
-        lit_el(uri, T.P_EX_URL, F.col("url")),
-        lit_el(uri, T.P_EX_DOMAIN, F.col("domain")),
+        lit_el(uri, T.P_EX_NAME, "`name`"),
+        lit_el(uri, T.P_EX_DESCRIPTION, "`description`"),
+        lit_el(uri, T.P_EX_URL, "`url`"),
+        lit_el(uri, T.P_EX_DOMAIN, "`domain`"),
     ])
 
 
@@ -385,11 +392,11 @@ def valid_attack_rels(ent_df: DataFrame, rel_df: DataFrame) -> DataFrame:
 def emit_attack_relationships(ent_df: DataFrame, rel_df: DataFrame) -> DataFrame:
     """7 typed relationship maps (attack_rml.ttl:253-403)."""
     joined = valid_attack_rels(ent_df, rel_df)
-    subj = F.concat(F.lit(T.EX_HASH), F.col("source_id"))
-    obj = F.concat(F.lit(T.EX_HASH), F.col("target_id"))
+    subj = f"concat({sq(T.EX_HASH)}, `source_id`)"
+    obj = f"concat({sq(T.EX_HASH)}, `target_id`)"
     return emit(joined, [
-        type_el(subj, F.col("subj_cls")),
-        uri_el(subj, F.col("pred"), obj),
+        type_el(subj, raw("`subj_cls`")),
+        uri_el(subj, raw("`pred`"), obj),
     ])
 
 
@@ -422,41 +429,32 @@ def emit_capec_batch(capec_dim: DataFrame) -> DataFrame:
     """One explode for the whole batch: scalar predicates, 11 array-literal
     predicates, and the two URI-edge families (+ target type decls,
     capec_rml.ttl:34-40, 161-167, 175-196)."""
-    uri = F.concat(
-        F.lit("https://capec.mitre.org/data/definitions/"), F.col("ID"), F.lit(".html")
-    )
+    uri = "concat('https://capec.mitre.org/data/definitions/', `ID`, '.html')"
 
-    def lit_arr(field: str, pred: str) -> Column:
+    def lit_arr(field: str, pred: str) -> str:
         # null arrays are coalesced to empty inside emit()
-        return F.transform(F.col(field), lambda v: lit_el(uri, pred, v))
+        return f"transform(`{field}`, v -> {lit_el(uri, pred, 'v')})"
 
-    rw_arr = F.flatten(F.transform(
-        F.col("Related_Weaknesses"),
-        lambda w: F.array(
-            uri_el(uri, T.P_HAS_RELATED_WEAKNESS, F.concat(F.lit(T.UCO_HASH), w)),
-            type_el(F.concat(F.lit(T.UCO_HASH), w), T.CL_CWE),
-        ),
-    ))
-    tm_arr = F.flatten(F.transform(
-        F.col("Taxonomy_Mappings"),
-        lambda t: F.array(
-            uri_el(uri, T.P_HAS_TAXONOMY_MAPPING, F.concat(F.lit(T.EX_HASH), t)),
-            type_el(F.concat(F.lit(T.EX_HASH), t), T.CL_ATTACK),
-        ),
-    ))
+    rw_obj = f"concat({sq(T.UCO_HASH)}, w)"
+    rw_arr = ("flatten(transform(`Related_Weaknesses`, w -> array("
+              + uri_el(uri, T.P_HAS_RELATED_WEAKNESS, rw_obj) + ", "
+              + type_el(rw_obj, T.CL_CWE) + ")))")
+    tm_obj = f"concat({sq(T.EX_HASH)}, t)"
+    tm_arr = ("flatten(transform(`Taxonomy_Mappings`, t -> array("
+              + uri_el(uri, T.P_HAS_TAXONOMY_MAPPING, tm_obj) + ", "
+              + type_el(tm_obj, T.CL_ATTACK) + ")))")
 
     return emit(
         capec_dim,
         [
             type_el(uri, T.CL_CAPEC),  # :170-171
-            lit_el(uri, T.RDFS_LABEL,
-                   F.concat(F.lit("CAPEC-"), F.col("ID"), F.lit(": "), F.col("Name"))),
-            lit_el(uri, T.P_CAPEC_ID, F.col("ID")),
-            lit_el(uri, T.P_CAPEC_NAME, F.col("Name")),
-            lit_el(uri, T.P_CAPEC_ABSTRACTION, F.col("Abstraction")),
-            lit_el(uri, T.P_CAPEC_LIKELIHOOD, F.col("Likelihood_Of_Attack")),
-            lit_el(uri, T.P_CAPEC_SEVERITY, F.col("Typical_Severity")),
-            lit_el(uri, T.P_CAPEC_DESCRIPTION, F.col("Description")),
+            lit_el(uri, T.RDFS_LABEL, "concat('CAPEC-', `ID`, ': ', `Name`)"),
+            lit_el(uri, T.P_CAPEC_ID, "`ID`"),
+            lit_el(uri, T.P_CAPEC_NAME, "`Name`"),
+            lit_el(uri, T.P_CAPEC_ABSTRACTION, "`Abstraction`"),
+            lit_el(uri, T.P_CAPEC_LIKELIHOOD, "`Likelihood_Of_Attack`"),
+            lit_el(uri, T.P_CAPEC_SEVERITY, "`Typical_Severity`"),
+            lit_el(uri, T.P_CAPEC_DESCRIPTION, "`Description`"),
         ],
         [lit_arr(f, p) for (p, f) in CAPEC_ARRAY_PLAN] + [rw_arr, tm_arr],
     )
@@ -468,15 +466,15 @@ def emit_capec_batch(capec_dim: DataFrame) -> DataFrame:
 
 
 def emit_d3fend_batch(d3_dim: DataFrame) -> DataFrame:
-    uri = F.concat(F.lit(T.EX_HASH), F.col("id"))
-    has_off = F.col("off_tech_id").isNotNull() & (F.col("off_tech_id") != "")
-    off_uri = F.when(has_off, F.concat(F.lit(T.EX_HASH), F.col("off_tech_id")))
+    uri = f"concat({sq(T.EX_HASH)}, `id`)"
+    off_uri = (f"(CASE WHEN `off_tech_id` IS NOT NULL AND `off_tech_id` != ''"
+               f" THEN concat({sq(T.EX_HASH)}, `off_tech_id`) END)")
     return emit(d3_dim, [
         type_el(uri, T.CL_D3FEND),  # :55-56
         # NO ucoexMITRED3FEND_ID triples: rml:reference "d3f:d3fend-id'"
         # stray-quote typo (d3fend_rml.ttl:29) — reproduced
-        lit_el(uri, T.P_D3FEND_DEFINITION, F.col("definition")),
-        lit_el(uri, T.P_D3FEND_LABEL, F.col("label")),
+        lit_el(uri, T.P_D3FEND_DEFINITION, "`definition`"),
+        lit_el(uri, T.P_D3FEND_LABEL, "`label`"),
         uri_el(uri, T.P_HAS_MITRE_ATTACK, off_uri),  # null obj filtered (P7)
         type_el(off_uri, T.CL_ATTACK),
     ])

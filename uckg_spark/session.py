@@ -64,6 +64,14 @@ def build_session(
         .config("spark.driver.memory", os.environ.get("UCKG_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # PySpark 4's DataFrame-debugging origin capture adds 2+ Py4J
+        # round-trips to EVERY Column/DataFrame API call (call-site info
+        # for error messages). The emission DAG makes ~21k API calls per
+        # build_triples; profiling showed 5.7 s of a 7.6 s plan
+        # construction in py4j socket reads, halved by this flag. Errors
+        # still raise with full JVM context — only the Python call-site
+        # annotation is lost, which a production engine trades away.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
