@@ -619,6 +619,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fingerprints(_t(spark, sf, "documents"))
     q["fingerprint"] = q_fingerprint
 
+    def q_repetition(spark, sf):
+        from uckg_spark.operators.webtext import repetition_scores
+
+        return repetition_scores(_t(spark, sf, "documents"))
+    q["repetition"] = q_repetition
+
+    def q_dup_shingles(spark, sf):
+        from uckg_spark.operators.webtext import duplicated_shingles
+
+        return duplicated_shingles(_t(spark, sf, "documents"), n=5)
+    q["dup_shingles"] = q_dup_shingles
+
+    def q_url_normalize(spark, sf):
+        # the driver tables carry no url column, so the query SYNTHESIZES
+        # deterministic messy urls (case noise, default/explicit ports,
+        # trailing slash, fragment — keyed off doc_id so every branch of
+        # the normalizer is exercised) and canonicalizes them; the oracle
+        # builds the identical urls in SQL and mirrors each step.
+        from uckg_spark.operators.webtext import normalize_url, url_host
+
+        d = F.col("doc_id")
+        url = F.concat(
+            F.when(d % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http")),
+            F.lit("://WWW."), F.col("source"), F.lit(".Example.COM"),
+            F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+            F.lit("/Docs/"), d.cast("string"),
+            F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        )
+        return _t(spark, sf, "documents").select(
+            "doc_id",
+            url.alias("url"),
+            normalize_url(url).alias("url_norm"),
+            url_host(url).alias("host"),
+        )
+    q["url_normalize"] = q_url_normalize
+
     def _staged_stream(spark, sf, table):
         """Stage a single-file sf table into a fresh dir (FileStreamSource
         sources a DIRECTORY) and return (bounded stream, workdir). The
@@ -1345,6 +1382,89 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id, (sum(term) % {FP_MOD})::BIGINT AS fingerprint
         FROM tok GROUP BY doc_id
+    """
+
+    # webtext curation family (operators/webtext.py) — exact-integer e6
+    # scores, same convention as quality
+    o["repetition"] = f"""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), base AS (
+            SELECT doc_id, len(t)::BIGINT AS n_tokens,
+                   len(list_distinct(t))::BIGINT AS n_distinct
+            FROM toks
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 1, 0) + 1),
+                       i -> array_to_string(t[i:i+1], ' '))) AS gram
+            FROM toks
+        ), cnt AS (
+            SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2
+        ), tops AS (
+            SELECT doc_id, max(c) AS topc FROM cnt GROUP BY 1
+        )
+        SELECT b.doc_id, n_tokens,
+               ((1000000 * (n_tokens - n_distinct))
+                // greatest(n_tokens, 1))::BIGINT AS dup_token_frac_e6,
+               coalesce(topc, 0)::BIGINT AS top_2gram_count,
+               ((1000000 * 2 * coalesce(topc, 0))
+                // greatest(n_tokens, 1))::BIGINT AS top_2gram_frac_e6
+        FROM base b LEFT JOIN tops USING (doc_id)
+    """
+
+    o["dup_shingles"] = """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 4, 0) + 1),
+                       i -> array_to_string(t[i:i+4], ' '))) AS shingle
+            FROM toks
+        )
+        SELECT shingle, count(DISTINCT doc_id)::BIGINT AS n_docs,
+               count(*)::BIGINT AS n_occurrences
+        FROM sh GROUP BY shingle
+        HAVING count(DISTINCT doc_id) >= 2
+    """
+
+    o["url_normalize"] = r"""
+        WITH u AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END)
+                   || '://WWW.' || source || '.Example.COM'
+                   || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)
+                   || '/Docs/' || doc_id
+                   || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                   || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+            FROM documents
+        ), parts AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url,
+                       '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)', 1)) AS host,
+                   regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:(\d+)', 1) AS port,
+                   regexp_extract(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)', 1) AS pathq
+            FROM u
+        )
+        SELECT doc_id, url,
+               scheme || '://' || host
+               || (CASE WHEN port = ''
+                         OR (scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443')
+                   THEN '' ELSE ':' || port END)
+               || (CASE WHEN pathq = '' THEN '/'
+                        WHEN length(pathq) > 1 AND pathq LIKE '%/'
+                        THEN substr(pathq, 1, length(pathq) - 1)
+                        ELSE pathq END) AS url_norm,
+               host
+        FROM parts
     """
 
     o["streaming_first_seen"] = """

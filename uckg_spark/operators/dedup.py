@@ -35,9 +35,17 @@ def tokens(c: Column) -> Column:
 
 
 def shingles(c: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as strings joined by single spaces."""
+    """Word n-gram shingles as strings joined by single spaces.
+
+    Documents shorter than ``n`` tokens yield an EMPTY array: the guard
+    matters because ``sequence(0, size-n)`` with ``size < n`` would emit
+    a *descending* [0, -1] and ``slice(start=0)`` throws — short docs
+    are rare in the driver tables but routine in a real web corpus.
+    """
     toks = tokens(c)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
     )

@@ -1,0 +1,158 @@
+"""Web-corpus curation operators: Gopher-style repetition scores,
+cross-document duplicated-shingle statistics (the counting core of
+exact-substring dedup), and URL canonicalization.
+
+These complete the training-data-pipeline family (dedup.py,
+textstats.py, similarity.py) with the three curation steps a
+Common-Crawl-scale corpus runs before training:
+
+- repetition filtering (Rae et al., Gopher §A1.1): documents dominated
+  by repeated tokens / a single hot n-gram are boilerplate or spam;
+  score them so a downstream filter can drop by threshold.
+- duplicated-span detection (Lee et al., "Deduplicating Training Data
+  Makes Language Models Better"): the first phase of exact-substring
+  dedup is counting which n-gram spans occur in more than one document;
+  at 10^12 docs this is one explode + one count shuffle keyed by the
+  span itself, which is exactly how the suffix-array approach is
+  approximated in MapReduce-style engines.
+- URL canonicalization: Common-Crawl page tables key on url; scheme/
+  host case, default ports, fragments and trailing slashes make
+  byte-distinct urls that are the same resource, so exact dedup on raw
+  url under-merges. (Reference parity note: the reference keys records
+  on ids it fetches — e.g. /root/reference/data_collection/
+  cve_collection.py builds per-CVE URLs — and never canonicalizes;
+  this operator is part of the web-scale graft surface, not a port.)
+
+All scores are exact parts-per-million integers (same convention as
+textstats.quality_scores) so the DuckDB oracle matches bit-for-bit.
+No UDFs anywhere — pure JVM column algebra plus one well-keyed shuffle
+where a count genuinely crosses rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles, tokens
+
+E6 = 1000000
+
+
+def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token-repetition scores (Gopher A1.1, adapted to the
+    whitespace-token granularity of the documents table):
+
+    - ``dup_token_frac_e6``: fraction of tokens that are repeats of an
+      earlier token — (n_tokens − n_distinct) / n_tokens. Computed
+      shuffle-free with array algebra (the whole score is per-row).
+    - ``top_2gram_count`` / ``top_2gram_frac_e6``: occurrences of the
+      most frequent word 2-gram and the fraction of tokens those
+      occurrences cover (2·count / n_tokens). Needs a real count across
+      a document's grams, so it shuffles ONCE keyed by (doc_id, gram) —
+      doc_id in the key spreads hot grams across the cluster, and the
+      per-doc max that follows is a partial-aggregating max on doc_id.
+
+    A quadratic per-document fold could avoid the shuffle, but at web
+    scale documents reach 10^5 tokens and O(n²) per row loses to one
+    well-keyed exchange; this is the 100 TB shape.
+    """
+    t = F.col(text_col)
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(t)).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(tokens(t))).cast("bigint").alias("n_distinct"),
+    )
+    gram_tops = (
+        docs.select("doc_id", F.explode(shingles(t, 2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_2gram_count"))
+    )
+    ntok = F.greatest(F.col("n_tokens"), F.lit(1))
+    return (
+        base.join(gram_tops, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.lit(E6) * (F.col("n_tokens") - F.col("n_distinct")) / ntok)
+            .cast("bigint")
+            .alias("dup_token_frac_e6"),
+            F.coalesce(F.col("top_2gram_count"), F.lit(0))
+            .cast("bigint")
+            .alias("top_2gram_count"),
+            F.floor(
+                F.lit(E6) * F.lit(2) * F.coalesce(F.col("top_2gram_count"), F.lit(0)) / ntok
+            )
+            .cast("bigint")
+            .alias("top_2gram_frac_e6"),
+        )
+    )
+
+
+def duplicated_shingles(
+    docs: DataFrame, n: int = 5, text_col: str = "text", min_docs: int = 2
+) -> DataFrame:
+    """Cross-document duplicated n-gram spans: every word n-gram that
+    appears in ≥ ``min_docs`` distinct documents, with how many docs and
+    how many total occurrences. This is the counting phase of
+    exact-substring dedup (Lee et al. 2022): the spans it surfaces are
+    the candidates a removal pass would cut.
+
+    Shape at scale: one explode (no driver materialization), one
+    aggregation shuffle keyed by the span string itself. Hot spans (the
+    whole point — boilerplate occurs everywhere) are handled by the
+    map-side partial aggregation: each input partition pre-counts its
+    own occurrences, so the reducer for a span receives one row per
+    upstream partition, not one per occurrence. count(distinct doc_id)
+    expands to a two-round aggregate the same way.
+    """
+    spans = docs.select(
+        "doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+    return (
+        spans.groupBy("shingle")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host (no port) of a URL column; '' when unparseable."""
+    return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1))
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonicalize a URL with the standard safe (RFC 3986 §6) steps:
+
+    1. strip the fragment (``#...``),
+    2. lowercase the scheme and the host (path/query case preserved),
+    3. drop the default port (``:80`` for http, ``:443`` for https),
+    4. drop a single trailing slash from a non-root path,
+    5. empty path → ``/``.
+
+    Pure column algebra (regexp_extract + concat), so it runs inside
+    whole-stage codegen and an SQL oracle reproduces it exactly.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    host = url_host(url)
+    port = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/:?#]*:(\d+)", 1)
+    # path+query, fragment excluded
+    pathq = F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    default = (
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == "")
+    )
+    portpart = F.when(default, F.lit("")).otherwise(F.concat(F.lit(":"), port))
+    path_norm = F.when(pathq == "", F.lit("/")).otherwise(
+        F.when(
+            (F.length(pathq) > 1) & pathq.endswith("/"),
+            pathq.substr(F.lit(1), F.length(pathq) - 1),
+        ).otherwise(pathq)
+    )
+    return F.concat(scheme, F.lit("://"), host, portpart, path_norm)
