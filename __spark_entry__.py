@@ -656,6 +656,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["url_normalize"] = q_url_normalize
 
+    def q_dedup_span_apply(spark, sf):
+        from uckg_spark.operators.webtext import remove_duplicated_spans
+
+        return remove_duplicated_spans(_t(spark, sf, "documents"), n=5)
+    q["dedup_span_apply"] = q_dedup_span_apply
+
+    def q_stratified_sample(spark, sf):
+        from uckg_spark.operators.corpus import stratified_sample
+
+        return stratified_sample(
+            _t(spark, sf, "documents"), group_col="source", target_per_group=10
+        )
+    q["stratified_sample"] = q_stratified_sample
+
+    def q_pack_sequences(spark, sf):
+        from uckg_spark.operators.corpus import pack_sequences
+
+        return pack_sequences(
+            _t(spark, sf, "documents"), budget=128, group_col="source"
+        )
+    q["pack_sequences"] = q_pack_sequences
+
     def _staged_stream(spark, sf, table):
         """Stage a single-file sf table into a fresh dir (FileStreamSource
         sources a DIRECTORY) and return (bounded stream, workdir). The
@@ -1465,6 +1487,81 @@ def oracle_sql() -> dict[str, str]:
                         ELSE pathq END) AS url_norm,
                host
         FROM parts
+    """
+
+    # APPLY phase of exact-substring dedup: drop every token covered by a
+    # cross-doc duplicated 5-gram (n_docs >= 2), keep order. Equal-length
+    # unnests zip in DuckDB, giving (pos, shingle) pairs.
+    o["dedup_span_apply"] = """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS pos,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 4, 0) + 1),
+                       i -> array_to_string(t[i:i+4], ' '))) AS shingle
+            FROM toks
+        ), dup AS (
+            SELECT shingle FROM sh
+            GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2
+        ), st AS (
+            SELECT doc_id, list(pos) AS starts
+            FROM sh JOIN dup USING (shingle) GROUP BY doc_id
+        ), kept AS (
+            SELECT tk.doc_id, tk.t,
+                   list_filter(
+                       range(1, len(tk.t) + 1),
+                       j -> len(list_filter(coalesce(st.starts, []),
+                                            i -> i <= j AND j < i + 5)) = 0
+                   ) AS keep
+            FROM toks tk LEFT JOIN st ON tk.doc_id = st.doc_id
+        )
+        SELECT doc_id, len(t)::BIGINT AS n_tokens,
+               (len(t) - len(keep))::BIGINT AS n_removed,
+               -- array_to_string([]) is NULL in DuckDB; Spark concat_ws is ''
+               coalesce(array_to_string(list_transform(keep, j -> t[j]), ' '), '')
+                   AS text_clean
+        FROM kept
+    """
+
+    # hash-threshold stratified sampling: keep doc iff
+    # h32(doc_id) mod 1e6 < floor(1e6 * target / group_count)
+    o["stratified_sample"] = f"""
+        WITH cnt AS (
+            SELECT source, count(*) AS group_n FROM documents GROUP BY source
+        )
+        SELECT doc_id, source,
+               least(1000000, floor(1000000 * 10 / group_n))::BIGINT AS rate_e6
+        FROM documents JOIN cnt USING (source)
+        WHERE {_h32_sql("doc_id::VARCHAR")} % 1000000
+              < least(1000000, floor(1000000 * 10 / group_n))
+    """
+
+    # GPT-style concatenation packing per source shard, 128-token chunks;
+    # window sum is HUGEINT in DuckDB -> ::BIGINT (the sessionize lesson)
+    o["pack_sequences"] = """
+        WITH toks AS (
+            SELECT doc_id, source AS "group",
+                   len(list_filter(string_split(text, ' '), x -> x <> ''))::BIGINT
+                       AS n_tokens
+            FROM documents
+        ), off AS (
+            SELECT doc_id, "group", n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                       PARTITION BY "group" ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS start_offset
+            FROM toks
+        )
+        SELECT doc_id, "group", n_tokens, start_offset,
+               floor(start_offset / 128)::BIGINT AS first_chunk,
+               floor((start_offset + greatest(n_tokens, 1) - 1) / 128)::BIGINT
+                   AS last_chunk,
+               (floor((start_offset + greatest(n_tokens, 1) - 1) / 128)
+                - floor(start_offset / 128) + 1)::BIGINT AS n_chunks
+        FROM off
     """
 
     o["streaming_first_seen"] = """

@@ -121,6 +121,73 @@ def duplicated_shingles(
     )
 
 
+def remove_duplicated_spans(
+    docs: DataFrame, n: int = 5, text_col: str = "text", min_docs: int = 2
+) -> DataFrame:
+    """The APPLY phase of exact-substring dedup (Lee et al. 2022),
+    completing the pipeline :func:`duplicated_shingles` starts: every
+    token covered by a word n-gram that occurs in ≥ ``min_docs`` distinct
+    documents is cut from EVERY document; the survivors keep their
+    original order.
+
+    Returns ``doc_id, n_tokens, n_removed, text_clean``.
+
+    Shape at scale (the MapReduce approximation of the suffix-array
+    algorithm):
+
+    1. build the duplicated-span table — one explode + one count shuffle
+       keyed by the span (see :func:`duplicated_shingles`);
+    2. explode each doc's (position, span) pairs and LEFT-SEMI join
+       against that table — the join key is the span string, so hot
+       boilerplate spans fan out across the cluster, and Spark's AQE
+       converts the probe to a broadcast when the dup table is small;
+    3. aggregate the surviving start positions per doc (one shuffle on
+       doc_id, unique and well-spread) and rebuild the text with pure
+       array algebra: token j is dropped iff some duplicated start i
+       satisfies i ≤ j < i+n. The per-row rebuild is O(m·|starts|) in
+       the worst case but |starts| is bounded by the duplicated MASS of
+       the doc, which is exactly what this operator exists to make small.
+    """
+    toks = tokens(F.col(text_col))
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(shingles(F.col(text_col), n)).alias("pos", "shingle"),
+    )
+    dup = (
+        spans.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .select("shingle")
+    )
+    starts = (
+        spans.join(dup, "shingle", "leftsemi")
+        .groupBy("doc_id")
+        # posexplode is 0-based; store 1-based starts to match token index
+        .agg(F.collect_set(F.col("pos") + 1).alias("starts"))
+    )
+    s = F.col("starts")
+    # guard the empty doc: sequence(1, 0) would DESCEND ([1, 0])
+    positions = F.when(
+        F.size(F.col("t")) > 0, F.sequence(F.lit(1), F.size(F.col("t")))
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.filter(
+        positions, lambda j: ~F.exists(s, lambda i: (i <= j) & (j < i + n))
+    )
+    return (
+        docs.select("doc_id", toks.alias("t"))
+        .join(starts, "doc_id", "left")
+        .withColumn("starts", F.coalesce(s, F.array().cast("array<int>")))
+        .select(
+            "doc_id",
+            F.size(F.col("t")).cast("bigint").alias("n_tokens"),
+            (F.size(F.col("t")) - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.concat_ws(
+                " ", F.transform(kept, lambda j: F.element_at(F.col("t"), j))
+            ).alias("text_clean"),
+        )
+    )
+
+
 def url_host(url: Column) -> Column:
     """Lowercased host (no port) of a URL column; '' when unparseable."""
     return F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]*)", 1))
