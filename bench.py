@@ -83,6 +83,11 @@ def main() -> None:
         "connected_components",
         "knn_join_pandas", "lang_id", "quality",
         "token_count", "fingerprint",
+        # webtext/corpus curation family (added round 4 — new keys, so the
+        # frozen per-query protocol and prior-round totals stay comparable
+        # on the shared keys; BENCH.md reports both totals)
+        "repetition", "dup_shingles", "dedup_span_apply",
+        "url_normalize", "stratified_sample", "pack_sequences",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical
