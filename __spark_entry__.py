@@ -678,6 +678,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["pack_sequences"] = q_pack_sequences
 
+    def q_vocab_top(spark, sf):
+        from uckg_spark.operators.vocab import build_vocab
+
+        return build_vocab(_t(spark, sf, "documents"), max_size=20)
+    q["vocab_top"] = q_vocab_top
+
+    def q_encode_docs(spark, sf):
+        from uckg_spark.operators.vocab import build_vocab, encode_docs
+
+        docs = _t(spark, sf, "documents")
+        return encode_docs(docs, build_vocab(docs, max_size=16))
+    q["encode_docs"] = q_encode_docs
+
     def _staged_stream(spark, sf, table):
         """Stage a single-file sf table into a fresh dir (FileStreamSource
         sources a DIRECTORY) and return (bounded stream, workdir). The
@@ -1562,6 +1575,54 @@ def oracle_sql() -> dict[str, str]:
                (floor((start_offset + greatest(n_tokens, 1) - 1) / 128)
                 - floor(start_offset / 128) + 1)::BIGINT AS n_chunks
         FROM off
+    """
+
+    # tokenizer-fitting: top-256 tokens by (freq DESC, token ASC)
+    o["vocab_top"] = """
+        WITH tok AS (
+            SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+                       AS token
+            FROM documents
+        ), cnt AS (
+            SELECT token, count(*)::BIGINT AS freq FROM tok GROUP BY token
+        )
+        SELECT token, freq,
+               row_number() OVER (ORDER BY freq DESC, token)::BIGINT AS vocab_id
+        FROM cnt
+        QUALIFY vocab_id <= 20
+    """
+
+    # corpus encoding through that vocab, OOV -> 0, order preserved;
+    # ids emitted as a space-joined string (list reprs differ across
+    # DuckDB fetch paths, strings don't)
+    o["encode_docs"] = """
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), tok AS (
+            SELECT doc_id,
+                   unnest(range(1, len(t) + 1)) AS pos,
+                   unnest(t) AS token
+            FROM toks
+        ), cnt AS (
+            SELECT token, count(*)::BIGINT AS freq FROM tok GROUP BY token
+        ), vocab AS (
+            SELECT token,
+                   row_number() OVER (ORDER BY freq DESC, token)::BIGINT AS vocab_id
+            FROM cnt
+            QUALIFY vocab_id <= 16
+        ), enc AS (
+            SELECT tok.doc_id, tok.pos, coalesce(v.vocab_id, 0) AS vid
+            FROM tok LEFT JOIN vocab v USING (token)
+        ), agg AS (
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   string_agg(vid::VARCHAR, ' ' ORDER BY pos) AS ids
+            FROM enc GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+               coalesce(a.ids, '') AS ids
+        FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
     """
 
     o["streaming_first_seen"] = """
