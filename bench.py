@@ -88,6 +88,7 @@ def main() -> None:
         # on the shared keys; BENCH.md reports both totals)
         "repetition", "dup_shingles", "dedup_span_apply",
         "url_normalize", "stratified_sample", "pack_sequences",
+        "vocab_top", "encode_docs",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical
