@@ -735,6 +735,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(out).select("user_id")
     q["streaming_first_seen"] = q_streaming_first_seen
 
+    def q_streaming_dedup_ingest(spark, sf):
+        """Dedup-on-ingest, the streaming twin of exact dedup (A1/I2 at
+        the ingest boundary): drain the documents table as a bounded
+        stream, emit each content digest exactly once across
+        micro-batches via the stateful first-seen operator. The emitted
+        digest SET is batch-slicing-independent (which doc of a
+        duplicate group arrives first varies with slicing; its md5 does
+        not), so the oracle is exactly SELECT DISTINCT md5(text)."""
+        from uckg_spark.streaming.pages_stream import streaming_first_seen_keys
+
+        stream, work = _staged_stream(spark, sf, "documents")
+        digests = stream.select(F.md5(F.col("text")).alias("digest"))
+        out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+        q_ = (
+            streaming_first_seen_keys(digests, "digest", "string")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+        return spark.read.parquet(out).select("digest")
+    q["streaming_dedup_ingest"] = q_streaming_dedup_ingest
+
     def q_streaming_mention_rate(spark, sf):
         """Watermarked event-time windowed aggregate (the monitoring
         surface of the streaming ingest mode): 10-minute tumbling counts
@@ -1623,6 +1648,10 @@ def oracle_sql() -> dict[str, str]:
                coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
                coalesce(a.ids, '') AS ids
         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+    o["streaming_dedup_ingest"] = """
+        SELECT DISTINCT md5(text) AS digest FROM documents
     """
 
     o["streaming_first_seen"] = """
