@@ -678,6 +678,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["pack_sequences"] = q_pack_sequences
 
+    def _kg_edges(spark, sf):
+        """(subj, pred, obj) edge table synthesized from the relational
+        FKs — orders placed_by customers, customers/suppliers in_nation —
+        so the graph-query operators run over a real multi-predicate KG
+        shape with an exact SQL twin."""
+        orders = _t(spark, sf, "orders").select(
+            F.concat(F.lit("order:"), F.col("o_orderkey")).alias("subj"),
+            F.lit("placed_by").alias("pred"),
+            F.concat(F.lit("cust:"), F.col("o_custkey")).alias("obj"),
+        )
+        cust = _t(spark, sf, "customer").select(
+            F.concat(F.lit("cust:"), F.col("c_custkey")).alias("subj"),
+            F.lit("in_nation").alias("pred"),
+            F.concat(F.lit("nation:"), F.col("c_nationkey")).alias("obj"),
+        )
+        supp = _t(spark, sf, "supplier").select(
+            F.concat(F.lit("supp:"), F.col("s_suppkey")).alias("subj"),
+            F.lit("in_nation").alias("pred"),
+            F.concat(F.lit("nation:"), F.col("s_nationkey")).alias("obj"),
+        )
+        return orders.unionByName(cust).unionByName(supp)
+
+    def q_kg_pattern_2hop(spark, sf):
+        from uckg_spark.plans.pattern import match_pattern
+
+        return match_pattern(
+            _kg_edges(spark, sf),
+            [("?o", "placed_by", "?c"), ("?c", "in_nation", "nation:5")],
+        )
+    q["kg_pattern_2hop"] = q_kg_pattern_2hop
+
+    def q_kg_degree(spark, sf):
+        from uckg_spark.plans.pattern import degree_stats
+
+        return degree_stats(_kg_edges(spark, sf))
+    q["kg_degree"] = q_kg_degree
+
     def q_vocab_top(spark, sf):
         from uckg_spark.operators.vocab import build_vocab
 
@@ -1600,6 +1637,35 @@ def oracle_sql() -> dict[str, str]:
                (floor((start_offset + greatest(n_tokens, 1) - 1) / 128)
                 - floor(start_offset / 128) + 1)::BIGINT AS n_chunks
         FROM off
+    """
+
+    # graph-pattern query over the FK-synthesized KG: orders placed by
+    # customers in nation 5 (two joined triple patterns, set semantics)
+    o["kg_pattern_2hop"] = """
+        SELECT DISTINCT 'order:' || o_orderkey AS o, 'cust:' || o_custkey AS c
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_nationkey = 5
+    """
+
+    o["kg_degree"] = """
+        WITH e AS (
+            SELECT 'order:' || o_orderkey AS subj, 'placed_by' AS pred,
+                   'cust:' || o_custkey AS obj FROM orders
+            UNION ALL
+            SELECT 'cust:' || c_custkey, 'in_nation',
+                   'nation:' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'supp:' || s_suppkey, 'in_nation',
+                   'nation:' || s_nationkey FROM supplier
+        ), n AS (
+            SELECT subj AS node, pred AS p, 1 AS is_out FROM e
+            UNION ALL
+            SELECT obj, pred, 0 FROM e
+        )
+        SELECT node, sum(is_out)::BIGINT AS out_degree,
+               sum(1 - is_out)::BIGINT AS in_degree,
+               count(DISTINCT p)::BIGINT AS n_predicates
+        FROM n GROUP BY node
     """
 
     # tokenizer-fitting: top-256 tokens by (freq DESC, token ASC)
