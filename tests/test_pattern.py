@@ -77,3 +77,51 @@ class TestDegreeStats:
         assert got["c"] == (1, 3, 2)
         assert got["g1"] == (0, 2, 1)
         assert got["d"] == (1, 0, 1)
+
+
+class TestPatternOnBuiltKg:
+    """End-to-end: Cypher-style pattern queries over the KG the pipeline
+    actually builds from fixture pages, cross-checked against a Python
+    evaluation of the collected edge set."""
+
+    def test_two_hop_on_real_edges(self, spark, fixture_pages, kg_dims):
+        from uckg_spark.plans.kg_pipeline import build_triples, materialize_graph
+        from uckg_spark.sources.pages import pages_df
+
+        triples = build_triples(
+            spark, pages_df(spark, fixture_pages[:40]), kg_dims).persist()
+        try:
+            _, edges = materialize_graph(triples)
+            edges = edges.persist()
+            erows = [(r["subj"], r["pred"], r["obj"]) for r in edges.collect()]
+            assert erows, "fixture KG built no edges"
+
+            # pick the predicate pair with the largest real 2-hop join
+            by_pred_so = {}
+            for s, p, o in erows:
+                by_pred_so.setdefault(p, set()).add((s, o))
+            best = None
+            for p1, so1 in by_pred_so.items():
+                for p2, so2 in by_pred_so.items():
+                    hop = {(s, m, o2) for s, m in so1 for m2, o2 in so2
+                           if m2 == m}
+                    if hop and (best is None or len(hop) > len(best[2])):
+                        best = (p1, p2, hop)
+            assert best, "fixture KG has no joinable predicate pair"
+            p1, p2, want = best
+
+            got = {(r["a"], r["b"], r["c"]) for r in match_pattern(
+                edges, [("?a", p1, "?b"), ("?b", p2, "?c")]).collect()}
+            assert got == want
+
+            # degree stats agree with the collected edge multiset
+            from collections import Counter
+            out_c = Counter(s for s, _, _ in erows)
+            in_c = Counter(o for _, _, o in erows)
+            stats = {r["node"]: (r["out_degree"], r["in_degree"])
+                     for r in degree_stats(edges).collect()}
+            for node, (od, ind) in stats.items():
+                assert od == out_c.get(node, 0) and ind == in_c.get(node, 0)
+        finally:
+            triples.unpersist()
+            edges.unpersist()
