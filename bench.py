@@ -88,7 +88,7 @@ def main() -> None:
         # on the shared keys; BENCH.md reports both totals)
         "repetition", "dup_shingles", "dedup_span_apply",
         "url_normalize", "stratified_sample", "pack_sequences",
-        "vocab_top", "encode_docs",
+        "vocab_top", "encode_docs", "kg_pattern_2hop", "kg_degree",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical
@@ -98,7 +98,11 @@ def main() -> None:
     # so its rep 2 would measure a cache hit, not the query.
     reps2 = {"dedup_simhash", "simhash_duplicates",
              "ann_ivf_topk", "connected_components", "dedup_minhash_xxh",
-             "simhash_near_dup", "lang_id"}
+             "simhash_near_dup", "lang_id",
+             # round-4 keys whose steady walls are >=~1.5 s (same frozen
+             # protocol criterion as the set above)
+             "repetition", "dup_shingles", "dedup_span_apply",
+             "encode_docs", "kg_pattern_2hop", "kg_degree"}
 
     def timed(name: str, run) -> None:
         walls = []
