@@ -715,6 +715,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return degree_stats(_kg_edges(spark, sf))
     q["kg_degree"] = q_kg_degree
 
+    def q_training_chunks(spark, sf):
+        from uckg_spark.operators.corpus import training_chunks
+        from uckg_spark.operators.vocab import build_vocab
+
+        docs = _t(spark, sf, "documents")
+        return training_chunks(
+            docs, build_vocab(docs, max_size=16), budget=128, group_col="source"
+        )
+    q["training_chunks"] = q_training_chunks
+
     def q_vocab_top(spark, sf):
         from uckg_spark.operators.vocab import build_vocab
 
@@ -1666,6 +1676,42 @@ def oracle_sql() -> dict[str, str]:
                sum(1 - is_out)::BIGINT AS in_degree,
                count(DISTINCT p)::BIGINT AS n_predicates
         FROM n GROUP BY node
+    """
+
+    # the materialized training batches: per-group token-id stream cut
+    # every 128 ids (encode -> pack -> chunk assembly composed)
+    o["training_chunks"] = """
+        WITH toks AS (
+            SELECT doc_id, source AS "group",
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), off AS (
+            SELECT doc_id, "group", t,
+                   coalesce(sum(len(t)) OVER (
+                       PARTITION BY "group" ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0)::BIGINT AS start_offset
+            FROM toks
+        ), tok AS (
+            SELECT "group",
+                   start_offset + unnest(range(0, len(t))) AS global_pos,
+                   unnest(t) AS token
+            FROM off
+        ), cnt AS (
+            SELECT token, count(*)::BIGINT AS freq FROM tok GROUP BY token
+        ), vocab AS (
+            SELECT token,
+                   row_number() OVER (ORDER BY freq DESC, token)::BIGINT AS vocab_id
+            FROM cnt
+            QUALIFY vocab_id <= 16
+        ), enc AS (
+            SELECT "group", global_pos, coalesce(v.vocab_id, 0) AS vid
+            FROM tok LEFT JOIN vocab v USING (token)
+        )
+        SELECT "group", (global_pos // 128)::BIGINT AS chunk_id,
+               count(*)::BIGINT AS n_tokens,
+               string_agg(vid::VARCHAR, ' ' ORDER BY global_pos) AS ids
+        FROM enc GROUP BY 1, 2
     """
 
     # tokenizer-fitting: top-256 tokens by (freq DESC, token ASC)

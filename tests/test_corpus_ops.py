@@ -112,3 +112,36 @@ class TestPackSequences:
             for r in grp:
                 assert r["start_offset"] == running
                 running += r["n_tokens"]
+
+
+class TestTrainingChunks:
+    def test_stream_integrity(self, spark):
+        from uckg_spark.operators.corpus import training_chunks
+        from uckg_spark.operators.vocab import build_vocab, encode_docs
+
+        docs = _docs(spark)
+        vocab = build_vocab(docs, max_size=3)
+        budget = 5
+        chunks = sorted(
+            training_chunks(docs, vocab, budget=budget).collect(),
+            key=lambda r: (r["group"], r["chunk_id"]),
+        )
+        # rebuild each group's stream from the per-doc encodings
+        enc = {r["doc_id"]: r["ids"] for r in encode_docs(docs, vocab).collect()}
+        streams = {}
+        for doc_id, src, _ in sorted(_docs(spark).collect()):
+            ids = enc[doc_id].split() if enc[doc_id] else []
+            streams.setdefault(src, []).extend(ids)
+        for g, stream in streams.items():
+            got = [r for r in chunks if r["group"] == g]
+            # chunk ids are dense from 0; every chunk full except the last
+            assert [r["chunk_id"] for r in got] == list(range(len(got)))
+            rebuilt = []
+            for i, r in enumerate(got):
+                ids = r["ids"].split()
+                assert r["n_tokens"] == len(ids)
+                if i < len(got) - 1:
+                    assert len(ids) == budget
+                rebuilt.extend(ids)
+            # no token lost, duplicated, or reordered
+            assert rebuilt == stream, g

@@ -66,6 +66,78 @@ def stratified_sample(
     )
 
 
+def training_chunks(
+    docs: DataFrame,
+    vocab: DataFrame,
+    budget: int = 2048,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Materialize the actual training batches: encode every document
+    through ``vocab`` (OOV → 0), lay each group's token-id stream
+    end-to-end in doc_id order, and cut every ``budget`` ids — the
+    chunk table a data loader reads. Returns ``group, chunk_id,
+    n_tokens, ids`` (ids space-joined, in stream order; the final chunk
+    of a group may be short).
+
+    Composition of the family's pieces, kept fully distributed:
+    per-doc token counts feed a per-group window cumsum (one shuffle)
+    for start offsets; ids explode with positions, map through the
+    BROADCAST vocab (corpus side never shuffles for the lookup), take
+    global position = doc start + local position, and aggregate by
+    (group, chunk = global_pos div budget) — one final shuffle keyed by
+    the chunk, which is exactly the output partitioning a loader wants.
+    """
+    n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
+    w = (
+        Window.partitionBy("group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_off = (
+        docs.select(
+            "doc_id",
+            F.col(group_col).alias("group"),
+            F.col(text_col).alias("_text"),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn(
+            "start_offset",
+            F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("bigint"),
+        )
+    )
+    toks = with_off.select(
+        "group",
+        "start_offset",
+        F.posexplode(tokens(F.col("_text"))).alias("pos", "token"),
+    )
+    placed = toks.join(
+        F.broadcast(vocab.select("token", "vocab_id")), "token", "left"
+    ).select(
+        "group",
+        (F.col("start_offset") + F.col("pos")).alias("global_pos"),
+        F.coalesce(F.col("vocab_id"), F.lit(0)).cast("bigint").alias("vid"),
+    )
+    return (
+        placed.withColumn(
+            "chunk_id", F.floor(F.col("global_pos") / budget).cast("bigint")
+        )
+        .groupBy("group", "chunk_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("global_pos", "vid"))
+                    ),
+                    lambda s: s["vid"].cast("string"),
+                ),
+            ).alias("ids"),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     budget: int = 2048,
