@@ -725,6 +725,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["training_chunks"] = q_training_chunks
 
+    def q_kg_pagerank(spark, sf):
+        from uckg_spark.plans.graphalgs import pagerank_fixed
+
+        return pagerank_fixed(_kg_edges(spark, sf), iterations=3)
+    q["kg_pagerank"] = q_kg_pagerank
+
+    def q_contamination(spark, sf):
+        from uckg_spark.operators.corpus import contamination_report
+
+        return contamination_report(
+            _t(spark, sf, "documents"), eval_group="src0", n=5
+        )
+    q["contamination"] = q_contamination
+
     def q_vocab_top(spark, sf):
         from uckg_spark.operators.vocab import build_vocab
 
@@ -1712,6 +1726,86 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n_tokens,
                string_agg(vid::VARCHAR, ' ' ORDER BY global_pos) AS ids
         FROM enc GROUP BY 1, 2
+    """
+
+    # integer fixed-point PageRank, 3 unrolled iterations — every step is
+    # bigint arithmetic (// is floor-div on positives in both engines), so
+    # the ranks are bit-exact across engines regardless of sum order
+    o["kg_pagerank"] = """
+        WITH e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT 'order:' || o_orderkey AS src,
+                       'cust:' || o_custkey AS dst FROM orders
+                UNION ALL
+                SELECT 'cust:' || c_custkey,
+                       'nation:' || c_nationkey FROM customer
+                UNION ALL
+                SELECT 'supp:' || s_suppkey,
+                       'nation:' || s_nationkey FROM supplier
+            )
+        ), nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), deg AS (
+            SELECT src AS node, count(*)::BIGINT AS outdeg FROM e GROUP BY 1
+        ), r0 AS (
+            SELECT node, 1000000::BIGINT AS rank FROM nodes
+        ), s1 AS (
+            SELECT e.dst AS node, sum(r.rank // d.outdeg)::BIGINT AS s
+            FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.node
+            GROUP BY 1
+        ), r1 AS (
+            SELECT n.node,
+                   (150000 + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank
+            FROM nodes n LEFT JOIN s1 s USING (node)
+        ), s2 AS (
+            SELECT e.dst AS node, sum(r.rank // d.outdeg)::BIGINT AS s
+            FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.node
+            GROUP BY 1
+        ), r2 AS (
+            SELECT n.node,
+                   (150000 + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank
+            FROM nodes n LEFT JOIN s2 s USING (node)
+        ), s3 AS (
+            SELECT e.dst AS node, sum(r.rank // d.outdeg)::BIGINT AS s
+            FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.node
+            GROUP BY 1
+        ), r3 AS (
+            SELECT n.node,
+                   (150000 + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank
+            FROM nodes n LEFT JOIN s3 s USING (node)
+        )
+        SELECT node, rank FROM r3
+    """
+
+    # train/eval decontamination: distinct 5-gram shingles of each src0
+    # (eval) doc that occur anywhere in the rest of the corpus
+    o["contamination"] = """
+        WITH toks AS (
+            SELECT doc_id, source,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), sh AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 4, 0) + 1),
+                       i -> array_to_string(t[i:i+4], ' '))) AS shingle
+            FROM toks
+        ), ev AS (
+            SELECT DISTINCT doc_id, shingle FROM sh WHERE source = 'src0'
+        ), tr AS (
+            SELECT DISTINCT shingle FROM sh WHERE source <> 'src0'
+        ), per AS (
+            SELECT e.doc_id, count(*)::BIGINT AS n_shingles,
+                   sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                       ::BIGINT AS n_contaminated
+            FROM ev e LEFT JOIN tr t USING (shingle)
+            GROUP BY 1
+        )
+        SELECT d.doc_id,
+               coalesce(p.n_shingles, 0)::BIGINT AS n_shingles,
+               coalesce(p.n_contaminated, 0)::BIGINT AS n_contaminated
+        FROM documents d LEFT JOIN per p USING (doc_id)
+        WHERE d.source = 'src0'
     """
 
     # tokenizer-fitting: top-256 tokens by (freq DESC, token ASC)

@@ -89,6 +89,7 @@ def main() -> None:
         "repetition", "dup_shingles", "dedup_span_apply",
         "url_normalize", "stratified_sample", "pack_sequences",
         "vocab_top", "encode_docs", "kg_pattern_2hop", "kg_degree",
+        "training_chunks", "kg_pagerank", "contamination",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical
@@ -102,7 +103,8 @@ def main() -> None:
              # round-4 keys whose steady walls are >=~1.5 s (same frozen
              # protocol criterion as the set above)
              "repetition", "dup_shingles", "dedup_span_apply",
-             "encode_docs", "kg_pattern_2hop", "kg_degree"}
+             "encode_docs", "kg_pattern_2hop", "kg_degree",
+             "training_chunks", "kg_pagerank", "contamination"}
 
     def timed(name: str, run) -> None:
         walls = []

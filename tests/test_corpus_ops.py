@@ -145,3 +145,38 @@ class TestTrainingChunks:
                 rebuilt.extend(ids)
             # no token lost, duplicated, or reordered
             assert rebuilt == stream, g
+
+
+class TestContaminationReport:
+    def test_known_overlap(self, spark):
+        from uckg_spark.operators.corpus import contamination_report
+
+        # eval doc 10 shares its first five tokens with train doc 0;
+        # eval doc 11 is clean; eval doc 12 is shorter than n
+        rows = [
+            (0, "train", "alpha beta gamma delta epsilon zeta"),
+            (1, "train", "one two three four five six"),
+            (10, "eval", "alpha beta gamma delta epsilon other words here"),
+            (11, "eval", "completely fresh material nothing shared at all"),
+            (12, "eval", "too short"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        out = {r["doc_id"]: r for r in
+               contamination_report(docs, "eval", n=5).collect()}
+        assert set(out) == {10, 11, 12}  # every eval doc reports
+        # doc 10: 4 distinct shingles, exactly 1 in train
+        assert out[10]["n_shingles"] == 4
+        assert out[10]["n_contaminated"] == 1
+        assert out[11]["n_shingles"] == 3  # 7 tokens -> 3 five-grams
+        assert out[11]["n_contaminated"] == 0
+        assert out[12]["n_shingles"] == 0
+        assert out[12]["n_contaminated"] == 0
+
+    def test_train_side_never_reports(self, spark):
+        from uckg_spark.operators.corpus import contamination_report
+
+        rows = [(0, "train", "a b c d e f"), (1, "eval", "a b c d e f")]
+        docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        out = contamination_report(docs, "eval", n=5).collect()
+        assert [r["doc_id"] for r in out] == [1]
+        assert out[0]["n_contaminated"] == 2  # both 5-gram shingles shared

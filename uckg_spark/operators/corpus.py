@@ -183,3 +183,66 @@ def pack_sequences(
             (last - first + 1).alias("n_chunks"),
         )
     )
+
+
+def contamination_report(
+    docs: DataFrame,
+    eval_group: str,
+    n: int = 5,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/eval decontamination check (Brown et al. 2020 app. C;
+    standard before any LLM training run): for every document in
+    ``eval_group``, count how many of its distinct word ``n``-gram
+    shingles also occur anywhere in the REST of the corpus (the training
+    split). Returns ``doc_id, n_shingles, n_contaminated`` for every
+    eval doc — rows with ``n_contaminated = 0`` are the provably-clean
+    ones, and docs shorter than ``n`` tokens report ``0, 0``.
+
+    Scale shape: the eval side is small by construction (benchmarks are
+    KBs, corpora are TBs); the train side reduces to DISTINCT shingles —
+    a map-side-combinable aggregation that is also the join key, so the
+    one corpus-wide shuffle is keyed exactly right. Hot shingles (stop-
+    word runs) skew that shuffle; AQE splits them. In production the
+    join key would be h32(shingle) to cut shuffle bytes ~5× (collisions
+    only ever OVER-count contamination — conservative in the safe
+    direction); the string key here keeps the operator exact.
+    """
+    from .dedup import shingles
+
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("_g"),
+        F.explode(shingles(F.col(text_col), n=n)).alias("shingle"),
+    )
+    eval_sh = (
+        sh.filter(F.col("_g") == eval_group)
+        .select("doc_id", "shingle")
+        .distinct()
+    )
+    train_sh = (
+        sh.filter(F.col("_g") != eval_group)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1).cast("bigint"))
+    )
+    per_doc = (
+        eval_sh.join(train_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint")
+            .alias("n_contaminated"),
+        )
+    )
+    all_eval = docs.filter(F.col(group_col) == eval_group).select(
+        F.col(id_col).alias("doc_id")
+    )
+    return all_eval.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+        F.coalesce("n_contaminated", F.lit(0)).cast("bigint")
+        .alias("n_contaminated"),
+    )

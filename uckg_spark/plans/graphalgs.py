@@ -1,0 +1,107 @@
+"""Iterative graph algorithms over the (subj, pred, obj) edge table —
+the analytics layer of the knowledge-graph query surface.
+
+The reference's Neo4j deployment exposes its KG to graph-algorithm
+libraries (centrality / ranking over the loaded graph is the canonical
+follow-on to the n10s load in /root/reference/neo4j_kg/
+graph_db_operations.py). The Spark-native equivalent is an iterative
+DataFrame job over the edges table the pipeline materializes.
+
+``pagerank_fixed`` is deliberately INTEGER fixed-point: every operation
+is bigint arithmetic (integer division, integer sums), so the result is
+bit-exact across engines and run-to-run — a float PageRank's sum order
+varies with partitioning, which would make the DuckDB oracle row and
+any resume-idempotency check flaky. Ranks are in micro-units (1e6 = the
+uniform start mass).
+
+Execution shape at 100 TB:
+- edges dedup once (set semantics, map-side combinable), then each
+  iteration is exactly two shuffles: the contribution join keyed on the
+  SOURCE node and the contribution aggregation keyed on the DESTINATION
+  node — the textbook PageRank shuffle pair. Both keys are the data's
+  own keys; AQE splits hot-entity skew (popular CVEs are exactly the
+  high-in-degree nodes that skew the agg side).
+- out-degrees are computed once and reused every iteration.
+- rank lineage is truncated every few iterations (localCheckpoint in
+  local mode) so Catalyst does not re-optimize an ever-deepening plan —
+  same discipline as operators/canonicalize.py::connected_components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# fixed-point scale: initial rank mass per node
+_SCALE = 1_000_000
+# damping 0.85 expressed exactly in integer math:
+#   r' = _TELEPORT + (85 * incoming) div 100
+_TELEPORT = 150_000
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    iterations: int = 3,
+    subj: str = "subj",
+    obj: str = "obj",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Integer fixed-point PageRank over ``edges``; returns (node, rank).
+
+    Semantics (exact, engine-portable):
+      E          = DISTINCT (subj, obj)          -- multigraph collapses
+      nodes      = subjects ∪ objects (DISTINCT)
+      outdeg(m)  = |{(m, *) ∈ E}|
+      r0(n)      = 1_000_000
+      r_{k+1}(n) = 150_000 + (85 * Σ_{(m,n)∈E} (r_k(m) div outdeg(m))) div 100
+
+    Dangling nodes (no out-edges) keep their teleport mass only — their
+    rank is not redistributed (the common "lost mass" variant; exactness
+    beats mass conservation for an oracle-checked operator, and the
+    ranking ORDER it induces is the standard one).
+
+    ``iterations`` is a fixed count, not a convergence test: the oracle
+    twin unrolls the same number of steps, and at web scale a bounded
+    iteration budget is how production PageRank jobs run anyway.
+    """
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    e = edges.select(F.col(subj).alias("src"), F.col(obj).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("outdeg")
+    )
+    # src-side static table: node, outdeg — joined to ranks each iteration
+    if iterations > 0:
+        e = e.persist()
+        deg = deg.persist()
+        nodes = nodes.persist()
+
+    ranks = nodes.withColumn("rank", F.lit(_SCALE).cast("bigint"))
+    is_local = e.sparkSession.sparkContext.master.startswith("local")
+    for k in range(iterations):
+        share = (
+            ranks.join(deg, "node")
+            .select("node", F.expr("rank div outdeg").alias("share"))
+        )
+        incoming = (
+            e.join(share, e.src == share.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").cast("bigint").alias("s"))
+        )
+        ranks = nodes.join(incoming, "node", "left").select(
+            "node",
+            (F.lit(_TELEPORT) + F.expr(
+                f"(85 * coalesce(s, 0L)) div 100")).cast("bigint").alias("rank"),
+        )
+        # truncate lineage periodically: Catalyst re-optimizes the whole
+        # nested plan stack every iteration otherwise (measured on the CC
+        # loop: per-iteration wall tripled by iter 4 without truncation)
+        if is_local and (k + 1) % checkpoint_every == 0 and k + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=False)
+
+    return ranks
