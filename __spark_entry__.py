@@ -739,6 +739,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["contamination"] = q_contamination
 
+    def q_asof_join(spark, sf):
+        # attribution: every click matched to the user's latest prior
+        # (or simultaneous) view — DuckDB twin is a native ASOF JOIN
+        from uckg_spark.operators.temporal import asof_join
+
+        ev = _t(spark, sf, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts")
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("event_id").alias("view_id"), "value")
+        out = asof_join(clicks, views, key="user_id", suffix="_v")
+        return out.select(
+            "event_id", "user_id",
+            F.col("view_id_v").alias("view_id"),
+            F.expr("timestampdiff(MICROSECOND, ts_v, ts) div 1000000")
+            .cast("bigint").alias("gap_s"),
+            F.col("value_v").alias("view_value"),
+        )
+    q["asof_join"] = q_asof_join
+
+    def q_range_join(spark, sf):
+        # all view→click pairs of the same user within a 2 h band —
+        # bucketized equi-join, never a nested-loop plan
+        from uckg_spark.operators.temporal import range_join_pairs
+
+        ev = _t(spark, sf, "events")
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("event_id").alias("view_id"))
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", F.col("event_id").alias("click_id"))
+        return range_join_pairs(
+            views, clicks, key="user_id", width_seconds=7200,
+            left_cols=["view_id"], right_cols=["click_id"], suffix="",
+        )
+    q["range_join"] = q_range_join
+
     def q_vocab_top(spark, sf):
         from uckg_spark.operators.vocab import build_vocab
 
@@ -1806,6 +1842,27 @@ def oracle_sql() -> dict[str, str]:
                coalesce(p.n_contaminated, 0)::BIGINT AS n_contaminated
         FROM documents d LEFT JOIN per p USING (doc_id)
         WHERE d.source = 'src0'
+    """
+
+    # backward-inclusive as-of join — DuckDB's native ASOF JOIN; gap in
+    # whole seconds via exact integer microsecond floor-division
+    o["asof_join"] = """
+        SELECT c.event_id, c.user_id, v.event_id AS view_id,
+               (datediff('microsecond', v.ts, c.ts) // 1000000)::BIGINT
+                   AS gap_s,
+               v.value AS view_value
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON c.user_id = v.user_id AND c.ts >= v.ts
+    """
+
+    # right-open 2 h band join; gap in exact integer microseconds
+    o["range_join"] = """
+        SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+               (epoch_us(c.ts) - epoch_us(v.ts))::BIGINT AS gap_us
+        FROM events v JOIN events c ON v.user_id = c.user_id
+        WHERE v.event_type = 'view' AND c.event_type = 'click'
+          AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 7200 SECOND
     """
 
     # tokenizer-fitting: top-256 tokens by (freq DESC, token ASC)

@@ -1,0 +1,89 @@
+"""asof_join / range_join_pairs — brute-force cross-checks on a seeded
+random fixture, tie/edge semantics, and the no-nested-loop plan property."""
+
+import datetime as dt
+import random
+
+from uckg_spark.operators.temporal import asof_join, range_join_pairs
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _ts(seconds: float) -> dt.datetime:
+    return T0 + dt.timedelta(seconds=seconds)
+
+
+def _fixture(spark, seed=7, n_left=60, n_right=80, n_keys=5):
+    rng = random.Random(seed)
+    lrows = [(i, rng.randrange(n_keys), _ts(rng.uniform(0, 3600)))
+             for i in range(n_left)]
+    rrows = [(1000 + i, rng.randrange(n_keys), _ts(rng.uniform(0, 3600)),
+              round(rng.uniform(0, 100), 2)) for i in range(n_right)]
+    left = spark.createDataFrame(lrows, ["lid", "k", "ts"])
+    right = spark.createDataFrame(rrows, ["rid", "k", "ts", "val"])
+    return lrows, rrows, left, right
+
+
+class TestAsofJoin:
+    def test_matches_brute_force(self, spark):
+        lrows, rrows, left, right = _fixture(spark)
+        got = {r["lid"]: (r["rid_m"], r["ts_m"])
+               for r in asof_join(left, right, key="k", suffix="_m").collect()}
+        want = {}
+        for lid, k, lts in lrows:
+            cands = [(rts, rid) for rid, rk, rts, _ in rrows
+                     if rk == k and rts <= lts]
+            if cands:
+                want[lid] = max(cands)
+        assert got == {lid: (rid, rts) for lid, (rts, rid) in want.items()}
+
+    def test_simultaneous_right_row_matches(self, spark):
+        left = spark.createDataFrame([(1, "a", _ts(10))], ["lid", "k", "ts"])
+        right = spark.createDataFrame(
+            [(9, "a", _ts(10)), (8, "a", _ts(5))], ["rid", "k", "ts"])
+        out = asof_join(left, right, key="k").collect()
+        assert len(out) == 1 and out[0]["rid_matched"] == 9
+
+    def test_left_keeps_unmatched(self, spark):
+        left = spark.createDataFrame(
+            [(1, "a", _ts(0)), (2, "a", _ts(20))], ["lid", "k", "ts"])
+        right = spark.createDataFrame([(9, "a", _ts(10))], ["rid", "k", "ts"])
+        inner = asof_join(left, right, key="k").collect()
+        assert [r["lid"] for r in inner] == [2]
+        outer = {r["lid"]: r["rid_matched"]
+                 for r in asof_join(left, right, key="k", how="left").collect()}
+        assert outer == {1: None, 2: 9}
+
+
+class TestRangeJoinPairs:
+    def test_matches_brute_force(self, spark):
+        lrows, rrows, left, right = _fixture(spark, seed=11)
+        width = 600
+        got = {(r["lid"], r["rid_r"], r["gap_us"])
+               for r in range_join_pairs(
+                   left, right, key="k", width_seconds=width).collect()}
+        want = set()
+        for lid, k, lts in lrows:
+            for rid, rk, rts, _ in rrows:
+                if rk == k and lts <= rts < lts + dt.timedelta(seconds=width):
+                    gap = (rts - lts) // dt.timedelta(microseconds=1)
+                    want.add((lid, rid, gap))
+        assert got == want
+
+    def test_band_edges(self, spark):
+        # inclusive at gap 0, exclusive at exactly width
+        left = spark.createDataFrame([(1, "a", _ts(0))], ["lid", "k", "ts"])
+        right = spark.createDataFrame(
+            [(7, "a", _ts(0)), (8, "a", _ts(59.999999)), (9, "a", _ts(60)),
+             (10, "b", _ts(1))],
+            ["rid", "k", "ts"])
+        got = {r["rid_r"] for r in range_join_pairs(
+            left, right, key="k", width_seconds=60).collect()}
+        assert got == {7, 8}
+
+    def test_plan_is_equi_join(self, spark):
+        _, _, left, right = _fixture(spark)
+        df = range_join_pairs(left, right, key="k", width_seconds=60)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,151 @@
+"""Temporal joins Spark's DataFrame API lacks as primitives — as-of join
+and bounded range join — expressed as compositions of built-in operators
+(per the graft brief: composition first, Pandas UDF only if semantics
+demand it; these don't).
+
+Both take an event-table shape (key, timestamp, payload) — the driver's
+``events.parquet`` — and both are engine-portable: the DuckDB twins use
+native ``ASOF JOIN`` / inequality joins, and every emitted value is
+integer-exact (timestamp gaps in whole microseconds).
+
+Scale design:
+- ``asof_join`` is the union-window formulation: tag both sides, ONE
+  shuffle partitioned by key and sorted by (ts, side), carry the last
+  right payload forward with ``last(ignorenulls)``. A sort-merge
+  inequality join would re-sort both sides AND explode candidate pairs
+  before picking the max — the window form touches each row once and
+  never materializes a candidate pair. Skewed keys (one hot user) are
+  a window-partition hotspot; at web scale, pre-split hot keys by time
+  range (the same salting recipe as operators/skew.py) since as-of
+  only needs the carried value at each split boundary.
+- ``range_join_pairs`` is the bucketized band join: candidates meet in
+  ``width``-sized time buckets (each right row lands in its bucket and
+  the next lower one), so the join is a pure equi-join on (key, bucket)
+  and the inequality is a post-filter — Spark never plans a nested-loop
+  or cartesian (plan-tested), and the candidate set is |pairs within
+  2×width|, not |left|×|right| per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_EPOCH = "1970-01-01 00:00:00"
+
+
+def _epoch_us(ts_col: Column) -> Column:
+    """Exact integer microseconds since the epoch for TIMESTAMP_NTZ
+    (unix_micros is TZ-only; DuckDB twin: epoch_us(ts))."""
+    return F.timestamp_diff(
+        "MICROSECOND", F.lit(_EPOCH).cast("timestamp_ntz"), ts_col
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    suffix: str = "_matched",
+    how: str = "inner",
+) -> DataFrame:
+    """For every left row, attach the LATEST right row of the same ``key``
+    with ``right_ts <= left_ts`` (backward as-of, inclusive — DuckDB's
+    ``ASOF JOIN ... ON l.ts >= r.ts`` semantics).
+
+    Returns all left columns plus every non-key right column renamed
+    ``<col><suffix>`` (including the right timestamp). ``how='inner'``
+    drops unmatched left rows; ``'left'`` keeps them with nulls.
+
+    The right side must be unique per (key, right_ts): with duplicates
+    the "latest" row at a tied timestamp is not well defined (DuckDB's
+    ASOF has the same caveat) — pre-aggregate duplicates away first.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    rpay = [c for c in right.columns if c != key]
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c).alias(c + suffix) for c in rpay]).alias("_pay"),
+    )
+    l = left.select(
+        "*",
+        F.col(key).alias("_k"),
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+    )
+    # right rows sort BEFORE left rows at an equal timestamp (side 0 < 1),
+    # so an exactly-simultaneous right row matches (inclusive backward)
+    u = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        u.withColumn("_m", F.last("_pay", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    if how == "inner":
+        matched = matched.filter(F.col("_m").isNotNull())
+    return matched.select(*left.columns, F.col("_m.*"))
+
+
+def range_join_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    width_seconds: int,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    left_cols: list[str] | None = None,
+    right_cols: list[str] | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) pairs with the same ``key`` and
+    ``left_ts <= right_ts < left_ts + width_seconds`` (right-open band).
+
+    Bucketized band join: bucket = epoch_us div width; a qualifying right
+    row's bucket is the left's bucket or the next one, so each right row
+    is duplicated into (bucket, bucket-1) and the join is an EQUI-join on
+    (key, bucket) with the exact band as a post-filter. Output carries
+    ``left_cols`` as-is, ``right_cols`` with ``suffix``, plus ``gap_us``
+    (exact integer microseconds right - left).
+    """
+    if width_seconds <= 0:
+        raise ValueError("width_seconds must be positive")
+    width_us = int(width_seconds) * 1_000_000
+    lcols = left_cols if left_cols is not None else [
+        c for c in left.columns if c != key]
+    rcols = right_cols if right_cols is not None else [
+        c for c in right.columns if c != key]
+    l = left.select(
+        F.col(key).alias("_k"),
+        _epoch_us(F.col(left_ts)).alias("_lus"),
+        *[F.col(c) for c in lcols],
+    ).withColumn("_b", F.expr(f"_lus div {width_us}"))
+    r = right.select(
+        F.col(key).alias("_k"),
+        _epoch_us(F.col(right_ts)).alias("_rus"),
+        *[F.col(c).alias(c + suffix) for c in rcols],
+    ).withColumn(
+        "_b", F.explode(F.array(
+            F.expr(f"_rus div {width_us}"),
+            F.expr(f"_rus div {width_us} - 1"),
+        ))
+    )
+    return (
+        l.join(r, ["_k", "_b"])
+        .filter((F.col("_rus") >= F.col("_lus"))
+                & (F.col("_rus") < F.col("_lus") + width_us))
+        .select(
+            F.col("_k").alias(key),
+            *lcols,
+            *[F.col(c + suffix) for c in rcols],
+            (F.col("_rus") - F.col("_lus")).cast("bigint").alias("gap_us"),
+        )
+    )
