@@ -775,6 +775,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["range_join"] = q_range_join
 
+    def q_curated_corpus(spark, sf):
+        # the curation pipeline end-to-end: exact-dedup apply → language
+        # gate → quality floor → repetition ceiling (composition of the
+        # family's own operators — the job a training-data run executes)
+        from uckg_spark.operators.corpus import curate_corpus
+
+        return curate_corpus(
+            _t(spark, sf, "documents"),
+            min_quality_e6=600_000, max_dup_frac_e6=600_000, lang="en",
+        )
+    q["curated_corpus"] = q_curated_corpus
+
     def q_vocab_top(spark, sf):
         from uckg_spark.operators.vocab import build_vocab
 
@@ -1863,6 +1875,51 @@ def oracle_sql() -> dict[str, str]:
         FROM events v JOIN events c ON v.user_id = c.user_id
         WHERE v.event_type = 'view' AND c.event_type = 'click'
           AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 7200 SECOND
+    """
+
+    # curation composition: dedup-apply keeper set over the FULL corpus,
+    # then lang gate, then the exact quality/repetition integer formulas
+    # (same CTEs as o["quality"] / o["repetition"], scoped to survivors)
+    o["curated_corpus"] = f"""
+        WITH kept AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text, lang,
+                       min(doc_id) OVER (PARTITION BY md5(text)) AS k
+                FROM documents
+            ) WHERE doc_id = k AND lang = 'en'
+        ), qbase AS (
+            SELECT doc_id,
+                   {ntok}::BIGINT AS ntok,
+                   length(text)::BIGINT AS nchars,
+                   len(regexp_extract_all(text, '[^\\w\\s]'))::BIGINT AS punct,
+                   {stop_en}::BIGINT AS stop_en
+            FROM kept
+        ), qe6 AS (
+            SELECT doc_id,
+                   least(nchars, 500) * 2000 AS len_norm_e6,
+                   least((5000000 * stop_en) // greatest(ntok, 1), 1000000)
+                       AS stop_ratio_e6,
+                   (1000000 * punct) // greatest(nchars, 1) AS punct_ratio_e6
+            FROM qbase
+        ), ql AS (
+            SELECT doc_id,
+                   ((4 * len_norm_e6 + 3 * stop_ratio_e6
+                     + 3 * (1000000 - punct_ratio_e6)) // 10)::BIGINT
+                       AS quality_e6
+            FROM qe6
+        ), toks AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM kept
+        ), rp AS (
+            SELECT doc_id,
+                   ((1000000 * (len(t) - len(list_distinct(t))))
+                    // greatest(len(t), 1))::BIGINT AS dup_token_frac_e6
+            FROM toks
+        )
+        SELECT k.doc_id, ql.quality_e6, rp.dup_token_frac_e6
+        FROM kept k JOIN ql USING (doc_id) JOIN rp USING (doc_id)
+        WHERE ql.quality_e6 >= 600000 AND rp.dup_token_frac_e6 <= 600000
     """
 
     # tokenizer-fitting: top-256 tokens by (freq DESC, token ASC)

@@ -180,3 +180,40 @@ class TestContaminationReport:
         out = contamination_report(docs, "eval", n=5).collect()
         assert [r["doc_id"] for r in out] == [1]
         assert out[0]["n_contaminated"] == 2  # both 5-gram shingles shared
+
+
+class TestCurateCorpus:
+    def test_dedup_runs_before_language_gate(self, spark):
+        from uckg_spark.operators.corpus import curate_corpus
+
+        # docs 0 (de) and 1 (en) are byte-identical: the keeper is the
+        # MIN doc_id (0, de), which the language gate then drops — doc 1
+        # must NOT sneak through (it lost the dedup), doc 2 survives
+        rows = [
+            (0, "de", "the of and to a in that it is was here now"),
+            (1, "en", "the of and to a in that it is was here now"),
+            (2, "en", "the of and to a in that it is was again later"),
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        kept = {r["doc_id"] for r in curate_corpus(
+            docs, min_quality_e6=0, max_dup_frac_e6=1_000_000).collect()}
+        assert kept == {2}
+
+    def test_quality_and_repetition_thresholds(self, spark):
+        from uckg_spark.operators.corpus import curate_corpus
+
+        stopword_rich = " ".join(
+            "the of and to a in that it is was for on".split() * 12)
+        rows = [
+            (0, "en", stopword_rich),        # high quality, high dup_frac
+            (1, "en", "!!!! ???? ;;;; ****"),  # punctuation: low quality
+        ]
+        docs = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+        # dup ceiling at 1e6: only the quality floor filters
+        kept = {r["doc_id"] for r in curate_corpus(
+            docs, min_quality_e6=600_000, max_dup_frac_e6=1_000_000).collect()}
+        assert kept == {0}
+        # tighten the repetition ceiling: the stopword loop is pure dup
+        kept = {r["doc_id"] for r in curate_corpus(
+            docs, min_quality_e6=600_000, max_dup_frac_e6=600_000).collect()}
+        assert kept == set()

@@ -246,3 +246,44 @@ def contamination_report(
         F.coalesce("n_contaminated", F.lit(0)).cast("bigint")
         .alias("n_contaminated"),
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality_e6: int = 600_000,
+    max_dup_frac_e6: int = 600_000,
+    lang: str = "en",
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The curation pipeline END-TO-END — the composition a real
+    training-data job runs, wired from the family's own operators:
+    exact dedup APPLY (keep min doc_id per byte-identical group) →
+    language gate → Gopher-style quality floor → repetition ceiling.
+    Returns ``doc_id, quality_e6, dup_token_frac_e6`` for the kept docs.
+
+    Order matters and is part of the contract: dedup runs over the FULL
+    corpus (so the keeper of a cross-language duplicate group is chosen
+    before the language gate), while the two score operators run only
+    over the deduped, language-gated survivors — at web scale that is
+    the difference between scoring 100 TB and scoring the ~half that
+    survives. Stage costs: one digest shuffle (dedup), a narrow filter,
+    one (doc, token)-keyed shuffle (repetition), column algebra
+    (quality), two doc_id joins of already-small score tables.
+    """
+    from .dedup import exact_dedup_apply
+    from .textstats import quality_scores
+    from .webtext import repetition_scores
+
+    kept = exact_dedup_apply(docs).filter(F.col(lang_col) == lang)
+    ql = quality_scores(kept).select(id_col, "quality_e6")
+    rp = repetition_scores(kept).select(id_col, "dup_token_frac_e6")
+    return (
+        kept.select(id_col)
+        .join(ql, id_col)
+        .join(rp, id_col)
+        .filter(
+            (F.col("quality_e6") >= min_quality_e6)
+            & (F.col("dup_token_frac_e6") <= max_dup_frac_e6)
+        )
+    )
