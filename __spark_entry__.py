@@ -787,6 +787,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["curated_corpus"] = q_curated_corpus
 
+    def q_kg_snapshot_diff(spark, sf):
+        # incremental maintenance: edge delta between two KG snapshots
+        # (old = orders minus every 3rd key, new = minus every 5th)
+        from uckg_spark.plans.graphalgs import snapshot_diff
+
+        def order_edges(df):
+            return df.select(
+                F.concat(F.lit("order:"), F.col("o_orderkey")).alias("subj"),
+                F.lit("placed_by").alias("pred"),
+                F.concat(F.lit("cust:"), F.col("o_custkey")).alias("obj"),
+            )
+
+        orders = _t(spark, sf, "orders")
+        old = order_edges(orders.filter(F.col("o_orderkey") % 3 != 0))
+        new = order_edges(orders.filter(F.col("o_orderkey") % 5 != 0))
+        return snapshot_diff(old, new)
+    q["kg_snapshot_diff"] = q_kg_snapshot_diff
+
     def q_vocab_top(spark, sf):
         from uckg_spark.operators.vocab import build_vocab
 
@@ -1920,6 +1938,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT k.doc_id, ql.quality_e6, rp.dup_token_frac_e6
         FROM kept k JOIN ql USING (doc_id) JOIN rp USING (doc_id)
         WHERE ql.quality_e6 >= 600000 AND rp.dup_token_frac_e6 <= 600000
+    """
+
+    # edge delta between two snapshots: EXCEPT both ways, tagged
+    o["kg_snapshot_diff"] = """
+        WITH olde AS (
+            SELECT 'order:' || o_orderkey AS subj, 'placed_by' AS pred,
+                   'cust:' || o_custkey AS obj
+            FROM orders WHERE o_orderkey % 3 <> 0
+        ), newe AS (
+            SELECT 'order:' || o_orderkey AS subj, 'placed_by' AS pred,
+                   'cust:' || o_custkey AS obj
+            FROM orders WHERE o_orderkey % 5 <> 0
+        )
+        SELECT subj, pred, obj, 'added' AS change
+        FROM (SELECT * FROM newe EXCEPT SELECT * FROM olde)
+        UNION ALL
+        SELECT subj, pred, obj, 'removed' AS change
+        FROM (SELECT * FROM olde EXCEPT SELECT * FROM newe)
     """
 
     # tokenizer-fitting: top-256 tokens by (freq DESC, token ASC)

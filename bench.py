@@ -90,7 +90,7 @@ def main() -> None:
         "url_normalize", "stratified_sample", "pack_sequences",
         "vocab_top", "encode_docs", "kg_pattern_2hop", "kg_degree",
         "training_chunks", "kg_pagerank", "contamination",
-        "asof_join", "range_join", "curated_corpus",
+        "asof_join", "range_join", "curated_corpus", "kg_snapshot_diff",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical

@@ -105,3 +105,28 @@ def pagerank_fixed(
             ranks = ranks.localCheckpoint(eager=False)
 
     return ranks
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Incremental KG maintenance: the edge delta between two graph
+    snapshots — every row of ``new`` not in ``old`` tagged ``added``,
+    every row of ``old`` not in ``new`` tagged ``removed`` (set
+    semantics, like the A1-deduped triple tables the catalog stores).
+
+    This is what an incremental pipeline applies instead of rebuilding:
+    ``build_triples(new_batch)`` → ``snapshot_diff(catalog_head, t)`` →
+    append only the ``added`` rows (the reference's n10s MERGE semantics
+    make re-inserts no-ops; the diff makes them free instead).
+
+    Scale shape: each direction is one EXCEPT — a shuffle keyed on the
+    full row, which IS the join key, with map-side partial dedup. On the
+    pred-partitioned catalog layout, restricting both sides to the same
+    predicate partition prunes the scan before the shuffle; the two
+    directions reuse the same scans (one per side).
+    """
+    if old.columns != new.columns:
+        raise ValueError(
+            f"schema mismatch: {old.columns} vs {new.columns}")
+    added = new.subtract(old).withColumn("change", F.lit("added"))
+    removed = old.subtract(new).withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)
