@@ -162,3 +162,30 @@ def test_nodes_snapshot_roundtrip(spark, tmp_path):
     cat.write_nodes(n2, n_buckets=2)
     assert cat.read_nodes(spark).count() == 6
     assert cat.read_nodes(spark, snapshot_id=s1).count() == 4
+
+
+def test_compaction_rewrites_head_to_one_dir(spark, tmp_path):
+    cat = GraphCatalog(str(tmp_path / "g"))
+    cat.write_edges(_edges(spark, 5, "a"), n_tasks=2)
+    cat.write_edges(_edges(spark, 4, "b"), n_tasks=2, mode="append")
+    s3 = cat.write_edges(_edges(spark, 3, "c"), n_tasks=2, mode="append")
+    assert len(cat.latest_snapshot("edges")["dirs"]) == 3
+    before = {tuple(r) for r in cat.read_edges(spark).collect()}
+
+    s4 = cat.compact_edges(spark, n_tasks=2)
+    head = cat.latest_snapshot("edges")
+    assert head["snapshot_id"] == s4 and len(head["dirs"]) == 1
+    assert head["rows"] == 12
+    # same row set through the rewrite
+    assert {tuple(r) for r in cat.read_edges(spark).collect()} == before
+    # the pre-compaction snapshot stays time-travelable until expiry
+    assert {tuple(r) for r in
+            cat.read_edges(spark, snapshot_id=s3).collect()} == before
+    # a second compaction is a no-op (already one dir)
+    assert cat.compact_edges(spark, n_tasks=2) == s4
+    # expiry then drops the small pre-compaction dirs; the head survives
+    removed = cat.expire_snapshots("edges", keep_last=1)
+    assert len(removed) == 3
+    assert {tuple(r) for r in cat.read_edges(spark).collect()} == before
+    with pytest.raises(FileNotFoundError):
+        cat.read_edges(spark, snapshot_id=s3)

@@ -254,6 +254,28 @@ class GraphCatalog:
 
     # ---- maintenance ---------------------------------------------------
 
+    def compact_edges(self, spark: SparkSession, n_tasks: int = 32) -> str:
+        """Iceberg's ``rewrite_data_files`` analog: rewrite the edge
+        table's current head — which after N appends spans N snapshot
+        dirs, each with its own small files — as ONE fresh snapshot dir,
+        committed with the same OCC CAS as any write. Appends that land
+        DURING the rewrite surface as ``CommitConflictError`` (a stale
+        compaction must never clobber new data — Iceberg fails the
+        rewrite the same way); the old snapshots stay time-travelable
+        until ``expire_snapshots`` drops them. At scale this is the
+        maintenance job that keeps read amplification flat as the
+        incremental pipeline appends per-batch deltas.
+
+        Returns the new head snapshot id (or the current one unchanged
+        if the head already spans a single dir)."""
+        parent = self.latest_snapshot("edges")
+        if parent is None:
+            raise FileNotFoundError("edges has no committed snapshot")
+        if len(parent["dirs"]) == 1:
+            return parent["snapshot_id"]
+        return self.write_edges(
+            self.read_edges(spark), n_tasks=n_tasks, mode="overwrite")
+
     def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
         """Drop data dirs referenced only by snapshots older than the last
         ``keep_last``, plus orphan dirs from crashed (uncommitted) writers.
