@@ -159,3 +159,62 @@ def run_stream_once(
         .start()
     )
     q.awaitTermination()
+
+
+def run_incremental_kg(
+    spark: SparkSession,
+    in_path: str,
+    catalog_root: str,
+    checkpoint: str,
+    dims=None,
+    max_files: int = 4,
+) -> None:
+    """The incremental-maintenance loop end-to-end: stream page batches →
+    build each batch's triples → append ONLY the edge delta to the
+    snapshot catalog (``foreachBatch`` + the `plans.graphalgs`
+    ``snapshot_diff`` semantics).
+
+    Effectively-once without a transactional sink: ``foreachBatch`` is
+    at-least-once (a crash between the catalog commit and the checkpoint
+    advance replays the batch), but because every append is the SUBTRACT
+    of the batch triples against the committed head, a replayed batch
+    computes an empty delta and commits nothing — the catalog converges
+    to the batch-built triple set regardless of replays. Concurrent
+    writers are handled by the catalog's OCC CAS, and compaction
+    (``compact_edges``) keeps read amplification flat as deltas pile up.
+    """
+    from ..plans.kg_pipeline import KgDims, build_triples
+
+    if dims is None:
+        dims = KgDims(spark)
+    from ..sources.catalog import GraphCatalog
+
+    cat = GraphCatalog(catalog_root)
+
+    def sink(batch_df, _batch_id: int) -> None:
+        triples = build_triples(spark, batch_df, dims).select(
+            "subj", "pred", "obj")
+        try:
+            # pred is the catalog's partition column and surfaces LAST on
+            # read; re-select so the positional subtract lines up
+            head = cat.read_edges(spark).select("subj", "pred", "obj")
+        except FileNotFoundError:
+            cat.write_edges(triples, mode="overwrite")
+            return
+        # the "added" half of snapshot_diff(head, head ∪ triples):
+        # removed is empty by construction, so compute only this side
+        delta = triples.subtract(head).persist()
+        try:
+            if delta.count() > 0:  # empty delta (e.g. a replay): no commit
+                cat.write_edges(delta, mode="append")
+        finally:
+            delta.unpersist()
+
+    q = (
+        read_pages_stream(spark, in_path, max_files=max_files)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
