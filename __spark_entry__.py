@@ -731,6 +731,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pagerank_fixed(_kg_edges(spark, sf), iterations=3)
     q["kg_pagerank"] = q_kg_pagerank
 
+    def q_kg_reachability(spark, sf):
+        # who reaches nation 5 within 3 hops, following edges backwards
+        # (customers/suppliers at hop 1, their orders at hop 2)
+        from uckg_spark.plans.graphalgs import bfs_hops
+
+        return bfs_hops(
+            _kg_edges(spark, sf), ["nation:5"], max_hops=3, reverse=True
+        )
+    q["kg_reachability"] = q_kg_reachability
+
+    def _kg_edges_closed(spark, sf):
+        # _kg_edges plus order→nation (the order's customer's nation), so
+        # every order closes an (order, cust, nation) triangle
+        on = (
+            _t(spark, sf, "orders")
+            .join(_t(spark, sf, "customer"),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .select(
+                F.concat(F.lit("order:"), F.col("o_orderkey")).alias("subj"),
+                F.lit("in_nation").alias("pred"),
+                F.concat(F.lit("nation:"), F.col("c_nationkey")).alias("obj"),
+            )
+        )
+        return _kg_edges(spark, sf).unionByName(on)
+
+    def q_kg_triangles(spark, sf):
+        from uckg_spark.plans.graphalgs import triangle_counts
+
+        return triangle_counts(_kg_edges_closed(spark, sf))
+    q["kg_triangles"] = q_kg_triangles
+
+    def q_approx_distinct_kmv(spark, sf):
+        # integer-exact KMV cardinality sketch (k=64) of customers per
+        # order priority, with the exact count riding along for error
+        from uckg_spark.operators.sketches import kmv_distinct
+
+        return kmv_distinct(
+            _t(spark, sf, "orders"), "o_custkey", "o_orderpriority", k=64
+        )
+    q["approx_distinct_kmv"] = q_approx_distinct_kmv
+
     def q_contamination(spark, sf):
         from uckg_spark.operators.corpus import contamination_report
 
@@ -1841,6 +1882,103 @@ def oracle_sql() -> dict[str, str]:
             FROM nodes n LEFT JOIN s3 s USING (node)
         )
         SELECT node, rank FROM r3
+    """
+
+    # bounded reverse BFS from nation:5 — the same level-synchronous
+    # frontier unrolled: each level joins the previous frontier and
+    # anti-joins everything already settled (min-hop is structural)
+    o["kg_reachability"] = """
+        WITH e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT 'cust:' || o_custkey AS src,
+                       'order:' || o_orderkey AS dst FROM orders
+                UNION ALL
+                SELECT 'nation:' || c_nationkey,
+                       'cust:' || c_custkey FROM customer
+                UNION ALL
+                SELECT 'nation:' || s_nationkey,
+                       'supp:' || s_suppkey FROM supplier
+            )
+        ), d0 AS (
+            SELECT 'nation:5' AS node, 0::BIGINT AS hops
+        ), n1 AS (
+            SELECT DISTINCT e.dst AS node, 1::BIGINT AS hops
+            FROM e JOIN d0 ON e.src = d0.node
+            WHERE e.dst NOT IN (SELECT node FROM d0)
+        ), n2 AS (
+            SELECT DISTINCT e.dst AS node, 2::BIGINT AS hops
+            FROM e JOIN n1 ON e.src = n1.node
+            WHERE e.dst NOT IN (SELECT node FROM d0
+                                UNION ALL SELECT node FROM n1)
+        ), n3 AS (
+            SELECT DISTINCT e.dst AS node, 3::BIGINT AS hops
+            FROM e JOIN n2 ON e.src = n2.node
+            WHERE e.dst NOT IN (SELECT node FROM d0
+                                UNION ALL SELECT node FROM n1
+                                UNION ALL SELECT node FROM n2)
+        )
+        SELECT node, hops FROM d0
+        UNION ALL SELECT node, hops FROM n1
+        UNION ALL SELECT node, hops FROM n2
+        UNION ALL SELECT node, hops FROM n3
+    """
+
+    # ordered wedge-check triangle counting on the FK graph closed with
+    # order→nation edges; corners canonicalized a<b<c so each triangle
+    # lands once, then exploded to per-node counts
+    o["kg_triangles"] = """
+        WITH base AS (
+            SELECT 'order:' || o_orderkey AS subj,
+                   'cust:' || o_custkey AS obj FROM orders
+            UNION ALL
+            SELECT 'cust:' || c_custkey,
+                   'nation:' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'supp:' || s_suppkey,
+                   'nation:' || s_nationkey FROM supplier
+            UNION ALL
+            SELECT 'order:' || o_orderkey, 'nation:' || c_nationkey
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ), und AS (
+            SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+            FROM base WHERE subj <> obj
+        ), tri AS (
+            SELECT xy.a AS x, xy.b AS y, yz.b AS z
+            FROM und xy
+            JOIN und yz ON xy.b = yz.a
+            JOIN und xz ON xz.a = xy.a AND xz.b = yz.b
+        ), n AS (
+            SELECT unnest([x, y, z]) AS node FROM tri
+        )
+        SELECT node, count(*)::BIGINT AS n_triangles FROM n GROUP BY node
+    """
+
+    # KMV distinct sketch, k=64: k smallest distinct 32-bit md5-prefix
+    # hashes per group; estimate = (k-1)*2^32 div h_k — all bigint, so
+    # bit-exact across engines (HLL never is)
+    o["approx_distinct_kmv"] = f"""
+        WITH h AS (
+            SELECT DISTINCT o_orderpriority AS grp,
+                   {_h32_sql("o_custkey::VARCHAR")} AS h
+            FROM orders
+        ), r AS (
+            SELECT grp, h,
+                   row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+            FROM h
+        ), a AS (
+            SELECT grp, count(*)::BIGINT AS k_used, max(h)::BIGINT AS h_k
+            FROM r WHERE rn <= 64 GROUP BY grp
+        ), t AS (
+            SELECT o_orderpriority AS grp,
+                   count(DISTINCT o_custkey)::BIGINT AS true_distinct
+            FROM orders GROUP BY grp
+        )
+        SELECT grp, k_used,
+               (CASE WHEN k_used < 64 THEN k_used
+                     ELSE (63 * 4294967296) // greatest(h_k, 1)
+                END)::BIGINT AS est_distinct,
+               true_distinct
+        FROM a JOIN t USING (grp)
     """
 
     # train/eval decontamination: distinct 5-gram shingles of each src0

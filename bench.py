@@ -91,6 +91,8 @@ def main() -> None:
         "vocab_top", "encode_docs", "kg_pattern_2hop", "kg_degree",
         "training_chunks", "kg_pagerank", "contamination",
         "asof_join", "range_join", "curated_corpus", "kg_snapshot_diff",
+        # round-4 late additions: graph analytics + cardinality sketch
+        "kg_reachability", "kg_triangles", "approx_distinct_kmv",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical
@@ -105,7 +107,8 @@ def main() -> None:
              # protocol criterion as the set above)
              "repetition", "dup_shingles", "dedup_span_apply",
              "encode_docs", "kg_pattern_2hop", "kg_degree",
-             "training_chunks", "kg_pagerank", "contamination"}
+             "training_chunks", "kg_pagerank", "contamination",
+             "kg_reachability", "kg_triangles", "approx_distinct_kmv"}
 
     def timed(name: str, run) -> None:
         walls = []

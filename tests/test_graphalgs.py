@@ -129,3 +129,126 @@ class TestSnapshotDiff:
         got = {(r["subj"], r["obj"], r["change"])
                for r in snapshot_diff(old, new).collect()}
         assert got == {("c", "d", "added")}
+
+
+def bfs_py(edges, seeds, max_hops, reverse=False):
+    """Driver-side level-synchronous BFS reference."""
+    e = sorted({(d, s) if reverse else (s, d) for s, d in edges})
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for k in range(1, max_hops + 1):
+        nxt = {d for s, d in e if s in frontier} - set(dist)
+        for n in nxt:
+            dist[n] = k
+        frontier = nxt
+    return dist
+
+
+class TestBfsHops:
+    def test_random_graph_matches_reference(self, spark):
+        from uckg_spark.plans.graphalgs import bfs_hops
+
+        rng = random.Random(7)
+        nodes = [f"n{i}" for i in range(30)]
+        edges = list({(rng.choice(nodes), rng.choice(nodes))
+                      for _ in range(90)})
+        seeds = ["n0", "n1"]
+        got = {r["node"]: r["hops"]
+               for r in bfs_hops(_df(spark, edges), seeds,
+                                 max_hops=4).collect()}
+        assert got == bfs_py(edges, seeds, 4)
+
+    def test_reverse_direction(self, spark):
+        from uckg_spark.plans.graphalgs import bfs_hops
+
+        edges = [("a", "b"), ("b", "c"), ("x", "c")]
+        got = {r["node"]: r["hops"]
+               for r in bfs_hops(_df(spark, edges), ["c"], max_hops=2,
+                                 reverse=True).collect()}
+        assert got == {"c": 0, "b": 1, "x": 1, "a": 2}
+
+    def test_min_hop_wins_on_multiple_paths(self, spark):
+        from uckg_spark.plans.graphalgs import bfs_hops
+
+        # c is reachable at hop 1 (direct) and hop 2 (via b): min wins
+        edges = [("s", "b"), ("s", "c"), ("b", "c")]
+        got = {r["node"]: r["hops"]
+               for r in bfs_hops(_df(spark, edges), ["s"],
+                                 max_hops=3).collect()}
+        assert got == {"s": 0, "b": 1, "c": 1}
+
+    def test_hop_bound_truncates(self, spark):
+        from uckg_spark.plans.graphalgs import bfs_hops
+
+        edges = [("a", "b"), ("b", "c"), ("c", "d")]
+        got = {r["node"]: r["hops"]
+               for r in bfs_hops(_df(spark, edges), ["a"],
+                                 max_hops=2).collect()}
+        assert got == {"a": 0, "b": 1, "c": 2}
+
+    def test_unseen_seed_ranks_zero_hops(self, spark):
+        from uckg_spark.plans.graphalgs import bfs_hops
+
+        got = {r["node"]: r["hops"]
+               for r in bfs_hops(_df(spark, [("a", "b")]), ["zz"],
+                                 max_hops=2).collect()}
+        assert got == {"zz": 0}
+
+
+def triangles_py(edges):
+    """Driver-side reference: count sorted corner triples per node."""
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    adj: dict[str, set] = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts: dict[str, int] = {}
+    nodes = sorted(adj)
+    for x in nodes:
+        for y in sorted(adj[x]):
+            if y <= x:
+                continue
+            for z in adj[x] & adj[y]:
+                if z > y:
+                    for n in (x, y, z):
+                        counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+class TestTriangleCounts:
+    def test_random_graph_matches_reference(self, spark):
+        from uckg_spark.plans.graphalgs import triangle_counts
+
+        rng = random.Random(11)
+        nodes = [f"n{i:02d}" for i in range(20)]
+        edges = list({(rng.choice(nodes), rng.choice(nodes))
+                      for _ in range(80)})
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(_df(spark, edges)).collect()}
+        assert got == triangles_py(edges)
+
+    def test_direction_and_duplicates_ignored(self, spark):
+        from uckg_spark.plans.graphalgs import triangle_counts
+
+        # one triangle however the edges are oriented or repeated
+        df = spark.createDataFrame(
+            [("a", "p1", "b"), ("b", "p2", "a"), ("b", "p1", "c"),
+             ("a", "p1", "c"), ("c", "p2", "a")],
+            ["subj", "pred", "obj"])
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(df).collect()}
+        assert got == {"a": 1, "b": 1, "c": 1}
+
+    def test_self_loops_excluded(self, spark):
+        from uckg_spark.plans.graphalgs import triangle_counts
+
+        edges = [("a", "a"), ("a", "b"), ("b", "c"), ("a", "c")]
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_counts(_df(spark, edges)).collect()}
+        assert got == {"a": 1, "b": 1, "c": 1}
+
+    def test_square_has_no_triangles(self, spark):
+        from uckg_spark.plans.graphalgs import triangle_counts
+
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+        assert triangle_counts(_df(spark, edges)).count() == 0

@@ -1,0 +1,93 @@
+"""Mergeable cardinality sketches — the approximate-aggregate family a
+100 TB curation pipeline runs where exact ``count(DISTINCT ...)`` would
+shuffle every distinct value (per-host URL cardinality, per-shard vocab
+size, dictionary-coverage monitoring in the KG build).
+
+``kmv_distinct`` is the K-minimum-values estimator (Bar-Yossef et al.
+2002): keep the k smallest values of a uniform hash; the k-th smallest
+fraction of the hash space estimates the distinct count as
+``(k-1) / h_k``. Deliberately INTEGER-exact end to end — the hash is the
+repo's portable 32-bit md5 prefix (`operators.dedup.h32`) and the
+estimate is one bigint division, so the result is bit-identical across
+engines and run-to-run, unlike HyperLogLog whose register layout is
+implementation-defined (Spark's approx_count_distinct and DuckDB's can
+NEVER be oracle-matched — this sketch can, with the same accuracy
+regime).
+
+Reference parity: the reference counts entities per source table to
+decide delta-syncs (/root/reference/uckg/db_util.py record-count
+queries); at web scale those counts become cardinality sketches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import h32
+
+# h32 draws from [0, 2^32): the estimator's hash-space size
+_H_SPACE = 1 << 32
+
+
+def kmv_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate:
+    ``(grp, k_used, est_distinct, true_distinct)``.
+
+    Exact semantics (engine-portable):
+      h(v)     = first 8 hex chars of md5(cast(v as string)) as bigint
+      H_g      = DISTINCT {h(v) : v in group g}
+      k_used   = min(k, |H_g|);  h_k = the k_used-th smallest of H_g
+      estimate = |H_g|                     if |H_g| < k   (sketch is exact)
+               = (k-1) * 2^32 div h_k      otherwise
+
+    ``true_distinct`` (exact countDistinct) rides along so the estimate's
+    error is visible in the result itself — drop it in production use.
+
+    Scale shape: the DISTINCT on (group, hash) is the only full-width
+    shuffle, and it combines map-side (duplicate values collapse before
+    the exchange). The per-group window sort then runs over DISTINCT
+    hashes only. The textbook production refinement — merge
+    partition-local k-smallest sketches instead of sorting all distinct
+    hashes (KMV is a mergeable sketch: union the hash sets, re-take the
+    k smallest) — changes no results and bounds the sort input to
+    k × n_partitions per group; worth it only when single groups hold
+    billions of distinct values.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    hashed = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.col(value_col).cast("string").alias("v"),
+        )
+        .select("grp", h32(F.col("v")).alias("h"), F.col("v"))
+    )
+    distinct_h = hashed.select("grp", "h").distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    sketch = (
+        distinct_h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_used"),
+            F.max("h").alias("h_k"),
+        )
+    )
+    exact = hashed.groupBy("grp").agg(
+        F.countDistinct("v").cast("bigint").alias("true_distinct")
+    )
+    est = F.when(F.col("k_used") < k, F.col("k_used")).otherwise(
+        F.expr(f"({k - 1}L * {_H_SPACE}L) div greatest(h_k, 1L)")
+    )
+    return sketch.join(exact, "grp").select(
+        "grp",
+        "k_used",
+        est.cast("bigint").alias("est_distinct"),
+        "true_distinct",
+    )
