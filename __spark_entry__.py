@@ -762,6 +762,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return triangle_counts(_kg_edges_closed(spark, sf))
     q["kg_triangles"] = q_kg_triangles
 
+    def q_kg_kcore(spark, sf):
+        # cohesive backbone of the closed FK graph: 2 synchronous peels
+        # of degree-<2 nodes, surviving nodes with surviving degree
+        from uckg_spark.plans.graphalgs import kcore
+
+        return kcore(_kg_edges_closed(spark, sf), k=2, rounds=2)
+    q["kg_kcore"] = q_kg_kcore
+
+    def q_doc_quantiles(spark, sf):
+        # per-source PERCENTILE_DISC length profile — the distribution
+        # scan that picks curation gate thresholds
+        from uckg_spark.operators.quantiles import quantiles_disc
+
+        return quantiles_disc(
+            _t(spark, sf, "documents"), "n_chars", "source",
+            probs=(0.5, 0.9, 0.99),
+        )
+    q["doc_quantiles"] = q_doc_quantiles
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -1951,6 +1970,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT unnest([x, y, z]) AS node FROM tri
         )
         SELECT node, count(*)::BIGINT AS n_triangles FROM n GROUP BY node
+    """
+
+    # bounded k-core peeling (k=2, 2 synchronous rounds) on the same
+    # closed FK graph; unrolled round-per-CTE like kg_reachability
+    o["kg_kcore"] = """
+        WITH base AS (
+            SELECT 'order:' || o_orderkey AS subj,
+                   'cust:' || o_custkey AS obj FROM orders
+            UNION ALL
+            SELECT 'cust:' || c_custkey,
+                   'nation:' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'supp:' || s_suppkey,
+                   'nation:' || s_nationkey FROM supplier
+            UNION ALL
+            SELECT 'order:' || o_orderkey, 'nation:' || c_nationkey
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ), e0 AS (
+            SELECT DISTINCT least(subj, obj) AS a, greatest(subj, obj) AS b
+            FROM base WHERE subj <> obj
+        ), k0 AS (
+            SELECT node FROM (
+                SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+            ) GROUP BY node HAVING count(*) >= 2
+        ), e1 AS (
+            SELECT a, b FROM e0
+            WHERE a IN (SELECT node FROM k0)
+              AND b IN (SELECT node FROM k0)
+        ), k1 AS (
+            SELECT node FROM (
+                SELECT a AS node FROM e1 UNION ALL SELECT b FROM e1
+            ) GROUP BY node HAVING count(*) >= 2
+        ), e2 AS (
+            SELECT a, b FROM e1
+            WHERE a IN (SELECT node FROM k1)
+              AND b IN (SELECT node FROM k1)
+        )
+        SELECT node, count(*)::BIGINT AS core_deg FROM (
+            SELECT a AS node FROM e2 UNION ALL SELECT b FROM e2
+        ) GROUP BY node
+    """
+
+    # PERCENTILE_DISC via the identical cume_dist()-ratio formulation:
+    # rank/total is the same integer division in both engines, so the
+    # double compares bit-equal and the picked values are exact bigints
+    o["doc_quantiles"] = """
+        WITH base AS (
+            SELECT source AS grp, n_chars AS v
+            FROM documents WHERE n_chars IS NOT NULL
+        ), cd AS (
+            SELECT grp, v,
+                   cume_dist() OVER (PARTITION BY grp ORDER BY v) AS cd
+            FROM base
+        )
+        SELECT grp,
+               min(CASE WHEN cd >= 0.5 THEN v END)::BIGINT AS p50,
+               min(CASE WHEN cd >= 0.9 THEN v END)::BIGINT AS p90,
+               min(CASE WHEN cd >= 0.99 THEN v END)::BIGINT AS p99
+        FROM cd GROUP BY grp
     """
 
     # KMV distinct sketch, k=64: k smallest distinct 32-bit md5-prefix

@@ -252,3 +252,72 @@ class TestTriangleCounts:
 
         edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
         assert triangle_counts(_df(spark, edges)).count() == 0
+
+
+def kcore_py(edges, k, rounds):
+    """Synchronous bounded peeling, driver-side reference."""
+    e = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+
+    def deg(es):
+        d: dict[str, int] = {}
+        for a, b in es:
+            d[a] = d.get(a, 0) + 1
+            d[b] = d.get(b, 0) + 1
+        return d
+
+    for _ in range(rounds):
+        keep = {n for n, d in deg(e).items() if d >= k}
+        e = {(a, b) for a, b in e if a in keep and b in keep}
+    return deg(e)
+
+
+class TestKcore:
+    def test_random_graph_matches_reference(self, spark):
+        import random
+
+        from uckg_spark.plans.graphalgs import kcore
+
+        rng = random.Random(7)
+        nodes = [f"n{i}" for i in range(30)]
+        edges = list({
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(70)
+        })
+        for k, rounds in [(2, 2), (3, 2), (2, 0)]:
+            got = {r["node"]: r["core_deg"]
+                   for r in kcore(_df(spark, edges), k=k, rounds=rounds)
+                   .collect()}
+            assert got == kcore_py(edges, k, rounds), (k, rounds)
+
+    def test_pendant_peeled_triangle_survives(self, spark):
+        from uckg_spark.plans.graphalgs import kcore
+
+        edges = [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")]
+        got = {r["node"]: r["core_deg"]
+               for r in kcore(_df(spark, edges), k=2, rounds=1).collect()}
+        assert got == {"a": 2, "b": 2, "c": 2}
+
+    def test_chain_fully_dissolves(self, spark):
+        from uckg_spark.plans.graphalgs import kcore
+
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")]
+        # each round peels both endpoints; 2 rounds empty a 4-edge chain
+        assert kcore(_df(spark, edges), k=2, rounds=2).count() == 0
+
+    def test_rounds_zero_is_raw_degrees(self, spark):
+        from uckg_spark.plans.graphalgs import kcore
+
+        edges = [("a", "b"), ("b", "c"), ("a", "a")]
+        got = {r["node"]: r["core_deg"]
+               for r in kcore(_df(spark, edges), k=5, rounds=0).collect()}
+        assert got == {"a": 1, "b": 2, "c": 1}
+
+    def test_invalid_params_raise(self, spark):
+        import pytest
+
+        from uckg_spark.plans.graphalgs import kcore
+
+        df = _df(spark, [("a", "b")])
+        with pytest.raises(ValueError):
+            kcore(df, k=0)
+        with pytest.raises(ValueError):
+            kcore(df, k=2, rounds=-1)

@@ -1,0 +1,68 @@
+"""Exact grouped quantiles — the distribution profile a curation
+pipeline runs on every numeric signal before picking gate thresholds
+(quality-score floors, repetition ceilings, token-count bands: all of
+this repo's curation gates are percentile choices in disguise).
+
+``quantiles_disc`` is PERCENTILE_DISC semantics: for each probability p
+the smallest actual data value whose cumulative distribution reaches p.
+Discrete (no interpolation) on purpose — the result is a value that
+exists in the data, so it is exact, type-preserving, and engine-portable
+(`cume_dist` is the same rank/total ratio in Spark and DuckDB, computed
+on identical integers, so the twin matches to the bit; interpolated
+PERCENTILE_CONT would put float arithmetic order between the engines).
+
+Reference parity: the reference eyeballs record counts per table before
+sync (/root/reference/uckg/db_util.py); threshold-picking on value
+distributions is the web-scale version of that profiling step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def quantiles_disc(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group discrete quantiles: ``(grp, p50, p90, p99, ...)`` —
+    one column per probability, named ``p{100*prob:g}`` (0.5 → p50).
+
+    Exact semantics: p-quantile = min(v) over rows where
+    ``cume_dist() >= p`` within the group's value order. NULL values are
+    dropped first (they would sort into the window but carry no signal).
+
+    Scale shape: ONE shuffle — the per-group window sort — then the
+    min-filter aggregation rides the same partitioning (no second
+    exchange). This is the exact path; at the scale where a single
+    group's values do not fit a partition's sort spill budget, the
+    production swap is a mergeable t-digest / KLL sketch
+    (``approx_percentile`` in Spark), which is deliberately NOT this
+    operator: sketch register layouts differ across engines, so the
+    approximate form can never be oracle-matched (same trade as
+    operators/sketches.py::kmv_distinct vs HLL).
+    """
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    names = []
+    for p in probs:
+        if not 0 < p <= 1:
+            raise ValueError(f"prob {p} outside (0, 1]")
+        names.append("p" + format(p * 100, "g").replace(".", "_"))
+    if len(set(names)) != len(names):
+        raise ValueError(f"probs collide after naming: {names}")
+    base = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    ).filter(F.col("v").isNotNull())
+    cd = base.withColumn(
+        "cd", F.cume_dist().over(Window.partitionBy("grp").orderBy("v"))
+    )
+    return cd.groupBy("grp").agg(
+        *[
+            F.min(F.when(F.col("cd") >= p, F.col("v"))).alias(name)
+            for p, name in zip(probs, names)
+        ]
+    )

@@ -243,6 +243,63 @@ def triangle_counts(
     )
 
 
+def kcore(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    subj: str = "subj",
+    obj: str = "obj",
+) -> DataFrame:
+    """Bounded k-core peeling over the undirected simple graph:
+    ``rounds`` synchronous peels of every node whose current degree is
+    below ``k``, returning ``(node, core_deg)`` — the surviving nodes
+    with their degree in the surviving subgraph. The k-core separates a
+    KG's cohesive backbone from pendant entities (a CVE mentioned once
+    vs one woven into the product/technique neighborhood).
+
+    BOUNDED rounds, not run-to-fixpoint: like ``pagerank_fixed``'s fixed
+    iteration budget, a fixed peel count is engine-portable (the DuckDB
+    twin unrolls the same rounds) and is how production jobs bound
+    worst-case chains anyway; peeling converges in 1-2 rounds on
+    real KG shapes (each round removes a full frontier of low-degree
+    nodes synchronously).
+
+    Scale shape: each round is one degree aggregation plus two
+    semi-joins, all keyed on node ids; the whole loop is LAZY (one job —
+    ReuseExchange dedupes the per-round subframes, the bfs_hops/
+    triangle_counts finding). High-degree hubs are never hot: the degree
+    agg combines map-side and the semi-join's build side shrinks every
+    round.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    e = (
+        edges.select(
+            F.least(F.col(subj), F.col(obj)).alias("a"),
+            F.greatest(F.col(subj), F.col(obj)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("a").alias("node"))
+            .unionByName(ed.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+        )
+
+    for _ in range(rounds):
+        keep = degrees(e).filter(F.col("core_deg") >= k).select("node")
+        e = e.join(
+            keep.withColumnRenamed("node", "a"), "a", "semi"
+        ).join(keep.withColumnRenamed("node", "b"), "b", "semi")
+    return degrees(e)
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """Incremental KG maintenance: the edge delta between two graph
     snapshots — every row of ``new`` not in ``old`` tagged ``added``,
