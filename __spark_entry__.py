@@ -781,6 +781,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_quantiles"] = q_doc_quantiles
 
+    def q_cooccur_lift(spark, sf):
+        # integer-exact co-occurrence lift over parts sharing an order —
+        # the PMI-style signal that scores candidate relatedTo KG edges
+        from uckg_spark.operators.cooccur import cooccur_lift
+
+        return cooccur_lift(
+            _t(spark, sf, "lineitem"), "l_orderkey", "l_partkey",
+            min_pair_count=2,
+        )
+    q["cooccur_lift"] = q_cooccur_lift
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2029,6 +2040,34 @@ def oracle_sql() -> dict[str, str]:
                min(CASE WHEN cd >= 0.9 THEN v END)::BIGINT AS p90,
                min(CASE WHEN cd >= 0.99 THEN v END)::BIGINT AS p99
         FROM cd GROUP BY grp
+    """
+
+    # co-occurrence lift as a pure-bigint ratio: pair/item counts over
+    # distinct (order, part) baskets, lift_e6 = pair*total*1e6 div
+    # (cnt_a*cnt_b) — same integer fixed-point trick as kg_pagerank
+    o["cooccur_lift"] = """
+        WITH b AS (
+            SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        ), ic AS (
+            SELECT item, count(*)::BIGINT AS cnt FROM b GROUP BY item
+        ), tot AS (
+            SELECT count(DISTINCT basket)::BIGINT AS n_baskets FROM b
+        ), p AS (
+            SELECT l.item AS item_a, r.item AS item_b,
+                   count(*)::BIGINT AS pair_cnt
+            FROM b l JOIN b r USING (basket)
+            WHERE l.item < r.item
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )
+        SELECT item_a, item_b, pair_cnt,
+               ((pair_cnt * n_baskets * 1000000)
+                // (ca.cnt * cb.cnt))::BIGINT AS lift_e6
+        FROM p
+        JOIN ic ca ON ca.item = p.item_a
+        JOIN ic cb ON cb.item = p.item_b
+        CROSS JOIN tot
     """
 
     # KMV distinct sketch, k=64: k smallest distinct 32-bit md5-prefix

@@ -1,0 +1,92 @@
+"""Co-occurrence lift — integer-exact PMI-style edge weighting.
+
+KG construction does not stop at extracting entities; it has to decide
+which co-mentioned pairs deserve a `relatedTo` edge. The standard
+signal is lift (equivalently exp(PMI)): how much more often two items
+share a container (document, order, page) than independence predicts.
+The reference hard-codes its relations from curated feeds
+(/root/reference/uckg/rml_mapper.py emits only dictionary-defined
+predicates); at web scale the candidate edges come from co-occurrence
+statistics exactly like this, thresholded before linking.
+
+Exactness convention: lift is a ratio of counts, so instead of a float
+we publish ``lift_e6 = (pair_cnt * n_baskets * 1_000_000) div
+(cnt_a * cnt_b)`` — pure BIGINT arithmetic, bit-identical in Spark and
+DuckDB (same trick as kg_pagerank / quality_e6). Overflow audit:
+``pair_cnt <= n_baskets``, so the numerator is bounded by
+``n_baskets^2 * 1e6`` — safe in int64 up to ~3e6 baskets; beyond that
+the production swap is one `.cast("decimal(38,0)")` on the numerator
+(DuckDB side is already HUGEINT-exact), noted rather than defaulted
+because bigint keeps whole-stage codegen primitive.
+
+Scale shape: one distinct() shuffle on (basket, item), one self-join
+shuffled on basket (fan-out bounded by the largest basket, C(k,2) per
+basket — skew is a data property; AQE skew-join splits hot baskets),
+one groupBy on the pair, then two joins against the item-count table.
+The item table is dictionary-bounded (|items| << |rows|) so both
+count joins are broadcast by hint. No collect, no cartesian.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cooccur_lift(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Pairwise co-occurrence lift over distinct (basket, item) rows.
+
+    Returns ``(item_a, item_b, pair_cnt, lift_e6)`` with
+    ``item_a < item_b``, keeping pairs seen in at least
+    ``min_pair_count`` baskets (support threshold — at web scale the
+    count-1 tail is quadratic noise and must be cut before the join
+    output is materialized, which is why the filter sits ON the
+    pair aggregation, not after a later join).
+    """
+    if min_pair_count < 1:
+        raise ValueError("min_pair_count must be >= 1")
+    b = (
+        df.select(
+            F.col(basket_col).alias("basket"), F.col(item_col).alias("item")
+        )
+        .where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .distinct()
+    )
+    item_counts = b.groupBy("item").agg(F.count("*").alias("cnt"))
+    total = b.select(F.count_distinct("basket").alias("n_baskets"))
+    pairs = (
+        b.alias("l")
+        .join(b.alias("r"), "basket")
+        .where(F.col("l.item") < F.col("r.item"))
+        .groupBy(
+            F.col("l.item").alias("item_a"), F.col("r.item").alias("item_b")
+        )
+        .agg(F.count("*").alias("pair_cnt"))
+        .where(F.col("pair_cnt") >= min_pair_count)
+    )
+    return (
+        pairs.join(
+            F.broadcast(item_counts.withColumnsRenamed(
+                {"item": "item_a", "cnt": "cnt_a"})),
+            "item_a",
+        )
+        .join(
+            F.broadcast(item_counts.withColumnsRenamed(
+                {"item": "item_b", "cnt": "cnt_b"})),
+            "item_b",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "item_a",
+            "item_b",
+            "pair_cnt",
+            F.expr(
+                "(pair_cnt * n_baskets * 1000000) div (cnt_a * cnt_b)"
+            ).alias("lift_e6"),
+        )
+    )
