@@ -792,6 +792,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["cooccur_lift"] = q_cooccur_lift
 
+    def q_sales_rollup(spark, sf):
+        # one-scan ROLLUP: per (flag,status), per-flag subtotal, grand
+        # total; money as per-row integer cents so every metric is an
+        # exact bigint
+        from uckg_spark.operators.olap import rollup_metrics
+
+        return rollup_metrics(
+            _t(spark, sf, "lineitem"),
+            ["l_returnflag", "l_linestatus"],
+            [
+                F.count("*").alias("n_rows"),
+                F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+                F.sum(F.round(F.col("l_extendedprice") * 100))
+                .cast("bigint").alias("sum_price_cents"),
+            ],
+        )
+    q["sales_rollup"] = q_sales_rollup
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2068,6 +2086,21 @@ def oracle_sql() -> dict[str, str]:
         JOIN ic ca ON ca.item = p.item_a
         JOIN ic cb ON cb.item = p.item_b
         CROSS JOIN tot
+    """
+
+    # ROLLUP with explicit per-column GROUPING bits (leftmost = MSB) and
+    # 'ALL' sentinel labels; quantity is integer-valued double (exact
+    # sum), price rounded to cents per row before the sum
+    o["sales_rollup"] = """
+        SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+               coalesce(l_linestatus, 'ALL') AS l_linestatus,
+               (GROUPING(l_returnflag) * 2
+                + GROUPING(l_linestatus))::BIGINT AS lvl,
+               count(*)::BIGINT AS n_rows,
+               sum(l_quantity)::BIGINT AS sum_qty,
+               sum(round(l_extendedprice * 100))::BIGINT AS sum_price_cents
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """
 
     # KMV distinct sketch, k=64: k smallest distinct 32-bit md5-prefix

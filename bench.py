@@ -93,7 +93,7 @@ def main() -> None:
         "asof_join", "range_join", "curated_corpus", "kg_snapshot_diff",
         # round-4 late additions: graph analytics + cardinality sketch
         "kg_reachability", "kg_triangles", "approx_distinct_kmv",
-        "kg_kcore", "doc_quantiles", "cooccur_lift",
+        "kg_kcore", "doc_quantiles", "cooccur_lift", "sales_rollup",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical

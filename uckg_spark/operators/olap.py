@@ -1,0 +1,55 @@
+"""Hierarchical OLAP aggregation (ROLLUP) — one pass, all levels.
+
+A KG/corpus dashboard wants counts at every level of a dimension
+hierarchy (per flag+status, per flag subtotal, grand total). The naive
+route is one groupBy per level unioned together — L+1 scans and L+1
+shuffles. ``rollup_metrics`` is the Spark-native form: a single
+``df.rollup(...)`` whose partial aggregation is shared across levels
+(Catalyst plans Expand + one hash aggregate pair), so the input is
+read once no matter how many levels ride out. The reference computes
+only flat per-table record counts (/root/reference/uckg/db_util.py);
+at web scale the hierarchy is how humans read 100 TB of counts.
+
+Engine-neutral conventions:
+- level id is built from per-column ``grouping()`` bits explicitly
+  (``grouping(c1)*2^(L-1) + ...``) rather than engine ``grouping_id``
+  functions, so the bit order is pinned by construction in both Spark
+  and the DuckDB twin.
+- subtotal rows surface as literal 'ALL' via coalesce (group columns
+  are required non-null for this op), keeping the output join-friendly
+  and NULL-free.
+- metric exactness: integer-valued doubles sum exactly in IEEE float
+  up to 2^53, and 2-decimal money is rounded to integer cents PER ROW
+  before the sum, so every published column is a bit-exact BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def rollup_metrics(
+    df: DataFrame,
+    group_cols: list[str],
+    metrics: list[Column],
+) -> DataFrame:
+    """ROLLUP over ``group_cols`` computing ``metrics`` (pre-aliased
+    aggregate Columns). Returns one row per rollup level:
+    ``(*group_cols coalesced to 'ALL', lvl, *metrics)`` where ``lvl``
+    is the bitmask of aggregated-away columns (leftmost column = most
+    significant bit; 0 = finest level, 2^L - 1 = grand total).
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    n = len(group_cols)
+    lvl = sum(
+        (F.grouping(c).cast("bigint") * F.lit(2 ** (n - 1 - i)))
+        for i, c in enumerate(group_cols)
+    )
+    agged = df.rollup(*group_cols).agg(lvl.alias("lvl"), *metrics)
+    return agged.select(
+        *[F.coalesce(F.col(c), F.lit("ALL")).alias(c) for c in group_cols],
+        "lvl",
+        *agged.columns[n + 1 :],
+    )
