@@ -810,6 +810,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["sales_rollup"] = q_sales_rollup
 
+    def q_event_funnel(spark, sf):
+        # 4-stage strictly-ordered conversion funnel, one shuffle: all
+        # stage reach-times are windows over the same user partitioning
+        from uckg_spark.operators.funnel import funnel_counts
+
+        return funnel_counts(
+            _t(spark, sf, "events"), "user_id", "event_type", "ts",
+            ("view", "click", "signup", "purchase"),
+        )
+    q["event_funnel"] = q_event_funnel
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2101,6 +2112,35 @@ def oracle_sql() -> dict[str, str]:
                sum(round(l_extendedprice * 100))::BIGINT AS sum_price_cents
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+    # funnel reach-time recurrence unrolled stage-per-CTE:
+    # r_i = min(ts | type = s_i AND ts > r_{i-1}); count(r_i) per stage
+    o["event_funnel"] = """
+        WITH s0 AS (
+            SELECT user_id, min(ts) AS r FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s1 AS (
+            SELECT e.user_id, min(e.ts) AS r FROM events e
+            JOIN s0 ON e.user_id = s0.user_id
+            WHERE e.event_type = 'click' AND e.ts > s0.r
+            GROUP BY e.user_id
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS r FROM events e
+            JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'signup' AND e.ts > s1.r
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS r FROM events e
+            JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.r
+            GROUP BY e.user_id
+        )
+        SELECT 1::BIGINT AS stage, 'view' AS stage_name,
+               (SELECT count(*) FROM s0)::BIGINT AS n_users
+        UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s1)
+        UNION ALL SELECT 3, 'signup', (SELECT count(*) FROM s2)
+        UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s3)
     """
 
     # KMV distinct sketch, k=64: k smallest distinct 32-bit md5-prefix

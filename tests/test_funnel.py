@@ -1,0 +1,103 @@
+"""funnel_counts: staged-reach semantics vs a driver-side reference,
+strictly-after ordering, and one-Exchange plan shape."""
+
+import datetime
+
+import pytest
+
+from uckg_spark.operators.funnel import funnel_counts
+
+
+def _ts(m):
+    return datetime.datetime(2024, 1, 1, 0, m)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp")
+
+
+def funnel_py(rows, stages):
+    by_user: dict[int, list[tuple]] = {}
+    for u, t, ts in rows:
+        by_user.setdefault(u, []).append((ts, t))
+    counts = [0] * len(stages)
+    for evs in by_user.values():
+        prev = None
+        for i, s in enumerate(stages):
+            cand = [ts for ts, t in evs
+                    if t == s and (prev is None or ts > prev)]
+            if not cand:
+                break
+            prev = min(cand)
+            counts[i] += 1
+    return {i + 1: (s, counts[i]) for i, s in enumerate(stages)}
+
+
+class TestFunnelCounts:
+    def test_matches_reference_on_random_stream(self, spark):
+        import random
+
+        rng = random.Random(5)
+        types = ["view", "click", "purchase", "error"]
+        rows = [
+            (rng.randrange(20), rng.choice(types), _ts(rng.randrange(59)))
+            for _ in range(400)
+        ]
+        got = {
+            r["stage"]: (r["stage_name"], r["n_users"])
+            for r in funnel_counts(
+                _df(spark, rows), "user_id", "event_type", "ts",
+                ("view", "click", "purchase"),
+            ).collect()
+        }
+        assert got == funnel_py(rows, ("view", "click", "purchase"))
+
+    def test_out_of_order_stage_does_not_count(self, spark):
+        # purchase BEFORE the first view: user reaches view only
+        rows = [(1, "purchase", _ts(0)), (1, "view", _ts(1)),
+                (1, "click", _ts(2))]
+        got = {r["stage_name"]: r["n_users"]
+               for r in funnel_counts(
+                   _df(spark, rows), "user_id", "event_type", "ts",
+                   ("view", "click", "purchase")).collect()}
+        assert got == {"view": 1, "click": 1, "purchase": 0}
+
+    def test_equal_timestamp_is_not_after(self, spark):
+        rows = [(1, "view", _ts(3)), (1, "click", _ts(3))]
+        got = {r["stage_name"]: r["n_users"]
+               for r in funnel_counts(
+                   _df(spark, rows), "user_id", "event_type", "ts",
+                   ("view", "click")).collect()}
+        assert got == {"view": 1, "click": 0}
+
+    def test_later_earlier_event_revives_stage(self, spark):
+        # first click at t1 pre-dates view at t2, second click at t3
+        # post-dates it: reach = min(ts > r_prev), so click counts via t3
+        rows = [(1, "click", _ts(0)), (1, "view", _ts(1)),
+                (1, "click", _ts(2))]
+        got = {r["stage_name"]: r["n_users"]
+               for r in funnel_counts(
+                   _df(spark, rows), "user_id", "event_type", "ts",
+                   ("view", "click")).collect()}
+        assert got == {"view": 1, "click": 1}
+
+    def test_invalid_stages_raise(self, spark):
+        df = _df(spark, [(1, "view", _ts(0))])
+        with pytest.raises(ValueError):
+            funnel_counts(df, "user_id", "event_type", "ts", ("view",))
+        with pytest.raises(ValueError):
+            funnel_counts(df, "user_id", "event_type", "ts",
+                          ("view", "view"))
+
+    def test_single_exchange_plan(self, spark):
+        plan = (
+            funnel_counts(
+                _df(spark, [(1, "view", _ts(0))]),
+                "user_id", "event_type", "ts", ("view", "click", "purchase"),
+            )._jdf.queryExecution().executedPlan().toString()
+        )
+        # windows + per-user collapse share one hash-partitioning; the
+        # only other exchange is the single-row global-agg reduce
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan

@@ -1,0 +1,70 @@
+"""Ordered event funnel — staged conversion counts over a user stream.
+
+Given an ordered list of stage event types (view → click → purchase),
+count how many users reached each stage, where "reached stage i" means
+an event of type i STRICTLY AFTER the user's reach-time of stage i-1
+(the classic funnel semantics: a purchase before the first view does
+not count). This is the engagement-analysis twin of the repo's
+sessionize operator and the shape of every conversion/abandonment
+report run over a 100 TB event log.
+
+Scale shape: ONE shuffle. All stage reach-times are unbounded
+partition-only windows over the same user partitioning, so Catalyst
+plans a single Exchange feeding a chain of Window operators (no
+orderBy → no sort, each window is a running min over the partition);
+the per-user collapse then rides that same partitioning, and the
+final stage counts are a single-row global aggregate. No joins, no
+per-stage re-scan of the input.
+
+Reach-time recurrence: r_0 = min(ts | type = s_0);
+r_i = min(ts | type = s_i AND ts > r_{i-1}). A NULL r_{i-1} nulls the
+comparison, the when() yields NULL, and min ignores it — users who
+never reached stage i-1 fall out of stage i for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    stages: tuple[str, ...],
+) -> DataFrame:
+    """Per-stage funnel reach: ``(stage, stage_name, n_users)`` with
+    ``stage`` 1-based in funnel order. Users reach stage i only via an
+    event strictly after their stage-(i-1) reach time."""
+    if len(stages) < 2:
+        raise ValueError("a funnel needs at least 2 stages")
+    if len(set(stages)) != len(stages):
+        raise ValueError(f"duplicate stage types: {stages}")
+    w = Window.partitionBy("u")
+    cur = df.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("t"),
+        F.col(ts_col).alias("ts"),
+    )
+    for i, s in enumerate(stages):
+        cond = F.col("t") == s
+        if i > 0:
+            cond = cond & (F.col("ts") > F.col(f"r{i - 1}"))
+        cur = cur.withColumn(f"r{i}", F.min(F.when(cond, F.col("ts"))).over(w))
+    per_user = cur.groupBy("u").agg(
+        *[F.max(f"r{i}").alias(f"r{i}") for i in range(len(stages))]
+    )
+    totals = per_user.agg(
+        *[
+            F.count(f"r{i}").alias(f"n{i}")  # count skips NULLs
+            for i in range(len(stages))
+        ]
+    )
+    stacked = ", ".join(
+        f"{i + 1}L, '{s}', n{i}" for i, s in enumerate(stages)
+    )
+    return totals.selectExpr(
+        f"stack({len(stages)}, {stacked}) AS (stage, stage_name, n_users)"
+    )
