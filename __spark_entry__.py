@@ -821,6 +821,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["event_funnel"] = q_event_funnel
 
+    def q_doc_outliers(spark, sf):
+        # exact no-float 2-sigma length gate per source: the comparison
+        # (n*x-S)^2 > k^2(nQ-S^2) is decided in integer arithmetic
+        from uckg_spark.operators.outliers import variance_outliers
+
+        return variance_outliers(
+            _t(spark, sf, "documents"), "n_chars", "source", "doc_id", k=2
+        )
+    q["doc_outliers"] = q_doc_outliers
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2141,6 +2151,22 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s1)
         UNION ALL SELECT 3, 'signup', (SELECT count(*) FROM s2)
         UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s3)
+    """
+
+    # exact 2-sigma gate with denominators cleared: HUGEINT here,
+    # decimal(38,0) on the Spark side — same integers, same verdicts
+    o["doc_outliers"] = """
+        WITH base AS (
+            SELECT doc_id AS id, source AS grp, n_chars::BIGINT AS v
+            FROM documents WHERE n_chars IS NOT NULL
+        ), stats AS (
+            SELECT grp, count(*)::HUGEINT AS n, sum(v)::HUGEINT AS s,
+                   sum(v::HUGEINT * v) AS q
+            FROM base GROUP BY grp
+        )
+        SELECT id, grp, v,
+               (n*v - s) * (n*v - s) > 4 * (n*q - s*s) AS is_outlier
+        FROM base JOIN stats USING (grp)
     """
 
     # KMV distinct sketch, k=64: k smallest distinct 32-bit md5-prefix
