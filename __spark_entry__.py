@@ -1042,6 +1042,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(out)
     q["streaming_mention_rate"] = q_streaming_mention_rate
 
+    def q_streaming_sessions(spark, sf):
+        """Event-time session windows in APPEND mode — the streaming twin
+        of the batch sessionize row. Sessions merge in the state store
+        while gaps stay under 6 h; a session is emitted only once the
+        final watermark (max event time − 12 h) passes its end (last
+        event + gap). The oracle replays the same gap-split with
+        lag/cumsum and applies the identical emission cutoff."""
+        from uckg_spark.streaming.pages_stream import streaming_sessions
+
+        stream, work = _staged_stream(spark, sf, "events")
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            mapped = stream.select(
+                F.col("user_id"), F.col("ts").cast("timestamp").alias("ts")
+            )
+            sess = streaming_sessions(
+                mapped, "user_id", "ts", gap="6 hours", delay="12 hours"
+            ).select(
+                F.col("key").alias("user_id"),
+                F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("session_start"),
+                "n_events",
+            )
+            out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+            q_ = (
+                sess.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        return spark.read.parquet(out)
+    q["streaming_sessions"] = q_streaming_sessions
+
     return q
 
 
@@ -1546,6 +1584,40 @@ def oracle_sql() -> dict[str, str]:
         FROM b, m
         WHERE (ws + 600) * 1000 <= mxms - 1800000
         GROUP BY 1, 2
+    """
+
+    o["streaming_sessions"] = """
+        -- batch replay of the streaming session assembly: new session
+        -- when the gap to the previous event is >= 6 h (session_window
+        -- merges strictly-overlapping [t, t+gap) intervals), emitted iff
+        -- session_end (last event + gap) <= final watermark (ms-floored
+        -- max event time - 12 h), all compared in integer microseconds
+        WITH m AS (
+            SELECT (epoch_ms(max(ts)) - 43200000) * 1000 AS wm_us
+            FROM events
+        ), s AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                >= 21600000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), g AS (
+            SELECT user_id, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s
+        ), agg AS (
+            SELECT user_id, min(ts) AS st, max(ts) AS en,
+                   count(*)::BIGINT AS n_events
+            FROM g GROUP BY user_id, sid
+        )
+        SELECT user_id,
+               strftime(st, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               n_events
+        FROM agg, m
+        WHERE epoch_us(en) + 21600000000 <= wm_us
     """
 
     o["knn_join_pandas"] = """

@@ -154,3 +154,57 @@ def test_incremental_kg_stream_converges_to_batch(
                        dims=kg_dims, max_files=2)
     assert read_cat() == want_all
     assert len(cat.snapshots("edges")) == n_snaps
+
+
+def test_session_windows_merge_across_batches(spark, tmp_path):
+    """session_window state-store merging: a session whose events are
+    split across micro-batches (one file each, maxFilesPerTrigger=1)
+    merges into ONE emitted session, and the append-mode watermark only
+    releases sessions whose end has passed it."""
+    import datetime
+
+    from uckg_spark.streaming.pages_stream import streaming_sessions
+
+    def ts(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    # user 1: events at 01:00 and 01:30 land in DIFFERENT files but sit
+    # 30 min apart (< 1 h gap) → one session of 3 events with 02:00.
+    # user 2: one early event → its own session. A far-future flush
+    # event (user 9) drives the watermark past every real session end.
+    batch1 = [(1, ts(1, 0)), (2, ts(0, 0)), (9, ts(23, 0))]
+    batch2 = [(1, ts(1, 30)), (1, ts(2, 0))]
+    in_path = tmp_path / "sess_in"
+    in_path.mkdir()
+    schema = "user_id long, ts timestamp"
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(in_path / f"b{i}"))
+        # FileStreamSource ingests files in discovery order; separate
+        # subdirs keep each batch's file distinct
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(in_path) + "/*")
+    )
+    out, ckpt = str(tmp_path / "sess_out"), str(tmp_path / "sess_ckpt")
+    q = (
+        streaming_sessions(stream, "user_id", "ts", gap="1 hour",
+                           delay="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["key"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # watermark ends at 23:00 - 2h = 21:00: both real sessions emitted
+    # (ends 03:00 and 01:00), the flush session (end 24:00) held back
+    assert got == {
+        (1, ts(1, 0), ts(3, 0), 3),
+        (2, ts(0, 0), ts(1, 0), 1),
+    }

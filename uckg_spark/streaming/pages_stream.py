@@ -48,6 +48,44 @@ def mention_rate(pages_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_sessions(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "6 hours",
+    delay: str = "12 hours",
+) -> DataFrame:
+    """Event-time session windows over a keyed stream: events of one key
+    merge while consecutive gaps stay under ``gap``; a session is emitted
+    (append mode) once the watermark — max event time minus ``delay`` —
+    passes its end (last event + gap). This is the streaming twin of the
+    batch ``sessionize`` operator: same gap-split semantics, but computed
+    incrementally in the state store so a session that spans micro-batches
+    merges instead of splitting at trigger boundaries.
+
+    Built-in ``session_window`` (not applyInPandasWithState) on purpose:
+    merging + watermark eviction live JVM-side in the session state store,
+    and numElementsForExactSessionWindow-style spill handling comes free.
+    Late events beyond ``delay`` are dropped deterministically.
+
+    Returns ``(key, session_start, session_end, n_events)`` with raw
+    timestamp bounds (callers format/cast as needed)."""
+    return (
+        stream.withWatermark(ts_col, delay)
+        .groupBy(
+            F.session_window(F.col(ts_col), gap).alias("w"),
+            F.col(key_col).alias("key"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "key",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_first_seen(pages_stream: DataFrame) -> DataFrame:
     """Cross-micro-batch stateful URL dedup via ``applyInPandasWithState``:
     emit each url exactly ONCE (with its earliest warc_ts), no matter how
