@@ -831,6 +831,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_outliers"] = q_doc_outliers
 
+    def q_dataset_split(spark, sf):
+        # reproducible hash-ranged train/valid/test assignment — pure
+        # function of doc_id (partitioning- and corpus-growth-invariant)
+        from uckg_spark.operators.splits import dataset_split
+
+        return dataset_split(
+            _t(spark, sf, "documents").select("doc_id"),
+            "doc_id",
+            {"train": 90, "valid": 5, "test": 5},
+        )
+    q["dataset_split"] = q_dataset_split
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2239,6 +2251,21 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, grp, v,
                (n*v - s) * (n*v - s) > 4 * (n*q - s*s) AS is_outlier
         FROM base JOIN stats USING (grp)
+    """
+
+    # hash-ranged split: bucket = 32-bit md5 prefix mod 100, ranges in
+    # weight order (train<90, valid<95, else test) — pure id function
+    o["dataset_split"] = """
+        SELECT doc_id,
+               CASE WHEN b < 90 THEN 'train'
+                    WHEN b < 95 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                   % 100 AS b
+            FROM documents
+        )
     """
 
     # KMV distinct sketch, k=64: k smallest distinct 32-bit md5-prefix
