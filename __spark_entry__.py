@@ -843,6 +843,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["dataset_split"] = q_dataset_split
 
+    def q_table_checksum(spark, sf):
+        # commutative md5-sum fingerprint per order priority — the
+        # sort-free "did the copy land identically" reconciliation audit
+        from uckg_spark.operators.integrity import table_checksum
+
+        return table_checksum(
+            _t(spark, sf, "orders"),
+            ["o_orderkey", "o_custkey", "o_orderstatus"],
+            group_col="o_orderpriority",
+        )
+    q["table_checksum"] = q_table_checksum
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2266,6 +2278,21 @@ def oracle_sql() -> dict[str, str]:
                    % 100 AS b
             FROM documents
         )
+    """
+
+    # commutative fingerprint: canonical row = values joined by the unit
+    # separator (nulls → chr(0) sentinel), 32-bit md5 prefix, summed —
+    # addition is order/partitioning-independent, so the engines agree
+    # iff the row multisets agree
+    o["table_checksum"] = """
+        SELECT o_orderpriority AS grp,
+               count(*)::BIGINT AS n_rows,
+               sum(('0x' || substr(md5(
+                   coalesce(o_orderkey::VARCHAR, chr(0)) || chr(31) ||
+                   coalesce(o_custkey::VARCHAR, chr(0)) || chr(31) ||
+                   coalesce(o_orderstatus, chr(0))
+               ), 1, 8))::BIGINT)::BIGINT AS checksum
+        FROM orders GROUP BY o_orderpriority
     """
 
     # KMV distinct sketch, k=64: k smallest distinct 32-bit md5-prefix

@@ -1,0 +1,57 @@
+"""table_checksum: order/partitioning invariance, sensitivity to any
+row change, null-vs-empty disambiguation, hashlib reference parity."""
+
+import hashlib
+
+import pytest
+
+from uckg_spark.operators.integrity import table_checksum
+
+
+def checksum_py(rows):
+    total = 0
+    for vals in rows:
+        canon = "\x1f".join(
+            "\x00" if v is None else str(v) for v in vals)
+        total += int(hashlib.md5(canon.encode()).hexdigest()[:8], 16)
+    return len(rows), total
+
+
+def _df(spark, rows, parts=3):
+    return spark.createDataFrame(
+        rows, "k long, s string").repartition(parts)
+
+
+class TestTableChecksum:
+    def test_matches_hashlib_and_ignores_partitioning(self, spark):
+        rows = [(i, f"v{i % 7}") for i in range(200)]
+        want = checksum_py(rows)
+        for parts in (1, 16):
+            got = table_checksum(
+                _df(spark, rows, parts), ["k", "s"]).collect()[0]
+            assert (got["n_rows"], got["checksum"]) == want
+
+    def test_any_row_change_changes_checksum(self, spark):
+        rows = [(1, "a"), (2, "b")]
+        base = table_checksum(_df(spark, rows), ["k", "s"]).collect()[0]
+        bent = table_checksum(
+            _df(spark, [(1, "a"), (2, "c")]), ["k", "s"]).collect()[0]
+        assert base["n_rows"] == bent["n_rows"]
+        assert base["checksum"] != bent["checksum"]
+
+    def test_null_differs_from_empty_string(self, spark):
+        a = table_checksum(_df(spark, [(1, None)]), ["k", "s"]).collect()[0]
+        b = table_checksum(_df(spark, [(1, "")]), ["k", "s"]).collect()[0]
+        assert a["checksum"] != b["checksum"]
+
+    def test_grouped_form(self, spark):
+        rows = [(1, "x"), (1, "y"), (2, "z")]
+        got = {r["grp"]: (r["n_rows"], r["checksum"])
+               for r in table_checksum(
+                   _df(spark, rows), ["s"], group_col="k").collect()}
+        assert got[1] == checksum_py([("x",), ("y",)])
+        assert got[2] == checksum_py([("z",)])
+
+    def test_empty_cols_raise(self, spark):
+        with pytest.raises(ValueError):
+            table_checksum(_df(spark, [(1, "a")]), [])
