@@ -855,6 +855,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["table_checksum"] = q_table_checksum
 
+    def q_kg_communities(spark, sf):
+        # 2 synchronous label-propagation rounds over the closed FK
+        # graph: community structure INSIDE connected components
+        from uckg_spark.plans.graphalgs import label_propagation
+
+        return label_propagation(_kg_edges_closed(spark, sf), rounds=2)
+    q["kg_communities"] = q_kg_communities
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2278,6 +2286,50 @@ def oracle_sql() -> dict[str, str]:
                    % 100 AS b
             FROM documents
         )
+    """
+
+    # synchronous LPA unrolled round-per-CTE on the same closed FK graph
+    # as kg_kcore; vote pick = highest count, ties to smallest label
+    # (row_number twin of Spark's min(struct(-cnt, label)))
+    o["kg_communities"] = """
+        WITH base AS (
+            SELECT 'order:' || o_orderkey AS subj,
+                   'cust:' || o_custkey AS obj FROM orders
+            UNION ALL
+            SELECT 'cust:' || c_custkey,
+                   'nation:' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'supp:' || s_suppkey,
+                   'nation:' || s_nationkey FROM supplier
+            UNION ALL
+            SELECT 'order:' || o_orderkey, 'nation:' || c_nationkey
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ), e0 AS (
+            SELECT DISTINCT subj AS a, obj AS b FROM base WHERE subj <> obj
+        ), und AS (
+            SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+            )
+        ), l0 AS (
+            SELECT DISTINCT a AS node, a AS label FROM und
+        ), v1 AS (
+            SELECT u.a AS node, l0.label, count(*) AS cnt
+            FROM und u JOIN l0 ON u.b = l0.node GROUP BY 1, 2
+        ), l1 AS (
+            SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (
+                    PARTITION BY node ORDER BY cnt DESC, label) AS rn
+                FROM v1
+            ) WHERE rn = 1
+        ), v2 AS (
+            SELECT u.a AS node, l1.label, count(*) AS cnt
+            FROM und u JOIN l1 ON u.b = l1.node GROUP BY 1, 2
+        )
+        SELECT node, label FROM (
+            SELECT node, label, row_number() OVER (
+                PARTITION BY node ORDER BY cnt DESC, label) AS rn
+            FROM v2
+        ) WHERE rn = 1
     """
 
     # commutative fingerprint: canonical row = values joined by the unit

@@ -321,3 +321,72 @@ class TestKcore:
             kcore(df, k=0)
         with pytest.raises(ValueError):
             kcore(df, k=2, rounds=-1)
+
+
+def lpa_py(edges, rounds):
+    """Synchronous LPA, driver-side reference (min-label tie break)."""
+    und: dict[str, set[str]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        und.setdefault(a, set()).add(b)
+        und.setdefault(b, set()).add(a)
+    labels = {n: n for n in und}
+    for _ in range(rounds):
+        nxt = {}
+        for n, nbrs in und.items():
+            counts: dict[str, int] = {}
+            for m in nbrs:
+                counts[labels[m]] = counts.get(labels[m], 0) + 1
+            nxt[n] = min(counts, key=lambda l: (-counts[l], l))
+        labels = nxt
+    return labels
+
+
+class TestLabelPropagation:
+    def test_random_graph_matches_reference(self, spark):
+        import random
+
+        from uckg_spark.plans.graphalgs import label_propagation
+
+        rng = random.Random(13)
+        nodes = [f"n{i:02d}" for i in range(24)]
+        edges = list({
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(60)
+        })
+        for rounds in (0, 1, 2, 3):
+            got = {r["node"]: r["label"]
+                   for r in label_propagation(_df(spark, edges),
+                                              rounds=rounds).collect()}
+            assert got == lpa_py(edges, rounds), rounds
+
+    def test_two_cliques_with_bridge_separate(self, spark):
+        from uckg_spark.plans.graphalgs import label_propagation
+
+        clique1 = [("a1", "a2"), ("a1", "a3"), ("a2", "a3")]
+        clique2 = [("b1", "b2"), ("b1", "b3"), ("b2", "b3")]
+        edges = clique1 + clique2 + [("a3", "b1")]
+        got = {r["node"]: r["label"]
+               for r in label_propagation(_df(spark, edges),
+                                          rounds=3).collect()}
+        # the two triangles converge to different labels despite the
+        # bridge (one connected component — CC could never split this)
+        assert len({got["a1"], got["a2"]}) == 1
+        assert len({got["b2"], got["b3"]}) == 1
+        assert got["a1"] != got["b2"]
+
+    def test_rounds_zero_is_identity(self, spark):
+        from uckg_spark.plans.graphalgs import label_propagation
+
+        got = label_propagation(
+            _df(spark, [("x", "y")]), rounds=0).collect()
+        assert {(r["node"], r["label"]) for r in got} == {
+            ("x", "x"), ("y", "y")}
+
+    def test_negative_rounds_raise(self, spark):
+        import pytest
+
+        from uckg_spark.plans.graphalgs import label_propagation
+
+        with pytest.raises(ValueError):
+            label_propagation(_df(spark, [("x", "y")]), rounds=-1)

@@ -300,6 +300,65 @@ def kcore(
     return degrees(e)
 
 
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    subj: str = "subj",
+    obj: str = "obj",
+) -> DataFrame:
+    """Bounded synchronous label propagation (Raghavan et al. 2007) over
+    the undirected simple graph: labels start as the node's own id; each
+    round every node adopts the most frequent label among its NEIGHBORS,
+    ties broken by smallest label. Returns ``(node, label)`` — nodes
+    sharing a label after ``rounds`` form (proto-)communities. Where
+    ``connected_components`` answers "reachable at all?", LPA answers
+    "densely attached?" — the community structure inside one giant KG
+    component (which is exactly what sf-scale doc/entity graphs are).
+
+    DETERMINISTIC by construction: synchronous rounds + total-order tie
+    break, so the result is engine-portable (async/random LPA is not).
+
+    Scale shape per round: one join keyed on the edge endpoint to fetch
+    neighbor labels, one (node,label) count agg, one per-node arg-min —
+    all map-side-combinable hash aggregations on data keys; hot nodes
+    are AQE skew-split. The vote pick uses min(struct(-cnt, label)):
+    one aggregate, no window sort.
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = (
+        edges.select(F.col(subj).alias("a"), F.col(obj).alias("b"))
+        .where(F.col(subj) != F.col(obj))
+        .distinct()
+    )
+    und = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(rounds):
+        votes = (
+            und.join(
+                labels.withColumnsRenamed({"node": "b", "label": "nl"}), "b"
+            )
+            .groupBy(F.col("a").alias("node"), F.col("nl").alias("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+                ).alias("m")
+            )
+            .select("node", F.col("m.label").alias("label"))
+        )
+    return labels
+
+
 def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     """Incremental KG maintenance: the edge delta between two graph
     snapshots — every row of ``new`` not in ``old`` tagged ``added``,
