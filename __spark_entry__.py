@@ -863,6 +863,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return label_propagation(_kg_edges_closed(spark, sf), rounds=2)
     q["kg_communities"] = q_kg_communities
 
+    def q_bm25_topk(spark, sf):
+        # exact fixed-point BM25 (rational idf + k1=6/5, b=3/4 cleared
+        # to integers): top 20 docs for a 3-term keyword query
+        from uckg_spark.operators.search import bm25_rank
+
+        return bm25_rank(
+            _t(spark, sf, "documents"), "text", "doc_id",
+            ("hash", "join", "vector"), top_k=20,
+        )
+    q["bm25_topk"] = q_bm25_topk
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2330,6 +2341,40 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY node ORDER BY cnt DESC, label) AS rn
             FROM v2
         ) WHERE rn = 1
+    """
+
+    # fixed-point BM25: per-term contribution
+    # (2N-2df+1)*22*tf*S*1e6 div ((2df+1)*(10*S*tf + 3*S + 9*dl*N)),
+    # summed in query-term order — all bigint, bit-exact
+    o["bm25_topk"] = """
+        WITH base AS (
+            SELECT doc_id AS id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), l AS (
+            SELECT id, len(toks)::BIGINT AS dl,
+                   len(list_filter(toks, x -> x = 'hash'))::BIGINT AS tf0,
+                   len(list_filter(toks, x -> x = 'join'))::BIGINT AS tf1,
+                   len(list_filter(toks, x -> x = 'vector'))::BIGINT AS tf2
+            FROM base
+        ), g AS (
+            SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s,
+                   sum((tf0 > 0)::INT)::BIGINT AS df0,
+                   sum((tf1 > 0)::INT)::BIGINT AS df1,
+                   sum((tf2 > 0)::INT)::BIGINT AS df2
+            FROM l
+        )
+        SELECT id,
+               ( ((2*n - 2*df0 + 1) * 22 * tf0 * s * 1000000)
+                 // ((2*df0 + 1) * (10*s*tf0 + 3*s + 9*dl*n))
+               + ((2*n - 2*df1 + 1) * 22 * tf1 * s * 1000000)
+                 // ((2*df1 + 1) * (10*s*tf1 + 3*s + 9*dl*n))
+               + ((2*n - 2*df2 + 1) * 22 * tf2 * s * 1000000)
+                 // ((2*df2 + 1) * (10*s*tf2 + 3*s + 9*dl*n))
+               )::BIGINT AS score_e6
+        FROM l, g
+        ORDER BY score_e6 DESC, id
+        LIMIT 20
     """
 
     # commutative fingerprint: canonical row = values joined by the unit
