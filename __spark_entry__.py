@@ -874,6 +874,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["bm25_topk"] = q_bm25_topk
 
+    def q_doc_histogram(spark, sf):
+        # fixed-width length histogram per source — the shape profile
+        # between the quantile thresholds
+        from uckg_spark.operators.quantiles import histogram_fixed
+
+        return histogram_fixed(
+            _t(spark, sf, "documents"), "n_chars", "source", width=50
+        )
+    q["doc_histogram"] = q_doc_histogram
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2341,6 +2351,16 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY node ORDER BY cnt DESC, label) AS rn
             FROM v2
         ) WHERE rn = 1
+    """
+
+    # fixed-width histogram: floor bucketing on bigints (n_chars >= 0
+    # here, so // and the Spark CASE floor-div agree everywhere)
+    o["doc_histogram"] = """
+        SELECT source AS grp,
+               ((n_chars // 50) * 50)::BIGINT AS bucket_lo,
+               count(*)::BIGINT AS n
+        FROM documents WHERE n_chars IS NOT NULL
+        GROUP BY 1, 2
     """
 
     # fixed-point BM25: per-term contribution

@@ -64,3 +64,45 @@ class TestQuantilesDisc:
             quantiles_disc(df, "v_in", "grp_in", probs=(0.0,))
         with pytest.raises(ValueError):
             quantiles_disc(df, "v_in", "grp_in", probs=(1.5,))
+
+
+class TestHistogramFixed:
+    def test_matches_python_floor_bucketing(self, spark):
+        import random
+
+        from uckg_spark.operators.quantiles import histogram_fixed
+
+        rng = random.Random(23)
+        rows = [(f"g{i % 3}", rng.randrange(-100, 100)) for i in range(300)]
+        rows += [("g0", None)]
+        df = spark.createDataFrame(rows, "grp string, v long")
+        for width in (1, 7, 50):
+            got = {(r["grp"], r["bucket_lo"]): r["n"]
+                   for r in histogram_fixed(df, "v", "grp", width).collect()}
+            want: dict = {}
+            for g, v in rows:
+                if v is None:
+                    continue
+                key = (g, (v // width) * width)
+                want[key] = want.get(key, 0) + 1
+            assert got == want, width
+
+    def test_negative_boundary_exact(self, spark):
+        from uckg_spark.operators.quantiles import histogram_fixed
+
+        df = spark.createDataFrame(
+            [("g", -10), ("g", -1), ("g", 0), ("g", 9), ("g", 10)],
+            "grp string, v long")
+        got = {r["bucket_lo"]: r["n"]
+               for r in histogram_fixed(df, "v", "grp", 10).collect()}
+        # -10 is ON the boundary (own bucket start); -1 floors to -10
+        assert got == {-10: 2, 0: 2, 10: 1}
+
+    def test_invalid_width_raises(self, spark):
+        import pytest
+
+        from uckg_spark.operators.quantiles import histogram_fixed
+
+        df = spark.createDataFrame([("g", 1)], "grp string, v long")
+        with pytest.raises(ValueError):
+            histogram_fixed(df, "v", "grp", 0)

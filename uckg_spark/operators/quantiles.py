@@ -22,6 +22,42 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def histogram_fixed(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    width: int,
+) -> DataFrame:
+    """Per-group fixed-width histogram: ``(grp, bucket_lo, n)`` where
+    ``bucket_lo = floor(v / width) * width`` (exact integer bucketing,
+    floor semantics for negatives in both engines via ``div`` on the
+    already-floored sign — values are cast to bigint first). The
+    companion profile to ``quantiles_disc``: quantiles answer "where
+    are the thresholds", the histogram shows the shape between them.
+
+    Scale shape: bucketing is codegen column algebra; the only shuffle
+    is the (grp, bucket) count agg, which combines map-side — output
+    cardinality is |groups| x |occupied buckets|, independent of rows.
+    """
+    if width < 1:
+        raise ValueError(f"width must be >= 1, got {width}")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("bigint").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    # floor-div for negatives: bigint `div` truncates toward zero, so
+    # shift negatives down one width when they don't land on a boundary
+    bucket = F.expr(
+        f"CASE WHEN v >= 0 OR v % {width} = 0 THEN (v div {width}) * {width}"
+        f" ELSE (v div {width}) * {width} - {width} END"
+    )
+    return (
+        base.select("grp", bucket.alias("bucket_lo"))
+        .groupBy("grp", "bucket_lo")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
 def quantiles_disc(
     df: DataFrame,
     value_col: str,
