@@ -884,6 +884,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["doc_histogram"] = q_doc_histogram
 
+    def q_inverted_index(spark, sf):
+        # token → sorted posting list with df gates applied inside the
+        # aggregation — the candidate prefilter bm25_topk names
+        from uckg_spark.operators.invindex import build_inverted_index
+
+        # postings ride as a space-joined string: the cross-engine hash
+        # normalizes arrays differently on the two DuckDB fetch paths
+        # (numpy vs list repr), so list outputs are serialized — same
+        # convention as encode_docs
+        return build_inverted_index(
+            _t(spark, sf, "documents"), "text", "doc_id", min_df=2
+        ).select(
+            "token", "df",
+            F.array_join("postings", " ").alias("postings"),
+        )
+    q["inverted_index"] = q_inverted_index
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2361,6 +2378,20 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n
         FROM documents WHERE n_chars IS NOT NULL
         GROUP BY 1, 2
+    """
+
+    # inverted index: per-doc distinct tokens, one token-keyed agg with
+    # df HAVING gate; postings sorted so the array compares exactly
+    o["inverted_index"] = """
+        WITH pairs AS (
+            SELECT DISTINCT doc_id AS id,
+                   unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS token
+            FROM documents
+        )
+        SELECT token, count(*)::BIGINT AS df,
+               string_agg(id::VARCHAR, ' ' ORDER BY id) AS postings
+        FROM pairs GROUP BY token HAVING count(*) >= 2
     """
 
     # fixed-point BM25: per-term contribution

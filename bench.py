@@ -94,8 +94,9 @@ def main() -> None:
         # round-4 late additions: graph analytics + cardinality sketch
         "kg_reachability", "kg_triangles", "approx_distinct_kmv",
         "kg_kcore", "doc_quantiles", "cooccur_lift", "sales_rollup",
-        "event_funnel", "doc_outliers", "dataset_split", "table_checksum", "kg_communities",
-        "bm25_topk", "doc_histogram",
+        "event_funnel", "doc_outliers", "dataset_split",
+        "table_checksum", "kg_communities", "bm25_topk", "doc_histogram",
+        "inverted_index",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical
