@@ -1150,6 +1150,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(out)
     q["streaming_sessions"] = q_streaming_sessions
 
+    def q_streaming_attribution(spark, sf):
+        """Stream-stream interval join (the attribution join): each view
+        paired with the same user's purchases within 24 h after it.
+        Inner joins emit on match, so the drained result equals the
+        batch interval join exactly."""
+        from uckg_spark.streaming.pages_stream import stream_interval_join
+
+        stream, work = _staged_stream(spark, sf, "events")
+        stream2, _ = _staged_stream(spark, sf, "events")
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        try:
+            views = stream.where(F.col("event_type") == "view").select(
+                "user_id", F.col("ts").cast("timestamp").alias("ts")
+            )
+            buys = stream2.where(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").cast("timestamp").alias("ts")
+            )
+            joined = stream_interval_join(
+                views, buys, "user_id", "ts", horizon="24 hours"
+            ).select(
+                F.col("key").alias("user_id"),
+                F.date_format("l_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("view_ts"),
+                F.date_format("r_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("purchase_ts"),
+            )
+            out, ckpt = os.path.join(work, "out"), os.path.join(work, "ckpt")
+            q_ = (
+                joined.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q_.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.session.timeZone", prev_tz)
+        return spark.read.parquet(out)
+    q["streaming_attribution"] = q_streaming_attribution
+
     return q
 
 
@@ -1688,6 +1729,21 @@ def oracle_sql() -> dict[str, str]:
                n_events
         FROM agg, m
         WHERE epoch_us(en) + 21600000000 <= wm_us
+    """
+
+    # stream-stream inner interval join == the batch interval join
+    # (inner joins emit on match; watermarks only bound state)
+    o["streaming_attribution"] = """
+        SELECT v.user_id,
+               strftime(v.ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        FROM events v
+        JOIN events p
+          ON p.user_id = v.user_id
+         AND p.event_type = 'purchase'
+         AND p.ts >= v.ts
+         AND p.ts <= v.ts + INTERVAL 24 HOUR
+        WHERE v.event_type = 'view'
     """
 
     o["knn_join_pandas"] = """

@@ -208,3 +208,50 @@ def test_session_windows_merge_across_batches(spark, tmp_path):
         (1, ts(1, 0), ts(3, 0), 3),
         (2, ts(0, 0), ts(1, 0), 1),
     }
+
+
+def test_interval_join_pairs_across_batches(spark, tmp_path):
+    """Stream-stream join state: a left event in micro-batch 1 joins a
+    right event arriving in micro-batch 2; beyond-horizon and wrong-key
+    pairs never emit."""
+    import datetime
+
+    from uckg_spark.streaming.pages_stream import stream_interval_join
+
+    def ts(h, m=0):
+        return datetime.datetime(2024, 1, 1, h, m)
+
+    schema = "user_id long, ts timestamp"
+    lpath, rpath = tmp_path / "ij_l", tmp_path / "ij_r"
+    # left arrives entirely in batch 1
+    spark.createDataFrame(
+        [(1, ts(1)), (2, ts(1))], schema
+    ).coalesce(1).write.parquet(str(lpath / "b0"))
+    # right arrives in TWO files: in-horizon match for user 1 (batch 1),
+    # then a late in-horizon match AND a beyond-horizon event (batch 2)
+    spark.createDataFrame(
+        [(1, ts(1, 30))], schema).coalesce(1).write.parquet(str(rpath / "b0"))
+    spark.createDataFrame(
+        [(1, ts(2, 30)), (2, ts(23, 30)), (3, ts(1, 10))], schema
+    ).coalesce(1).write.parquet(str(rpath / "b1"))
+
+    def read(p):
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1").parquet(str(p) + "/*"))
+
+    out, ckpt = str(tmp_path / "ij_out"), str(tmp_path / "ij_ckpt")
+    q = (
+        stream_interval_join(read(lpath), read(rpath), "user_id", "ts",
+                             horizon="2 hours")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["key"], r["l_ts"], r["r_ts"])
+           for r in spark.read.parquet(out).collect()}
+    # user 1: both purchases inside [01:00, 03:00]; user 2's event at
+    # 23:30 is beyond the 2 h horizon; user 3 has no left row
+    assert got == {(1, ts(1), ts(1, 30)), (1, ts(1), ts(2, 30))}

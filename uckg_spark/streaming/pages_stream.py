@@ -86,6 +86,45 @@ def streaming_sessions(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    ts_col: str,
+    horizon: str = "24 hours",
+) -> DataFrame:
+    """Stream-stream INNER interval join: pair each left event with
+    every right event of the same key whose timestamp falls in
+    ``[left.ts, left.ts + horizon]`` — the attribution join (view →
+    purchase within the window) and the KG-ingest correlation join
+    (page fetch → parse event), expressed as Structured Streaming's
+    join-state machinery rather than a batch re-join per trigger.
+
+    Both sides carry watermarks of ``horizon``: with the time-range
+    condition, Spark derives state-eviction bounds from them — a left
+    row is dropped from join state once the right watermark passes
+    ``left.ts + horizon``, so state is O(events inside the horizon),
+    not O(stream). Inner joins emit on match (no watermark wait), so a
+    bounded drain equals the batch join exactly — which is what makes
+    this oracle-checkable.
+
+    Returns ``(key, left ts as l_ts, right ts as r_ts)``.
+    """
+    l = left.select(
+        F.col(key_col).alias("key"), F.col(ts_col).alias("l_ts")
+    ).withWatermark("l_ts", horizon)
+    r = right.select(
+        F.col(key_col).alias("r_key"), F.col(ts_col).alias("r_ts")
+    ).withWatermark("r_ts", horizon)
+    return l.join(
+        r,
+        (F.col("key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("key", "l_ts", "r_ts")
+
+
 def streaming_first_seen(pages_stream: DataFrame) -> DataFrame:
     """Cross-micro-batch stateful URL dedup via ``applyInPandasWithState``:
     emit each url exactly ONCE (with its earliest warc_ts), no matter how
