@@ -901,6 +901,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["inverted_index"] = q_inverted_index
 
+    def q_similarity_join(spark, sf):
+        # EXACT set-similarity join at shingle-set Jaccard >= 1/2 via
+        # prefix filtering — zero recall loss, unlike the LSH family
+        # (3-gram shingle sets: unigram sets over this corpus's small
+        # vocabulary are near-identical for every pair, so they neither
+        # discriminate nor let the prefix filter prune)
+        from uckg_spark.operators.setjoin import similarity_join
+
+        return similarity_join(
+            _t(spark, sf, "documents"), "text", "doc_id", 1, 2,
+            shingle_n=3,
+        )
+    q["similarity_join"] = q_similarity_join
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2448,6 +2462,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, count(*)::BIGINT AS df,
                string_agg(id::VARCHAR, ' ' ORDER BY id) AS postings
         FROM pairs GROUP BY token HAVING count(*) >= 2
+    """
+
+    # exact set-similarity join — the oracle is the documented-quadratic
+    # brute force (like ngram_jaccard); the Spark side must equal it
+    # EXACTLY because prefix filtering is lossless
+    o["similarity_join"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS tk
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(tk) - 2, 0) + 1),
+                       i -> array_to_string(tk[i:i+2], ' '))) AS toks
+            FROM t
+        ), p AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_intersect(a.toks, b.toks))::BIGINT AS inter,
+                   (len(a.toks) + len(b.toks)
+                    - len(list_intersect(a.toks, b.toks)))::BIGINT
+                       AS union_sz
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, inter, union_sz,
+               ((inter * 1000000) // union_sz)::BIGINT AS jaccard_e6
+        FROM p WHERE union_sz > 0 AND 2 * inter >= union_sz
     """
 
     # fixed-point BM25: per-term contribution

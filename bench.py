@@ -96,7 +96,7 @@ def main() -> None:
         "kg_kcore", "doc_quantiles", "cooccur_lift", "sales_rollup",
         "event_funnel", "doc_outliers", "dataset_split",
         "table_checksum", "kg_communities", "bm25_topk", "doc_histogram",
-        "inverted_index",
+        "inverted_index", "similarity_join",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical
@@ -113,7 +113,8 @@ def main() -> None:
              "encode_docs", "kg_pattern_2hop", "kg_degree",
              "training_chunks", "kg_pagerank", "contamination",
              "kg_reachability", "kg_triangles", "approx_distinct_kmv",
-             "kg_kcore", "cooccur_lift", "kg_communities"}
+             "kg_kcore", "cooccur_lift", "kg_communities",
+             "similarity_join"}
 
     def timed(name: str, run) -> None:
         walls = []

@@ -1,0 +1,148 @@
+"""Exact set-similarity join via prefix filtering (PPJoin-lite).
+
+The LSH family (operators/dedup.py, similarity.py) finds near-dups
+probabilistically — recall < 1 by construction. When the pipeline
+needs EVERY pair above a Jaccard threshold (legal dedup obligations,
+eval-set decontamination audits), the scale technique is the prefix
+filter (Chaudhuri et al. 2006; Bayardo et al. 2007): order every
+document's token set by one global total order, keep only the first
+``n - ceil(t*n) + 1`` tokens as its PREFIX, and observe that two sets
+with Jaccard >= t MUST share a prefix token — so the candidate set is
+an equi-join on prefix tokens, not all pairs, with zero recall loss.
+
+Design choices for exactness and scale:
+- the global order is (document frequency, token): rare-first
+  minimizes candidates (hot tokens fall out of prefixes). Correctness
+  needs only SOME consistent total order, so no global rank is
+  materialized — each doc sorts its own tokens by the joined (df,
+  token) struct. The df table is vocabulary-sized.
+- the threshold is a rational ``num/den`` (60/100, never a float);
+  the verify step is pure integers: ``den*|a∩b| >= num*(|a|+|b|-|a∩b|)``
+  and the published ``jaccard_e6`` is a bigint div.
+- size filter rides the candidate join (``t*|a| <= |b| <= |a|/t`` in
+  cross-multiplied integer form), killing size-incompatible pairs
+  before dedup.
+- verification joins candidate pairs back to the doc→sorted-set map
+  twice and intersects arrays JVM-side. Prefix-join fan-out is bounded
+  by the rarity of prefix tokens; hot-token skew is precisely what the
+  rare-first order suppresses, and AQE splits what remains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import shingles, tokens
+
+
+def similarity_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int = 60,
+    threshold_den: int = 100,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """All pairs with set Jaccard >= num/den — EXACT (prefix filtering
+    loses nothing). Set elements are word tokens, or word ``shingle_n``-
+    grams when set — unigram sets over a small vocabulary are nearly
+    identical for every document pair (the prefix filter can prune
+    nothing), while shingle sets are what production similarity joins
+    run on. Returns ``(doc_a, doc_b, inter, union_sz, jaccard_e6)``
+    with ``doc_a < doc_b``."""
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError(
+            f"threshold must be in (0, 1]: {threshold_num}/{threshold_den}")
+    num, den = threshold_num, threshold_den
+    elems = (
+        shingles(F.col(text_col), shingle_n)
+        if shingle_n is not None
+        else tokens(F.col(text_col))
+    )
+    pairs_tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(elems)).alias("token"),
+    )
+    dfreq = pairs_tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"))
+    # each doc's tokens sorted rare-first by the (df, token) total order
+    ordered = (
+        pairs_tok.join(dfreq, "token")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("df", "token"))),
+                lambda s: s["token"],
+            ).alias("toks")
+        )
+        .select(
+            "id",
+            "toks",
+            F.size("toks").cast("bigint").alias("n"),
+        )
+    )
+    # prefix length n - ceil(num*n/den) + 1, ceil as (x + den - 1) div den
+    prefix = ordered.select(
+        "id",
+        "n",
+        F.explode(
+            F.slice(
+                "toks",
+                1,
+                F.greatest(
+                    F.lit(0),
+                    (
+                        F.col("n")
+                        - F.expr(f"(({num}L * n) + {den - 1}L) div {den}L")
+                        + 1
+                    ).cast("int"),
+                ),
+            )
+        ).alias("token"),
+    )
+    cands = (
+        prefix.alias("l")
+        .join(prefix.alias("r"), "token")
+        .where(
+            (F.col("l.id") < F.col("r.id"))
+            # size-compatibility: num*|a| <= den*|b| AND num*|b| <= den*|a|
+            & (F.lit(num) * F.col("l.n") <= F.lit(den) * F.col("r.n"))
+            & (F.lit(num) * F.col("r.n") <= F.lit(den) * F.col("l.n"))
+        )
+        .select(F.col("l.id").alias("doc_a"), F.col("r.id").alias("doc_b"))
+        .distinct()
+    )
+    sets = ordered.select("id", "toks", "n")
+    return (
+        cands.join(
+            sets.withColumnsRenamed(
+                {"id": "doc_a", "toks": "ta", "n": "na"}), "doc_a")
+        .join(
+            sets.withColumnsRenamed(
+                {"id": "doc_b", "toks": "tb", "n": "nb"}), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ta", "tb")).cast("bigint")
+            .alias("inter"),
+            (F.col("na") + F.col("nb")).alias("sum_n"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            (F.col("sum_n") - F.col("inter")).alias("union_sz"),
+        )
+        .where(
+            F.lit(den) * F.col("inter")
+            >= F.lit(num) * F.col("union_sz")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "union_sz",
+            F.expr("(inter * 1000000) div union_sz").alias("jaccard_e6"),
+        )
+    )
