@@ -915,6 +915,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["similarity_join"] = q_similarity_join
 
+    def q_event_pivot(spark, sf):
+        # fixed-domain cross-tab: per-user event-type counts in one
+        # conditional-sum aggregate (no discovery scan, no explode)
+        from uckg_spark.operators.olap import pivot_counts
+
+        return pivot_counts(
+            _t(spark, sf, "events"), "user_id", "event_type",
+            ["view", "click", "signup", "purchase", "error"],
+        )
+    q["event_pivot"] = q_event_pivot
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2462,6 +2473,18 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, count(*)::BIGINT AS df,
                string_agg(id::VARCHAR, ' ' ORDER BY id) AS postings
         FROM pairs GROUP BY token HAVING count(*) >= 2
+    """
+
+    # fixed-domain pivot = conditional-count aggregation in both engines
+    o["event_pivot"] = """
+        SELECT user_id AS row,
+               count(*) FILTER (event_type = 'view')::BIGINT AS view,
+               count(*) FILTER (event_type = 'click')::BIGINT AS click,
+               count(*) FILTER (event_type = 'signup')::BIGINT AS signup,
+               count(*) FILTER (event_type = 'purchase')::BIGINT
+                   AS purchase,
+               count(*) FILTER (event_type = 'error')::BIGINT AS error
+        FROM events GROUP BY user_id
     """
 
     # exact set-similarity join — the oracle is the documented-quadratic

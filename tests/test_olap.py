@@ -62,3 +62,36 @@ class TestRollupMetrics:
         # union of per-level scans
         assert plan.count("Expand") == 1
         assert "Union" not in plan
+
+
+class TestPivotCounts:
+    def test_matches_manual_crosstab(self, spark):
+        from uckg_spark.operators.olap import pivot_counts
+
+        rows = [("u1", "view"), ("u1", "view"), ("u1", "click"),
+                ("u2", "view"), ("u2", "error"), ("u3", "other")]
+        df = spark.createDataFrame(rows, "u string, t string")
+        got = {r["row"]: (r["view"], r["click"])
+               for r in pivot_counts(df, "u", "t",
+                                     ["view", "click"]).collect()}
+        # zero-filled; values outside the domain ignored but the row kept
+        assert got == {"u1": (2, 1), "u2": (1, 0), "u3": (0, 0)}
+
+    def test_single_shuffle_plan(self, spark):
+        from uckg_spark.operators.olap import pivot_counts
+
+        df = spark.createDataFrame([("u", "v")], "u string, t string")
+        plan = (pivot_counts(df, "u", "t", ["v", "w"])
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange hashpartitioning") == 1
+
+    def test_invalid_values_raise(self, spark):
+        import pytest
+
+        from uckg_spark.operators.olap import pivot_counts
+
+        df = spark.createDataFrame([("u", "v")], "u string, t string")
+        with pytest.raises(ValueError):
+            pivot_counts(df, "u", "t", [])
+        with pytest.raises(ValueError):
+            pivot_counts(df, "u", "t", ["v", "v"])

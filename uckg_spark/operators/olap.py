@@ -53,3 +53,36 @@ def rollup_metrics(
         "lvl",
         *agged.columns[n + 1 :],
     )
+
+
+def pivot_counts(
+    df: DataFrame,
+    row_col: str,
+    pivot_col: str,
+    values: list[str],
+) -> DataFrame:
+    """Cross-tab: one row per ``row_col`` value, one count column per
+    entry of ``values`` (named after it), zero-filled. ``values`` is
+    REQUIRED and fixed: passing it keeps the plan single-pass (Spark
+    otherwise runs a distinct-scan first to discover columns) and makes
+    the output schema deterministic — at web scale the pivot domain is
+    a dimension you know, not something to discover per query.
+
+    Scale shape: exactly a groupBy(row_col) hash aggregate whose
+    per-value counts are conditional sums folded map-side — one
+    shuffle of |rows| × (|values|+1) cells, no explode, no join.
+    """
+    if not values:
+        raise ValueError("values must be non-empty")
+    if len(set(values)) != len(values):
+        raise ValueError(f"duplicate pivot values: {values}")
+    return (
+        df.select(F.col(row_col).alias("row"), F.col(pivot_col).alias("p"))
+        .groupBy("row")
+        .agg(
+            *[
+                F.count(F.when(F.col("p") == v, 1)).cast("bigint").alias(v)
+                for v in values
+            ]
+        )
+    )
