@@ -926,6 +926,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["event_pivot"] = q_event_pivot
 
+    def q_rolling_counts(spark, sf):
+        # trailing 1-hour per-user event count at every event — the
+        # RANGE-frame window case, exact via integer-µs frame bounds
+        from uckg_spark.operators.temporal import rolling_counts
+
+        return rolling_counts(
+            _t(spark, sf, "events"), "user_id", "ts", "event_id", "1 hour"
+        )
+    q["rolling_counts"] = q_rolling_counts
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2473,6 +2483,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, count(*)::BIGINT AS df,
                string_agg(id::VARCHAR, ' ' ORDER BY id) AS postings
         FROM pairs GROUP BY token HAVING count(*) >= 2
+    """
+
+    # RANGE frame over integer microseconds — closed bounds, ties are
+    # peers, identical frame semantics in both engines
+    o["rolling_counts"] = """
+        SELECT event_id AS id, user_id AS key,
+               count(*) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts)
+                   RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               )::BIGINT AS n_window
+        FROM events
     """
 
     # fixed-domain pivot = conditional-count aggregation in both engines

@@ -87,3 +87,61 @@ class TestRangeJoinPairs:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRollingCounts:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user string, ts timestamp_ntz")
+
+    def test_matches_bruteforce(self, spark):
+        import datetime
+        import random
+
+        from uckg_spark.operators.temporal import rolling_counts
+
+        rng = random.Random(41)
+        rows = [
+            (i, f"u{rng.randrange(5)}",
+             datetime.datetime(2024, 1, 1) + datetime.timedelta(
+                 minutes=rng.randrange(600)))
+            for i in range(200)
+        ]
+        got = {r["id"]: r["n_window"]
+               for r in rolling_counts(
+                   self._df(spark, rows), "user", "ts", "event_id",
+                   "1 hour").collect()}
+        want = {}
+        for i, u, ts in rows:
+            want[i] = sum(
+                1 for j, v, t2 in rows
+                if v == u and ts - datetime.timedelta(hours=1) <= t2 <= ts)
+        assert got == want
+
+    def test_boundary_inclusive_and_ties_are_peers(self, spark):
+        import datetime
+
+        from uckg_spark.operators.temporal import rolling_counts
+
+        t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            (1, "u", t0),
+            (2, "u", t0),  # tie: both count each other
+            (3, "u", t0 + datetime.timedelta(hours=1)),        # on boundary
+            (4, "u", t0 + datetime.timedelta(hours=1, seconds=1)),  # outside
+        ]
+        got = {r["id"]: r["n_window"]
+               for r in rolling_counts(
+                   self._df(spark, rows), "user", "ts", "event_id",
+                   "1 hour").collect()}
+        assert got == {1: 2, 2: 2, 3: 3, 4: 2}
+
+    def test_bad_duration_raises(self, spark):
+        import pytest
+
+        from uckg_spark.operators.temporal import rolling_counts
+
+        df = self._df(spark, [])
+        for bad in ("1h", "0 hours", "-1 hour", "1 fortnight"):
+            with pytest.raises(ValueError):
+                rolling_counts(df, "user", "ts", "event_id", bad)

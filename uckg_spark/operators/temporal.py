@@ -95,6 +95,74 @@ def asof_join(
     return matched.select(*left.columns, F.col("_m.*"))
 
 
+def rolling_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    id_col: str,
+    window: str = "1 hour",
+) -> DataFrame:
+    """Per-event trailing-window count: for every row, how many of the
+    same key's events (inclusive of this one) fall in
+    ``[ts - window, ts]`` — the rate-limiter / burst-detector feature
+    every event pipeline derives, and the RANGE-frame window case the
+    rest of the repo's window ops don't exercise (rows frames and
+    partition-only frames are covered elsewhere).
+
+    Exact semantics: the frame is closed on both ends and ordered by
+    integer MICROSECONDS (``rangeBetween`` needs a numeric key; the
+    epoch-µs cast keeps ties and bounds bit-identical in the DuckDB
+    twin's ``RANGE BETWEEN INTERVAL ... PRECEDING AND CURRENT ROW``).
+    Equal timestamps are peers: each sees the other (both engines).
+
+    Scale shape: ONE shuffle (the per-key window sort); the running
+    count is a frame aggregate inside it — no self-join, which is the
+    naive form and quadratic per burst. Window length is data-bounded
+    state, not memory-bounded: Spark evaluates RANGE frames with a
+    sliding two-pointer over the sorted partition.
+    """
+    dur = _parse_duration_us(window)
+    w = (
+        Window.partitionBy("key")
+        .orderBy("ts_us")
+        .rangeBetween(-dur, 0)
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(key_col).alias("key"),
+            _epoch_us(F.col(ts_col)).alias("ts_us"),
+        )
+        .select(
+            "id",
+            "key",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_window"),
+        )
+    )
+
+
+_DUR_UNITS_US = {
+    "second": 1_000_000,
+    "seconds": 1_000_000,
+    "minute": 60_000_000,
+    "minutes": 60_000_000,
+    "hour": 3_600_000_000,
+    "hours": 3_600_000_000,
+    "day": 86_400_000_000,
+    "days": 86_400_000_000,
+}
+
+
+def _parse_duration_us(spec: str) -> int:
+    parts = spec.strip().split()
+    if len(parts) != 2 or not parts[0].isdigit() or int(parts[0]) < 1:
+        raise ValueError(f"duration must be '<n> <unit>': {spec!r}")
+    n, unit = int(parts[0]), parts[1].lower()
+    if unit not in _DUR_UNITS_US:
+        raise ValueError(f"unknown duration unit {unit!r} in {spec!r}")
+    return n * _DUR_UNITS_US[unit]
+
+
 def range_join_pairs(
     left: DataFrame,
     right: DataFrame,
