@@ -936,6 +936,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["rolling_counts"] = q_rolling_counts
 
+    def q_kg_pagerank_seeded(spark, sf):
+        # personalized PageRank: teleport + initial mass only at the two
+        # seed nations — relatedness TO the seeds, not global centrality
+        from uckg_spark.plans.graphalgs import pagerank_fixed
+
+        return pagerank_fixed(
+            _kg_edges(spark, sf), iterations=3,
+            seeds=["nation:5", "nation:7"],
+        )
+    q["kg_pagerank_seeded"] = q_kg_pagerank_seeded
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2483,6 +2494,62 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, count(*)::BIGINT AS df,
                string_agg(id::VARCHAR, ' ' ORDER BY id) AS postings
         FROM pairs GROUP BY token HAVING count(*) >= 2
+    """
+
+    # personalized PageRank: same unrolled recurrence as kg_pagerank but
+    # initial mass and teleport are masked to the seed set
+    o["kg_pagerank_seeded"] = """
+        WITH e AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT 'order:' || o_orderkey AS src,
+                       'cust:' || o_custkey AS dst FROM orders
+                UNION ALL
+                SELECT 'cust:' || c_custkey,
+                       'nation:' || c_nationkey FROM customer
+                UNION ALL
+                SELECT 'supp:' || s_suppkey,
+                       'nation:' || s_nationkey FROM supplier
+            )
+        ), nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), seeded AS (
+            SELECT node,
+                   (CASE WHEN node IN ('nation:5', 'nation:7')
+                         THEN 1 ELSE 0 END)::BIGINT AS m
+            FROM nodes
+        ), deg AS (
+            SELECT src AS node, count(*)::BIGINT AS outdeg FROM e GROUP BY 1
+        ), r0 AS (
+            SELECT node, (1000000 * m)::BIGINT AS rank FROM seeded
+        ), s1 AS (
+            SELECT e.dst AS node, sum(r.rank // d.outdeg)::BIGINT AS s
+            FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.node
+            GROUP BY 1
+        ), r1 AS (
+            SELECT n.node,
+                   (150000 * n.m
+                    + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank
+            FROM seeded n LEFT JOIN s1 s USING (node)
+        ), s2 AS (
+            SELECT e.dst AS node, sum(r.rank // d.outdeg)::BIGINT AS s
+            FROM e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.node
+            GROUP BY 1
+        ), r2 AS (
+            SELECT n.node,
+                   (150000 * n.m
+                    + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank
+            FROM seeded n LEFT JOIN s2 s USING (node)
+        ), s3 AS (
+            SELECT e.dst AS node, sum(r.rank // d.outdeg)::BIGINT AS s
+            FROM e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.node
+            GROUP BY 1
+        ), r3 AS (
+            SELECT n.node,
+                   (150000 * n.m
+                    + (85 * coalesce(s.s, 0)) // 100)::BIGINT AS rank
+            FROM seeded n LEFT JOIN s3 s USING (node)
+        )
+        SELECT node, rank FROM r3
     """
 
     # RANGE frame over integer microseconds — closed bounds, ties are

@@ -390,3 +390,61 @@ class TestLabelPropagation:
 
         with pytest.raises(ValueError):
             label_propagation(_df(spark, [("x", "y")]), rounds=-1)
+
+
+class TestPersonalizedPagerank:
+    def test_matches_python_reference(self, spark):
+        import random
+
+        from uckg_spark.plans.graphalgs import pagerank_fixed
+
+        rng = random.Random(43)
+        nodes = [f"n{i}" for i in range(15)]
+        edges = list({
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(40)
+        })
+        seeds = ["n0", "n3"]
+
+        def ppr_py(iters):
+            e = sorted(set(edges))
+            ns = sorted({a for a, _ in e} | {b for _, b in e})
+            out: dict[str, int] = {}
+            for a, _ in e:
+                out[a] = out.get(a, 0) + 1
+            r = {n: (1_000_000 if n in seeds else 0) for n in ns}
+            for _ in range(iters):
+                inc = {n: 0 for n in ns}
+                for a, b in e:
+                    inc[b] += r[a] // out[a]
+                r = {
+                    n: (150_000 if n in seeds else 0) + (85 * inc[n]) // 100
+                    for n in ns
+                }
+            return r
+
+        df = _df(spark, edges)
+        for iters in (0, 1, 3):
+            got = {r["node"]: r["rank"]
+                   for r in pagerank_fixed(df, iterations=iters,
+                                           seeds=seeds).collect()}
+            assert got == ppr_py(iters), iters
+
+    def test_unreachable_node_ranks_zero_seed_keeps_teleport(self, spark):
+        from uckg_spark.plans.graphalgs import pagerank_fixed
+
+        # island x->y disconnected from seed s->t
+        edges = [("s", "t"), ("x", "y")]
+        got = {r["node"]: r["rank"]
+               for r in pagerank_fixed(_df(spark, edges), iterations=2,
+                                       seeds=["s"]).collect()}
+        assert got["x"] == 0 and got["y"] == 0
+        assert got["s"] == 150_000           # teleport only (no in-edges)
+        assert got["t"] > 0                  # receives seed mass
+
+    def test_empty_seeds_raise(self, spark):
+        import pytest
+
+        from uckg_spark.plans.graphalgs import pagerank_fixed
+
+        with pytest.raises(ValueError):
+            pagerank_fixed(_df(spark, [("a", "b")]), seeds=[])

@@ -45,6 +45,7 @@ def pagerank_fixed(
     subj: str = "subj",
     obj: str = "obj",
     checkpoint_every: int = 4,
+    seeds: list | None = None,
 ) -> DataFrame:
     """Integer fixed-point PageRank over ``edges``; returns (node, rank).
 
@@ -60,12 +61,22 @@ def pagerank_fixed(
     beats mass conservation for an oracle-checked operator, and the
     ranking ORDER it induces is the standard one).
 
+    With ``seeds`` this becomes PERSONALIZED PageRank (Haveliwala 2002):
+    initial mass and the teleport term go only to the seed nodes
+    (r0 = 1e6·[n ∈ S]; teleport(n) = 150_000·[n ∈ S]) — the rank is then
+    relatedness TO THE SEED SET, the "entities most associated with this
+    CVE/vendor" query a KG serves. Seeds are a driver-side list because
+    they are a query parameter (a handful of entities), compiled to an
+    isin predicate — never a join.
+
     ``iterations`` is a fixed count, not a convergence test: the oracle
     twin unrolls the same number of steps, and at web scale a bounded
     iteration budget is how production PageRank jobs run anyway.
     """
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
+    if seeds is not None and not seeds:
+        raise ValueError("seeds must be None or non-empty")
     e = edges.select(F.col(subj).alias("src"), F.col(obj).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -81,7 +92,13 @@ def pagerank_fixed(
         deg = deg.persist()
         nodes = nodes.persist()
 
-    ranks = nodes.withColumn("rank", F.lit(_SCALE).cast("bigint"))
+    seed_mask = (
+        F.col("node").isin(list(seeds)).cast("bigint")
+        if seeds is not None
+        else F.lit(1).cast("bigint")
+    )
+    ranks = nodes.withColumn(
+        "rank", (F.lit(_SCALE) * seed_mask).cast("bigint"))
     is_local = e.sparkSession.sparkContext.master.startswith("local")
     for k in range(iterations):
         share = (
@@ -95,7 +112,7 @@ def pagerank_fixed(
         )
         ranks = nodes.join(incoming, "node", "left").select(
             "node",
-            (F.lit(_TELEPORT) + F.expr(
+            (F.lit(_TELEPORT) * seed_mask + F.expr(
                 f"(85 * coalesce(s, 0L)) div 100")).cast("bigint").alias("rank"),
         )
         # truncate lineage periodically: Catalyst re-optimizes the whole
