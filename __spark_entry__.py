@@ -947,6 +947,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["kg_pagerank_seeded"] = q_kg_pagerank_seeded
 
+    def q_event_transitions(spark, sf):
+        # first-order Markov transition counts per user, (ts, id)-ordered
+        # so equal timestamps are deterministic
+        from uckg_spark.operators.funnel import transition_counts
+
+        return transition_counts(
+            _t(spark, sf, "events"), "user_id", "ts", "event_type",
+            "event_id",
+        )
+    q["event_transitions"] = q_event_transitions
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2494,6 +2505,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, count(*)::BIGINT AS df,
                string_agg(id::VARCHAR, ' ' ORDER BY id) AS postings
         FROM pairs GROUP BY token HAVING count(*) >= 2
+    """
+
+    # Markov transitions: lag over the same (ts, id) total order
+    o["event_transitions"] = """
+        WITH s AS (
+            SELECT event_type AS t,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, t AS next_type, count(*)::BIGINT AS n
+        FROM s WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
     """
 
     # personalized PageRank: same unrolled recurrence as kg_pagerank but

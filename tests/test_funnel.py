@@ -101,3 +101,44 @@ class TestFunnelCounts:
         # only other exchange is the single-row global-agg reduce
         assert plan.count("Exchange hashpartitioning") == 1
         assert "Join" not in plan
+
+
+class TestTransitionCounts:
+    def test_matches_reference(self, spark):
+        import random
+
+        from uckg_spark.operators.funnel import transition_counts
+
+        rng = random.Random(47)
+        types = ["a", "b", "c"]
+        rows = [(i, rng.randrange(6), rng.choice(types),
+                 _ts(rng.randrange(59)))
+                for i in range(200)]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string,"
+            " ts timestamp")
+        got = {(r["prev_type"], r["next_type"]): r["n"]
+               for r in transition_counts(
+                   df, "user_id", "ts", "event_type", "event_id"
+               ).collect()}
+        want: dict = {}
+        by_u: dict = {}
+        for i, u, t, ts in rows:
+            by_u.setdefault(u, []).append((ts, i, t))
+        for evs in by_u.values():
+            evs.sort()
+            for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        assert got == want
+
+    def test_tie_broken_by_id(self, spark):
+        from uckg_spark.operators.funnel import transition_counts
+
+        t = _ts(0)
+        df = spark.createDataFrame(
+            [(2, 1, "b", t), (1, 1, "a", t)],
+            "event_id long, user_id long, event_type string, ts timestamp")
+        got = transition_counts(
+            df, "user_id", "ts", "event_type", "event_id").collect()
+        assert [(r["prev_type"], r["next_type"], r["n"]) for r in got] == [
+            ("a", "b", 1)]

@@ -28,6 +28,38 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def transition_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    id_col: str,
+) -> DataFrame:
+    """First-order Markov transition counts over each key's event
+    sequence: ``(prev_type, next_type, n)`` — the behavioral-model
+    summary (what follows what) that funnels are a special case of.
+
+    Determinism: the sequence order is ``(ts, id)`` — the id tiebreak
+    matters because equal timestamps are routine in event logs and an
+    order-dependent lag over ties would differ per engine/partitioning.
+    One window shuffle on the key, then a map-side-combining count agg
+    whose output cardinality is |types|² — independent of row count.
+    """
+    w = Window.partitionBy("k").orderBy("ts", "id")
+    return (
+        df.select(
+            F.col(key_col).alias("k"),
+            F.col(ts_col).alias("ts"),
+            F.col(id_col).alias("id"),
+            F.col(type_col).alias("t"),
+        )
+        .withColumn("prev_type", F.lag("t").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("t").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
 def funnel_counts(
     df: DataFrame,
     user_col: str,
