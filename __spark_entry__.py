@@ -958,6 +958,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["event_transitions"] = q_event_transitions
 
+    def q_fuzzy_name_pairs(spark, sf):
+        # exact edit-distance<=1 supplier-name pairs via deletion-
+        # signature blocking (FastSS) — no quadratic join
+        from uckg_spark.operators.editdist import edit_distance_pairs
+
+        return edit_distance_pairs(
+            _t(spark, sf, "supplier"), "s_name", "s_suppkey"
+        )
+    q["fuzzy_name_pairs"] = q_fuzzy_name_pairs
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2505,6 +2515,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, count(*)::BIGINT AS df,
                string_agg(id::VARCHAR, ' ' ORDER BY id) AS postings
         FROM pairs GROUP BY token HAVING count(*) >= 2
+    """
+
+    # edit-distance pairs: brute-force levenshtein twin (documented
+    # quadratic oracle baseline); both engines run the same DP
+    o["fuzzy_name_pairs"] = """
+        SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+               levenshtein(a.s_name, b.s_name)::BIGINT AS dist
+        FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        WHERE a.s_name IS NOT NULL AND b.s_name IS NOT NULL
+          AND levenshtein(a.s_name, b.s_name) <= 1
     """
 
     # Markov transitions: lag over the same (ts, id) total order
