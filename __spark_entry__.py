@@ -968,6 +968,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["fuzzy_name_pairs"] = q_fuzzy_name_pairs
 
+    def q_zorder_keys(spark, sf):
+        # Morton layout keys over (partkey, suppkey) — the clustering
+        # key an OPTIMIZE ZORDER job sorts by; bit-exact bigint algebra
+        from uckg_spark.functions.layout import zorder_value
+
+        li = _t(spark, sf, "lineitem")
+        return li.select(
+            "l_orderkey",
+            "l_linenumber",
+            zorder_value(["l_partkey", "l_suppkey"], bits=16).alias("zval"),
+        )
+    q["zorder_keys"] = q_zorder_keys
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2515,6 +2528,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, count(*)::BIGINT AS df,
                string_agg(id::VARCHAR, ' ' ORDER BY id) AS postings
         FROM pairs GROUP BY token HAVING count(*) >= 2
+    """
+
+    # Morton interleave, terms generated programmatically — same bigint
+    # shifts/masks as the Spark side (column 0 = least significant lane)
+    _z_terms = " + ".join(
+        f"((({col} >> {b}) & 1) << {b * 2 + ci})"
+        for b in range(16)
+        for ci, col in enumerate(("l_partkey", "l_suppkey"))
+    )
+    o["zorder_keys"] = f"""
+        SELECT l_orderkey, l_linenumber,
+               ({_z_terms})::BIGINT AS zval
+        FROM lineitem
     """
 
     # edit-distance pairs: brute-force levenshtein twin (documented
