@@ -981,6 +981,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["zorder_keys"] = q_zorder_keys
 
+    def q_kg_query_text(spark, sf):
+        # SPARQL-ish text front door over match_pattern: every order
+        # with its customer AND the customer's nation — an all-variable
+        # chain (the 2hop row covers the list form + constant pushdown)
+        from uckg_spark.plans.pattern import query_pattern
+
+        return query_pattern(
+            _kg_edges(spark, sf), "?o placed_by ?c . ?c in_nation ?n"
+        )
+    q["kg_query_text"] = q_kg_query_text
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2528,6 +2539,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, count(*)::BIGINT AS df,
                string_agg(id::VARCHAR, ' ' ORDER BY id) AS postings
         FROM pairs GROUP BY token HAVING count(*) >= 2
+    """
+
+    # text-pattern chain: joins on the shared variables, DISTINCT set
+    # semantics per step and overall (match_pattern's contract)
+    o["kg_query_text"] = """
+        WITH e AS (
+            SELECT 'order:' || o_orderkey AS s, 'placed_by' AS p,
+                   'cust:' || o_custkey AS o FROM orders
+            UNION ALL
+            SELECT 'cust:' || c_custkey, 'in_nation',
+                   'nation:' || c_nationkey FROM customer
+            UNION ALL
+            SELECT 'supp:' || s_suppkey, 'in_nation',
+                   'nation:' || s_nationkey FROM supplier
+        )
+        SELECT DISTINCT a.s AS o, a.o AS c, b.o AS n
+        FROM e a JOIN e b ON a.o = b.s
+        WHERE a.p = 'placed_by' AND b.p = 'in_nation'
     """
 
     # Morton interleave, terms generated programmatically — same bigint

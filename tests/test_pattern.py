@@ -125,3 +125,35 @@ class TestPatternOnBuiltKg:
         finally:
             triples.unpersist()
             edges.unpersist()
+
+
+class TestParsePattern:
+    def test_parse_and_query_equal_list_form(self, spark):
+        from uckg_spark.plans.pattern import (match_pattern, parse_pattern,
+                                              query_pattern)
+
+        edges = spark.createDataFrame(
+            [("a", "knows", "b"), ("b", "knows", "c"), ("b", "likes", "c")],
+            "subj string, pred string, obj string")
+        text = "?x knows ?y . ?y likes ?z"
+        assert parse_pattern(text) == [
+            ("?x", "knows", "?y"), ("?y", "likes", "?z")]
+        got = {(r["x"], r["y"], r["z"])
+               for r in query_pattern(edges, text).collect()}
+        want = {(r["x"], r["y"], r["z"])
+                for r in match_pattern(edges, parse_pattern(text)).collect()}
+        assert got == want == {("a", "b", "c")}
+
+    def test_trailing_dot_ok(self):
+        from uckg_spark.plans.pattern import parse_pattern
+
+        assert parse_pattern("?x p ?y .") == [("?x", "p", "?y")]
+
+    def test_malformed_raises(self):
+        import pytest
+
+        from uckg_spark.plans.pattern import parse_pattern
+
+        for bad in ("", "?x p", "?x p ?y ?z", "?x p ?y . . ?a q ?b"):
+            with pytest.raises(ValueError):
+                parse_pattern(bad)

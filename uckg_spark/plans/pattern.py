@@ -41,6 +41,36 @@ def _is_var(term: str) -> bool:
     return term.startswith(VAR)
 
 
+def parse_pattern(text: str) -> list[tuple[str, str, str]]:
+    """Parse a SPARQL-ish basic graph pattern into ``match_pattern``
+    steps: whitespace-separated ``s p o`` triples joined by ``.``, with
+    ``?name`` variables — e.g.
+    ``"?o hasCustomer ?c . ?c inNation nation:5"``. A text front door
+    only: the plan, the connectivity check, and every semantic live in
+    ``match_pattern``; this function just tokenizes and validates
+    shape, so there is no second query semantics to drift.
+    """
+    steps: list[tuple[str, str, str]] = []
+    for i, raw in enumerate(text.split(".")):
+        terms = raw.split()
+        if not terms and (i == len(text.split(".")) - 1):
+            continue  # trailing dot
+        if len(terms) != 3:
+            raise ValueError(
+                f"pattern step {i} must be exactly 's p o': {raw.strip()!r}")
+        steps.append(tuple(terms))
+    if not steps:
+        raise ValueError("empty pattern text")
+    return steps
+
+
+def query_pattern(edges: DataFrame, text: str, **kw) -> DataFrame:
+    """``match_pattern(edges, parse_pattern(text))`` — the one-line KG
+    query surface (the Cypher/SPARQL analog of the reference's Neo4j
+    read path)."""
+    return match_pattern(edges, parse_pattern(text), **kw)
+
+
 def match_pattern(
     edges: DataFrame,
     pattern: list[tuple[str, str, str]],
