@@ -992,6 +992,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["kg_query_text"] = q_kg_query_text
 
+    def q_table_stats(spark, sf):
+        # ANALYZE analog: one-pass exact per-column stats on orders
+        from uckg_spark.operators.integrity import collect_stats
+
+        return collect_stats(
+            _t(spark, sf, "orders"),
+            ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+        )
+    q["table_stats"] = q_table_stats
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2539,6 +2549,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, count(*)::BIGINT AS df,
                string_agg(id::VARCHAR, ' ' ORDER BY id) AS postings
         FROM pairs GROUP BY token HAVING count(*) >= 2
+    """
+
+    # one-pass exact column stats, unpivoted to (col, ...) rows
+    o["table_stats"] = """
+        WITH w AS (
+            SELECT count(*)::BIGINT AS n,
+                   sum((o_orderkey IS NULL)::INT)::BIGINT AS nu1,
+                   count(DISTINCT o_orderkey)::BIGINT AS nd1,
+                   min(o_orderkey)::VARCHAR AS mn1,
+                   max(o_orderkey)::VARCHAR AS mx1,
+                   sum((o_custkey IS NULL)::INT)::BIGINT AS nu2,
+                   count(DISTINCT o_custkey)::BIGINT AS nd2,
+                   min(o_custkey)::VARCHAR AS mn2,
+                   max(o_custkey)::VARCHAR AS mx2,
+                   sum((o_orderstatus IS NULL)::INT)::BIGINT AS nu3,
+                   count(DISTINCT o_orderstatus)::BIGINT AS nd3,
+                   min(o_orderstatus) AS mn3, max(o_orderstatus) AS mx3,
+                   sum((o_orderpriority IS NULL)::INT)::BIGINT AS nu4,
+                   count(DISTINCT o_orderpriority)::BIGINT AS nd4,
+                   min(o_orderpriority) AS mn4, max(o_orderpriority) AS mx4
+            FROM orders
+        )
+        SELECT 'o_orderkey' AS col, n AS n_rows, nu1 AS n_nulls,
+               nd1 AS ndv, mn1 AS min_val, mx1 AS max_val FROM w
+        UNION ALL SELECT 'o_custkey', n, nu2, nd2, mn2, mx2 FROM w
+        UNION ALL SELECT 'o_orderstatus', n, nu3, nd3, mn3, mx3 FROM w
+        UNION ALL SELECT 'o_orderpriority', n, nu4, nd4, mn4, mx4 FROM w
     """
 
     # text-pattern chain: joins on the shared variables, DISTINCT set

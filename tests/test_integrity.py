@@ -55,3 +55,36 @@ class TestTableChecksum:
     def test_empty_cols_raise(self, spark):
         with pytest.raises(ValueError):
             table_checksum(_df(spark, [(1, "a")]), [])
+
+
+class TestCollectStats:
+    def test_matches_manual_stats(self, spark):
+        from uckg_spark.operators.integrity import collect_stats
+
+        rows = [(1, "b"), (2, None), (2, "a"), (None, "a")]
+        df = spark.createDataFrame(rows, "k long, s string")
+        got = {r["col"]: (r["n_rows"], r["n_nulls"], r["ndv"],
+                          r["min_val"], r["max_val"])
+               for r in collect_stats(df, ["k", "s"]).collect()}
+        assert got == {
+            "k": (4, 1, 2, "1", "2"),
+            "s": (4, 1, 2, "a", "b"),
+        }
+
+    def test_single_scan_plan(self, spark):
+        from uckg_spark.operators.integrity import collect_stats
+
+        df = spark.createDataFrame([(1, "a")], "k long, s string")
+        plan = (collect_stats(df, ["k", "s"])
+                ._jdf.queryExecution().executedPlan().toString())
+        # one aggregate pair over one scan — not a union of per-column
+        # scans (count_distinct expands but stays one aggregate tree)
+        assert "Union" not in plan
+
+    def test_empty_cols_raise(self, spark):
+        import pytest
+
+        from uckg_spark.operators.integrity import collect_stats
+
+        with pytest.raises(ValueError):
+            collect_stats(spark.range(1), [])
