@@ -255,3 +255,33 @@ def test_interval_join_pairs_across_batches(spark, tmp_path):
     # user 1: both purchases inside [01:00, 03:00]; user 2's event at
     # 23:30 is beyond the 2 h horizon; user 3 has no left row
     assert got == {(1, ts(1), ts(1, 30)), (1, ts(1), ts(2, 30))}
+
+
+def test_update_mode_counts_converge_to_batch(spark, tmp_path):
+    """outputMode('update') emits re-aggregated rows for keys touched in
+    each micro-batch; the LAST emission per key equals the batch
+    aggregate. (Append-mode aggregation is covered by the watermark
+    rows; this pins the update-mode contract on the memory sink.)"""
+    schema = "k string, v long"
+    in_path = tmp_path / "upd_in"
+    in_path.mkdir()
+    batches = [[("a", 1), ("b", 2)], [("a", 10), ("c", 3)]]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(in_path / f"b{i}"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(str(in_path) + "/*"))
+    from pyspark.sql import functions as F
+
+    agg = stream.groupBy("k").agg(F.sum("v").alias("total"))
+    q = (agg.writeStream.format("memory").queryName("upd_counts")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    emitted = sorted(
+        (r["k"], r["total"])
+        for r in spark.sql("SELECT * FROM upd_counts").collect()
+    )
+    # batch 1 emits a=1, b=2; batch 2 re-emits a=11 (state carried) and
+    # c=3, and does NOT re-emit untouched b — the full multiset is
+    # deterministic, and the per-key maxima equal the batch aggregate
+    assert emitted == [("a", 1), ("a", 11), ("b", 2), ("c", 3)]
