@@ -1002,6 +1002,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["table_stats"] = q_table_stats
 
+    def q_er_canonical_names(spark, sf):
+        # ER end-to-end: ed<=1 name pairs -> CC -> lexicographic-min
+        # canonical per cluster (the vendor/product typo rewrite map)
+        from uckg_spark.operators.editdist import er_canonical_names
+
+        return er_canonical_names(_t(spark, sf, "supplier"), "s_name")
+    q["er_canonical_names"] = q_er_canonical_names
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2549,6 +2557,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT token, count(*)::BIGINT AS df,
                string_agg(id::VARCHAR, ' ' ORDER BY id) AS postings
         FROM pairs GROUP BY token HAVING count(*) >= 2
+    """
+
+    # ER end-to-end: ed<=1 edges (quadratic twin), recursive-walk CC,
+    # canonical = min name per component — same form as canonical_map
+    o["er_canonical_names"] = """
+        WITH RECURSIVE names AS (
+            SELECT DISTINCT s_name AS name FROM supplier
+            WHERE s_name IS NOT NULL
+        ), e AS (
+            SELECT a.name AS src, b.name AS dst
+            FROM names a JOIN names b ON a.name < b.name
+            WHERE levenshtein(a.name, b.name) <= 1
+        ), sym AS (
+            SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e
+        ), walk(node, lab) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+            UNION
+            SELECT s.b, w.lab FROM walk w JOIN sym s ON s.a = w.node
+        )
+        SELECT node AS member, min(lab) AS canonical
+        FROM walk GROUP BY node
     """
 
     # one-pass exact column stats, unpivoted to (col, ...) rows

@@ -97,7 +97,7 @@ def main() -> None:
         "event_funnel", "doc_outliers", "dataset_split",
         "table_checksum", "kg_communities", "bm25_topk", "doc_histogram",
         "inverted_index", "similarity_join", "event_pivot",
-        "rolling_counts", "kg_pagerank_seeded", "event_transitions", "fuzzy_name_pairs", "zorder_keys", "kg_query_text", "table_stats",
+        "rolling_counts", "kg_pagerank_seeded", "event_transitions", "fuzzy_name_pairs", "zorder_keys", "kg_query_text", "table_stats", "er_canonical_names",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical

@@ -66,3 +66,28 @@ class TestEditDistancePairs:
     def test_unsupported_k_raises(self, spark):
         with pytest.raises(ValueError):
             edit_distance_pairs(_df(spark, ["a"]), "name", "id", max_dist=2)
+
+
+class TestErCanonicalNames:
+    def test_clusters_and_canonical_min(self, spark):
+        from uckg_spark.operators.editdist import er_canonical_names
+
+        # cluster 1: gear/gea/bear chained by single edits;
+        # cluster 2: zz/z; singleton: unrelated
+        names = ["gear", "gea", "bear", "zz", "z", "unrelated"]
+        df = spark.createDataFrame([(n,) for n in names], "name string")
+        got = {(r["member"], r["canonical"])
+               for r in er_canonical_names(df, "name").collect()}
+        assert got == {
+            ("gear", "bear"), ("gea", "bear"), ("bear", "bear"),
+            ("zz", "z"), ("z", "z"),
+        }
+
+    def test_duplicate_rows_collapse_first(self, spark):
+        from uckg_spark.operators.editdist import er_canonical_names
+
+        df = spark.createDataFrame(
+            [("ab",), ("ab",), ("ac",)], "name string")
+        got = {(r["member"], r["canonical"])
+               for r in er_canonical_names(df, "name").collect()}
+        assert got == {("ab", "ab"), ("ac", "ab")}

@@ -48,6 +48,29 @@ def _deletion_sigs(s):
     return F.array_distinct(F.concat(F.array(s), dels))
 
 
+def er_canonical_names(df: DataFrame, text_col: str) -> DataFrame:
+    """Entity resolution END-TO-END for name typos: distinct names →
+    edit-distance<=1 pairs (deletion-signature blocking) → connected
+    components → ``(member, canonical)`` with canonical = the cluster's
+    lexicographic-min name. The same composition shape as the corpus's
+    ``near_duplicate_keepers`` (LSH → CC → keeper), instantiated for
+    the KG's vendor/product surface forms: downstream, a left join +
+    coalesce rewrites every mention to its canonical name. Only
+    clustered names appear (singletons are their own canonical — the
+    join default), matching ``canonical_map``'s contract."""
+    from .canonicalize import connected_components
+
+    names = df.select(F.col(text_col).alias("name")).where(
+        F.col(text_col).isNotNull()).distinct()
+    pairs = edit_distance_pairs(names, "name", "name")
+    cc = connected_components(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    return cc.select(
+        F.col("node").alias("member"), F.col("component").alias("canonical")
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str,
