@@ -82,6 +82,12 @@ def similarity_join(
             F.size("toks").cast("bigint").alias("n"),
         )
     )
+    # `ordered` feeds THREE consumers (prefix + both verify sides):
+    # truncate its lineage in local mode so the tokenize+sort subtree
+    # runs once (A/B at sf0.1: 17.5→15.0 s cold, 7.6→7.1 s warm); on a
+    # cluster persist it instead — it is the natural reuse point.
+    if df.sparkSession.sparkContext.master.startswith("local"):
+        ordered = ordered.localCheckpoint(eager=False)
     # prefix length n - ceil(num*n/den) + 1, ceil as (x + den - 1) div den
     prefix = ordered.select(
         "id",
