@@ -285,3 +285,52 @@ def test_update_mode_counts_converge_to_batch(spark, tmp_path):
     # c=3, and does NOT re-emit untouched b — the full multiset is
     # deterministic, and the per-key maxima equal the batch aggregate
     assert emitted == [("a", 1), ("a", 11), ("b", 2), ("c", 3)]
+
+
+def test_incremental_counts_exactly_once(spark, tmp_path):
+    """Aggregate materialized-view maintenance: counts converge to the
+    batch aggregate across micro-batches AND waves; a replayed batch id
+    (the crash-between-commit-and-checkpoint case) merges nothing."""
+    from uckg_spark.sources.catalog import GraphCatalog
+    from uckg_spark.streaming.pages_stream import (counts_sink,
+                                                   run_incremental_counts)
+
+    schema = "k string, v long"
+    in_path = tmp_path / "ic_in"
+    in_path.mkdir()
+    wave1 = [[("a", 1), ("b", 1)], [("a", 1), ("c", 1)]]
+    for i, rows in enumerate(wave1):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(in_path / f"w1b{i}"))
+
+    def read():
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(in_path) + "/*"))
+
+    root, ckpt = str(tmp_path / "ic_cat"), str(tmp_path / "ic_ckpt")
+    run_incremental_counts(spark, read(), "k", root, ckpt)
+    cat = GraphCatalog(root)
+
+    def counts():
+        return {r["k"]: r["n"]
+                for r in cat.read_table(spark, "counts").collect()}
+
+    assert counts() == {"a": 2, "b": 1, "c": 1}
+
+    # forced replay: re-invoke the sink with the head's own batch id —
+    # the exactly-once marker must swallow it
+    head = cat.latest_snapshot("counts")
+    replay_id = head["props"]["last_batch_id"]
+    counts_sink(spark, cat, "k")(
+        spark.createDataFrame(wave1[-1], schema), replay_id)
+    assert counts() == {"a": 2, "b": 1, "c": 1}
+    assert cat.latest_snapshot("counts")["snapshot_id"] == \
+        head["snapshot_id"]  # no new snapshot committed
+
+    # second wave through the SAME checkpoint: only new files ingest
+    spark.createDataFrame(
+        [("a", 1), ("d", 1)], schema).coalesce(1).write.parquet(
+        str(in_path / "w2b0"))
+    run_incremental_counts(spark, read(), "k", root, ckpt)
+    assert counts() == {"a": 3, "b": 1, "c": 1, "d": 1}

@@ -146,11 +146,15 @@ class GraphCatalog:
 
     # ---- writes --------------------------------------------------------
 
-    def _write_snapshot(self, table: str, writer, mode: str) -> str:
+    def _write_snapshot(self, table: str, writer, mode: str,
+                        props: dict | None = None) -> str:
         """Write a fresh immutable ``snap-<id>`` dir, then commit it as the
         new head. ``writer(path) -> rows_written`` runs the Spark job; the
         commit happens only after the data is fully on disk, so a crashed
-        writer leaves an invisible orphan dir, never a half-visible table."""
+        writer leaves an invisible orphan dir, never a half-visible table.
+        ``props`` rides in the commit row (Iceberg snapshot-summary
+        analog) — e.g. the streaming batch id that produced the snapshot,
+        which is what makes foreachBatch maintenance exactly-once."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
         parent = self.latest_snapshot(table)
@@ -167,8 +171,39 @@ class GraphCatalog:
             "parent_id": parent["snapshot_id"] if parent else None,
             "rows": total, "rows_written": rows_written,
             "dirs": dirs, "ts": time.time(), "mode": mode,
+            **({"props": props} if props else {}),
         }, expected_parent=parent["snapshot_id"] if parent else None)
         return snap
+
+    def write_table(self, name: str, df: DataFrame, n_tasks: int = 8,
+                    mode: str = "overwrite",
+                    props: dict | None = None) -> str:
+        """Generic snapshot table (no layout contract beyond parquet) —
+        the materialized-view slot beside the edges/nodes tables."""
+        if name in ("edges", "nodes"):
+            raise ValueError(
+                f"{name!r} has a dedicated layout writer; use it")
+        from pyspark.sql import Observation
+
+        def write(path: str) -> int:
+            obs = Observation(f"{name}_{uuid.uuid4().hex[:8]}")
+            (
+                df.observe(obs, F.count(F.lit(1)).alias("n"))
+                .repartition(n_tasks)
+                .write.mode("overwrite").parquet(path)
+            )
+            return int(obs.get["n"])
+
+        return self._write_snapshot(name, write, mode, props=props)
+
+    def read_table(self, spark: SparkSession, name: str,
+                   snapshot_id: str | None = None) -> DataFrame:
+        snap = (self.snapshot(name, snapshot_id) if snapshot_id
+                else self.latest_snapshot(name))
+        if snap is None:
+            raise FileNotFoundError(f"no snapshot for table {name!r}")
+        return spark.read.parquet(
+            *[os.path.join(self.root, d) for d in snap["dirs"]])
 
     def write_edges(self, edges: DataFrame, n_tasks: int = 32,
                     mode: str = "overwrite") -> str:

@@ -238,6 +238,64 @@ def run_stream_once(
     q.awaitTermination()
 
 
+def counts_sink(spark, cat, key_col: str, table: str = "counts"):
+    """The foreachBatch body for ``run_incremental_counts``, factored so
+    tests can invoke it directly with a chosen batch_id (forcing the
+    replay path a live stream only takes after a crash)."""
+    from pyspark.sql import functions as F
+
+    def sink(batch_df, batch_id: int) -> None:
+        head = cat.latest_snapshot(table)
+        if head is not None and head.get("props", {}).get(
+                "last_batch_id") == batch_id:
+            return  # replay of the already-committed batch: exactly-once
+        delta = batch_df.groupBy(key_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"))
+        if head is not None:
+            merged = (
+                cat.read_table(spark, table)
+                .unionByName(delta)
+                .groupBy(key_col)
+                .agg(F.sum("n").cast("bigint").alias("n"))
+            )
+        else:
+            merged = delta
+        cat.write_table(table, merged, mode="overwrite",
+                        props={"last_batch_id": batch_id})
+
+    return sink
+
+
+def run_incremental_counts(
+    spark: SparkSession,
+    stream: DataFrame,
+    key_col: str,
+    catalog_root: str,
+    checkpoint: str,
+    table: str = "counts",
+) -> None:
+    """Exactly-once incremental AGGREGATE maintenance — the materialized
+    count-view twin of ``run_incremental_kg``. Set-delta maintenance is
+    naturally idempotent (a replayed subtract computes an empty delta);
+    aggregate maintenance is NOT (a replayed merge double-counts), so
+    exactly-once needs a transactional marker: every snapshot commit
+    records the producing ``batch_id`` in its props (Iceberg snapshot-
+    summary style), and a replayed foreachBatch — which can only be the
+    LAST uncommitted batch, checkpointed batch ids are monotone — sees
+    its own id on the head and skips. Concurrent writers fail the
+    catalog's OCC CAS instead of merging twice."""
+    from ..sources.catalog import GraphCatalog
+
+    q = (
+        stream.writeStream.foreachBatch(
+            counts_sink(spark, GraphCatalog(catalog_root), key_col, table))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_incremental_kg(
     spark: SparkSession,
     in_path: str,
