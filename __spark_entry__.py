@@ -1010,6 +1010,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return er_canonical_names(_t(spark, sf, "supplier"), "s_name")
     q["er_canonical_names"] = q_er_canonical_names
 
+    def q_containment_pairs(spark, sf):
+        # EXACT asymmetric containment join (|src∩dst| >= 0.8|src| over
+        # 3-gram shingle sets) via the src-prefix × dst-posting filter —
+        # the quote-inclusion dedup pass Jaccard cannot express
+        from uckg_spark.operators.setjoin import containment_join
+
+        return containment_join(
+            _t(spark, sf, "documents"), "text", "doc_id", 80, 100,
+            shingle_n=3,
+        )
+    q["containment_pairs"] = q_containment_pairs
+
+    def q_winnow_fingerprint(spark, sf):
+        # MOSS winnowing (k=3 grams, window w=4): rightmost-min window
+        # hashes -> localized copy-detection fingerprints, zero shuffles
+        from uckg_spark.operators.dedup import winnow_fingerprints
+
+        return winnow_fingerprints(
+            _t(spark, sf, "documents"), k=3, w=4)
+    q["winnow_fingerprint"] = q_winnow_fingerprint
+
+    def q_salted_join(spark, sf):
+        # skew-replicated fact⋈dim join (salt on the row-unique line id,
+        # dim replicated n_salt×), then priority rollup in exact cents —
+        # values identical to the plain join by construction
+        from uckg_spark.operators.skew import salted_join
+
+        li = _t(spark, sf, "lineitem").withColumn(
+            "price_c",
+            F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        joined = salted_join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            _t(spark, sf, "orders").select("o_orderkey", "o_orderpriority"),
+            "o_orderkey", n_salt=4, salt_src="l_linenumber",
+        )
+        return joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("price_c").alias("revenue_c"),
+        )
+    q["salted_join"] = q_salted_join
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3006,6 +3047,73 @@ def oracle_sql() -> dict[str, str]:
                coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
                coalesce(a.ids, '') AS ids
         FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """
+
+    # asymmetric containment twin: the quadratic pair scan IS the
+    # correctness spec the prefix filter must reproduce exactly
+    o["containment_pairs"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS tk
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(tk) - 2, 0) + 1),
+                       i -> array_to_string(tk[i:i+2], ' '))) AS toks
+            FROM t
+        ), p AS (
+            SELECT a.doc_id AS src, b.doc_id AS dst,
+                   len(list_intersect(a.toks, b.toks))::BIGINT AS inter,
+                   len(a.toks)::BIGINT AS n_src
+            FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        )
+        SELECT src, dst, inter, n_src,
+               ((inter * 1000000) // n_src)::BIGINT AS containment_e6
+        FROM p WHERE n_src > 0 AND 100 * inter >= 80 * n_src
+    """
+
+    # winnowing twin: same rightmost-min-in-window arithmetic encoding
+    # comb[i] = h32 * 2^24 + (2^24 - 1 - i), list-sliced per window
+    o["winnow_fingerprint"] = """
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS tk
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(tk) - 2, 0) + 1),
+                       i -> array_to_string(tk[i:i+2], ' ')) AS grams
+            FROM t
+        ), c AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, len(grams) + 1),
+                       i -> ('0x' || substr(md5(grams[i]), 1, 8))::BIGINT
+                            * 16777216 + (16777216 - i)) AS comb
+            FROM g
+        ), sel AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(comb) - 4, -1) + 2),
+                       s -> list_min(comb[s:s+3]))) AS fps
+            FROM c WHERE len(comb) >= 4
+        )
+        SELECT doc_id,
+               (16777215 - (u.fp % 16777216))::BIGINT AS pos,
+               (u.fp // 16777216)::BIGINT AS fp
+        FROM sel, unnest(sel.fps) AS u(fp)
+    """
+
+    # salted-join twin: the PLAIN join — the salt must be invisible
+    o["salted_join"] = """
+        SELECT o.o_orderpriority,
+               count(*)::BIGINT AS n_lines,
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT
+                   AS revenue_c
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
     """
 
     o["streaming_dedup_ingest"] = """

@@ -98,6 +98,8 @@ def main() -> None:
         "table_checksum", "kg_communities", "bm25_topk", "doc_histogram",
         "inverted_index", "similarity_join", "event_pivot",
         "rolling_counts", "kg_pagerank_seeded", "event_transitions", "fuzzy_name_pairs", "zorder_keys", "kg_query_text", "table_stats", "er_canonical_names",
+        # round-4 resume-2 additions
+        "containment_pairs", "winnow_fingerprint", "salted_join",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical
@@ -115,7 +117,8 @@ def main() -> None:
              "training_chunks", "kg_pagerank", "contamination",
              "kg_reachability", "kg_triangles", "approx_distinct_kmv",
              "kg_kcore", "cooccur_lift", "kg_communities",
-             "similarity_join", "kg_pagerank_seeded"}
+             "similarity_join", "kg_pagerank_seeded",
+             "containment_pairs", "winnow_fingerprint", "salted_join"}
 
     def timed(name: str, run) -> None:
         walls = []

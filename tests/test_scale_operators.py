@@ -380,6 +380,35 @@ class TestSkew:
         got = sorted(r["k"] for r in skew.salted_distinct(df, ["k"]).collect())
         assert got == ["k1", "k2"]
 
+    def test_salted_join_matches_plain_join_under_skew(self, spark):
+        # one hot key carries 90% of the fact table; rows must be
+        # IDENTICAL to the plain join and the salt column must not leak
+        rows = [(i, 7 if i % 10 else i % 5, f"v{i}") for i in range(200)]
+        fact = spark.createDataFrame(rows, ["fid", "k", "v"])
+        dim = spark.createDataFrame(
+            [(i, f"name{i}") for i in range(8)], ["k", "name"])
+        got = skew.salted_join(fact, dim, "k", n_salt=4, salt_src="fid")
+        want = fact.join(dim, "k")
+        assert sorted(got.columns) == sorted(want.columns)
+        cols = sorted(got.columns)
+        assert sorted(map(tuple, got.select(cols).collect())) \
+            == sorted(map(tuple, want.select(cols).collect()))
+
+    def test_salted_join_unmatched_fact_rows_drop(self, spark):
+        fact = spark.createDataFrame(
+            [(1, 10, "a"), (2, 99, "b")], ["fid", "k", "v"])
+        dim = spark.createDataFrame([(10, "x")], ["k", "name"])
+        out = skew.salted_join(fact, dim, "k", n_salt=3, salt_src="fid")
+        assert [tuple(r) for r in out.select("k", "fid", "v", "name")
+                .collect()] == [(10, 1, "a", "x")]
+
+    def test_salted_join_rejects_bad_salt(self, spark):
+        import pytest as _pytest
+
+        fact = spark.range(1).withColumnRenamed("id", "k")
+        with _pytest.raises(ValueError):
+            skew.salted_join(fact, fact, "k", n_salt=0)
+
 
 class TestMultimodal:
     def test_feature_plumbing(self, spark):
@@ -573,3 +602,77 @@ class TestMultimodal:
         assert feat[-1] == 1.0
         for ch in range(4):
             assert abs(feat[2 + ch] - 200 / 255.0) < 1e-6
+
+
+class TestWinnowing:
+    @staticmethod
+    def _ref(text, k=3, w=4):
+        import hashlib
+
+        toks = [t for t in text.split(" ") if t]
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)] \
+            if len(toks) >= k else []
+        comb = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) * 16777216
+            + (16777215 - i)
+            for i, g in enumerate(grams)
+        ]
+        out = set()
+        for s in range(len(comb) - w + 1):
+            m = min(comb[s:s + w])
+            out.add((16777215 - (m % 16777216), m // 16777216))
+        return out
+
+    def test_matches_reference_on_random_corpus(self, spark):
+        import random
+
+        from uckg_spark.operators.dedup import winnow_fingerprints
+
+        rng = random.Random(13)
+        vocab = [f"t{i}" for i in range(40)]
+        docs = [
+            " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 30)))
+            for _ in range(40)
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(docs)], "doc_id long, text string")
+        got = {(r["doc_id"], r["pos"], r["fp"])
+               for r in winnow_fingerprints(df, 3, 4).collect()}
+        want = {(i, p, f) for i, t in enumerate(docs)
+                for p, f in self._ref(t)}
+        assert got == want
+
+    def test_shared_run_guarantee(self, spark):
+        # SIGMOD'03 theorem: a shared token run of length >= k + w - 1
+        # yields at least one shared fingerprint HASH
+        from uckg_spark.operators.dedup import winnow_fingerprints
+
+        k, w = 3, 4
+        shared = " ".join(f"s{i}" for i in range(k + w - 1))
+        df = spark.createDataFrame(
+            [(0, "left filler words " + shared),
+             (1, shared + " other tail entirely")],
+            "doc_id long, text string")
+        rows = winnow_fingerprints(df, k, w).collect()
+        fp0 = {r["fp"] for r in rows if r["doc_id"] == 0}
+        fp1 = {r["fp"] for r in rows if r["doc_id"] == 1}
+        assert fp0 & fp1
+
+    def test_short_docs_emit_nothing(self, spark):
+        from uckg_spark.operators.dedup import winnow_fingerprints
+
+        df = spark.createDataFrame(
+            [(0, ""), (1, "a b"), (2, "a b c d e")],
+            "doc_id long, text string")
+        # k=3,w=4 needs >= k+w-1 = 6 tokens for one window
+        assert winnow_fingerprints(df, 3, 4).count() == 0
+
+    def test_zero_shuffle_plan(self, spark):
+        from uckg_spark.operators.dedup import winnow_fingerprints
+        from uckg_spark.plans.doctor import audit_plan
+
+        df = spark.createDataFrame(
+            [(0, " ".join(f"x{i}" for i in range(20)))],
+            "doc_id long, text string")
+        audit = audit_plan(winnow_fingerprints(df, 3, 4))
+        assert audit["ok"] and audit["exchanges"] == 0

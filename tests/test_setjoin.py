@@ -117,3 +117,67 @@ class TestSimilarityJoinShingles:
                               shingle_n=3)
         assert uni.count() == 1
         assert shi.count() == 0
+
+
+def brute_containment_py(docs, num, den):
+    sets = [frozenset(t for t in d.split(" ") if t) for d in docs]
+    out = {}
+    for a in range(len(docs)):
+        for b in range(len(docs)):
+            if a == b or not sets[a]:
+                continue
+            inter = len(sets[a] & sets[b])
+            if den * inter >= num * len(sets[a]):
+                out[(a, b)] = (
+                    inter, len(sets[a]), inter * 1_000_000 // len(sets[a]))
+    return out
+
+
+class TestContainmentJoin:
+    def test_exact_recall_on_random_corpus(self, spark):
+        # the asymmetric prefix filter must lose NOTHING vs brute force
+        import random
+
+        from uckg_spark.operators.setjoin import containment_join
+
+        rng = random.Random(77)
+        vocab = [f"w{i}" for i in range(30)]
+        docs = [
+            " ".join(rng.sample(vocab, rng.randrange(2, 12)))
+            for _ in range(50)
+        ]
+        for num, den in ((80, 100), (1, 2), (99, 100)):
+            got = {
+                (r["src"], r["dst"]):
+                    (r["inter"], r["n_src"], r["containment_e6"])
+                for r in containment_join(
+                    _df(spark, docs), "text", "doc_id", num, den,
+                    shingle_n=None,
+                ).collect()
+            }
+            assert got == brute_containment_py(docs, num, den), (num, den)
+
+    def test_asymmetry_quote_inclusion(self, spark):
+        # small doc fully inside a big one: containment fires one way
+        # only, and at a threshold where Jaccard is hopeless
+        from uckg_spark.operators.setjoin import containment_join, similarity_join
+
+        small = "p q r"
+        big = " ".join(f"z{i}" for i in range(40)) + " p q r"
+        pairs = containment_join(
+            _df(spark, [small, big]), "text", "doc_id", 99, 100,
+            shingle_n=None,
+        ).collect()
+        assert [(r["src"], r["dst"], r["containment_e6"]) for r in pairs] \
+            == [(0, 1, 1_000_000)]
+        assert similarity_join(
+            _df(spark, [small, big]), "text", "doc_id", 1, 2
+        ).count() == 0
+
+    def test_empty_and_short_docs_emit_nothing(self, spark):
+        from uckg_spark.operators.setjoin import containment_join
+
+        assert containment_join(
+            _df(spark, ["", "a b c d", "a b c d"]), "text", "doc_id",
+            80, 100, shingle_n=3,
+        ).count() == 2  # the identical pair, both directions; "" is inert

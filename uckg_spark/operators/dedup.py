@@ -428,3 +428,68 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= k)
         .distinct()
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): per window of ``w`` consecutive k-gram hashes, select
+    the minimum hash (rightmost occurrence on ties), then emit each
+    selected (position, hash) once per document.
+
+    The winnowing guarantee — any shared token run of length
+    ``k + w - 1`` or more produces at least one SHARED fingerprint —
+    is what makes this the standard copy-detection sketch: unlike
+    MinHash it localizes WHERE the overlap is (the position rides
+    along), and unlike the full k-gram set its density is ~2/(w+1).
+
+    Shuffle-free by construction: the hash array, the per-window minima,
+    and the per-doc dedup all happen inside row-local array algebra
+    (whole-stage codegen), so the operator scans the corpus exactly once
+    with ZERO Exchange nodes — at 100 TB it is embarrassingly parallel.
+    The rightmost-min tie rule is encoded arithmetically:
+    ``comb[i] = h32(gram_i) * 2^24 + (2^24 - 1 - i)`` — smaller hash
+    wins, ties prefer larger i — which bounds documents at 2^24 k-grams
+    (a 16M-token web page is a parser failure, not a document) and
+    keeps ``comb`` well inside int64 (h32 < 2^32 → comb < 2^56).
+
+    Returns ``(doc_id, pos, fp)``: 0-based k-gram position and the
+    32-bit fingerprint hash, one row per distinct selected window min.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1: k={k}, w={w}")
+    grams = shingles(F.col(text_col), k)
+    enc, tie = 16777216, 16777215  # 2^24, 2^24 - 1
+
+    def windows(comb: Column) -> Column:
+        starts = F.when(
+            F.size(comb) >= w, F.sequence(F.lit(0), F.size(comb) - w)
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            starts, lambda s: F.array_min(F.slice(comb, s + 1, w)))
+
+    comb = F.transform(
+        grams,
+        lambda g, i: h32(g) * F.lit(enc) + (F.lit(tie) - i),
+    )
+    # let-bind comb through a one-element transform (same CSE story as
+    # shingles: the slice lambda must reference a bound variable, not
+    # re-evaluate the per-element md5 once per window position)
+    sel = F.get(F.transform(F.array(comb), windows), 0)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(sel)).alias("s"),
+        )
+        .select(
+            "doc_id",
+            (F.lit(tie) - F.pmod("s", F.lit(enc))).cast("bigint")
+            .alias("pos"),
+            F.expr(f"s div {enc}").cast("bigint").alias("fp"),
+        )
+    )

@@ -36,25 +36,12 @@ from pyspark.sql import functions as F
 from .dedup import shingles, tokens
 
 
-def similarity_join(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
-    threshold_num: int = 60,
-    threshold_den: int = 100,
-    shingle_n: int | None = None,
+def _ordered_sets(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int | None
 ) -> DataFrame:
-    """All pairs with set Jaccard >= num/den — EXACT (prefix filtering
-    loses nothing). Set elements are word tokens, or word ``shingle_n``-
-    grams when set — unigram sets over a small vocabulary are nearly
-    identical for every document pair (the prefix filter can prune
-    nothing), while shingle sets are what production similarity joins
-    run on. Returns ``(doc_a, doc_b, inter, union_sz, jaccard_e6)``
-    with ``doc_a < doc_b``."""
-    if not (0 < threshold_num <= threshold_den):
-        raise ValueError(
-            f"threshold must be in (0, 1]: {threshold_num}/{threshold_den}")
-    num, den = threshold_num, threshold_den
+    """(id, toks, n): each doc's distinct element set sorted rare-first
+    by the (document frequency, token) total order — the shared front
+    end of the prefix-filter joins."""
     elems = (
         shingles(F.col(text_col), shingle_n)
         if shingle_n is not None
@@ -66,7 +53,6 @@ def similarity_join(
     )
     dfreq = pairs_tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"))
-    # each doc's tokens sorted rare-first by the (df, token) total order
     ordered = (
         pairs_tok.join(dfreq, "token")
         .groupBy("id")
@@ -88,6 +74,29 @@ def similarity_join(
     # cluster persist it instead — it is the natural reuse point.
     if df.sparkSession.sparkContext.master.startswith("local"):
         ordered = ordered.localCheckpoint(eager=False)
+    return ordered
+
+
+def similarity_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int = 60,
+    threshold_den: int = 100,
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """All pairs with set Jaccard >= num/den — EXACT (prefix filtering
+    loses nothing). Set elements are word tokens, or word ``shingle_n``-
+    grams when set — unigram sets over a small vocabulary are nearly
+    identical for every document pair (the prefix filter can prune
+    nothing), while shingle sets are what production similarity joins
+    run on. Returns ``(doc_a, doc_b, inter, union_sz, jaccard_e6)``
+    with ``doc_a < doc_b``."""
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError(
+            f"threshold must be in (0, 1]: {threshold_num}/{threshold_den}")
+    num, den = threshold_num, threshold_den
+    ordered = _ordered_sets(df, text_col, id_col, shingle_n)
     # prefix length n - ceil(num*n/den) + 1, ceil as (x + den - 1) div den
     prefix = ordered.select(
         "id",
@@ -150,5 +159,99 @@ def similarity_join(
             "inter",
             "union_sz",
             F.expr("(inter * 1000000) div union_sz").alias("jaccard_e6"),
+        )
+    )
+
+
+def containment_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold_num: int = 80,
+    threshold_den: int = 100,
+    shingle_n: int | None = 3,
+) -> DataFrame:
+    """All ordered pairs with set CONTAINMENT |src∩dst| / |src| >= num/den
+    — EXACT, via the asymmetric prefix filter.
+
+    Jaccard misses quote-inclusion duplication: a 100-token post pasted
+    into a 10,000-token page has Jaccard ≈ 0.01 but containment ≈ 1.0,
+    and cutting such subsumed documents is a standard web-corpus dedup
+    pass the symmetric join cannot express. Containment is asymmetric,
+    so the filter is too: a pair with |src∩dst| >= t|src| must share one
+    of the first ``n_src - ceil(t*n_src) + 1`` tokens of src's rare-first
+    order with SOME token of dst (if all prefix tokens missed, even
+    matching every remaining token leaves the intersection below t|src|).
+    The candidate join is therefore src-prefix × dst-full-posting: the
+    src side is prefix-pruned exactly as in :func:`similarity_join`,
+    while the dst side is the full (vocabulary-keyed) posting list —
+    bigger fan-in than the symmetric join, but the joined tokens are
+    src-prefix tokens, i.e. the RAREST tokens of each src doc, which is
+    what bounds the candidate count at corpus scale (hot tokens never
+    appear in prefixes). The size gate ``num*n_src <= den*n_dst`` rides
+    the candidate join (|src∩dst| <= n_dst forces it).
+
+    Thresholds are rationals; verification is pure bigint arithmetic:
+    ``den*|src∩dst| >= num*n_src``. Returns
+    ``(src, dst, inter, n_src, containment_e6)`` with src != dst.
+    """
+    if not (0 < threshold_num <= threshold_den):
+        raise ValueError(
+            f"threshold must be in (0, 1]: {threshold_num}/{threshold_den}")
+    num, den = threshold_num, threshold_den
+    ordered = _ordered_sets(df, text_col, id_col, shingle_n)
+    prefix = ordered.select(
+        "id",
+        "n",
+        F.explode(
+            F.slice(
+                "toks",
+                1,
+                F.greatest(
+                    F.lit(0),
+                    (
+                        F.col("n")
+                        - F.expr(f"(({num}L * n) + {den - 1}L) div {den}L")
+                        + 1
+                    ).cast("int"),
+                ),
+            )
+        ).alias("token"),
+    )
+    posting = ordered.select(
+        "id", "n", F.explode("toks").alias("token"))
+    cands = (
+        prefix.alias("l")
+        .join(posting.alias("r"), "token")
+        .where(
+            (F.col("l.id") != F.col("r.id"))
+            # |src∩dst| <= n_dst, so containment needs num*n_src <= den*n_dst
+            & (F.lit(num) * F.col("l.n") <= F.lit(den) * F.col("r.n"))
+        )
+        .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"))
+        .distinct()
+    )
+    sets = ordered.select("id", "toks", "n")
+    return (
+        cands.join(
+            sets.withColumnsRenamed(
+                {"id": "src", "toks": "ts", "n": "n_src"}), "src")
+        .join(
+            sets.withColumnsRenamed(
+                {"id": "dst", "toks": "td", "n": "nd"}), "dst")
+        .select(
+            "src",
+            "dst",
+            F.size(F.array_intersect("ts", "td")).cast("bigint")
+            .alias("inter"),
+            "n_src",
+        )
+        .where(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("n_src"))
+        .select(
+            "src",
+            "dst",
+            "inter",
+            "n_src",
+            F.expr("(inter * 1000000) div n_src").alias("containment_e6"),
         )
     )

@@ -58,3 +58,40 @@ def salted_distinct(df: DataFrame, keys: list[str], n_salt: int = 32) -> DataFra
         .drop("_salt")
         .dropDuplicates(keys)
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salt: int = 8,
+    salt_src: str | None = None,
+) -> DataFrame:
+    """Skew-replicated equi-join — identical rows to ``fact.join(dim, key)``.
+
+    AQE's skew-join splitter only fires on sort-merge joins and only
+    splits a partition AFTER the shuffle has materialized the hot key's
+    blocks; when one fact key carries a double-digit percentage of the
+    table (the FIXTURES.md hot-CVE pattern), the explicit form is the
+    standard fix: the fact side salts each row into one of ``n_salt``
+    subkeys via a row-unique column (``salt_src``, default the key
+    itself — callers should pass a finer column when the key is the hot
+    one), and the dim side is replicated once per salt, so the hot
+    key's rows land on ``n_salt`` reducers instead of one. Replication
+    multiplies dim traffic by ``n_salt``: the technique is for dims too
+    big to broadcast yet far smaller than the fact table.
+
+    The salt never survives the join — output columns are exactly the
+    plain join's. Values are join-semantics-identical because every
+    fact row meets every copy of its dim row in exactly one salt.
+    """
+    if n_salt < 1:
+        raise ValueError(f"n_salt must be >= 1: {n_salt}")
+    src = salt_src or key
+    f = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(src)), F.lit(n_salt)).cast("int"))
+    d = dim.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>")),
+    )
+    return f.join(d, [key, "_salt"]).drop("_salt")
