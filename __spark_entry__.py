@@ -1051,6 +1051,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["salted_join"] = q_salted_join
 
+    def q_embed_project(spark, sf):
+        # Achlioptas ±1 random projection 64 -> 8 dims (JL transform) in
+        # fixed-point micro-units — the shuffle-free dimensionality
+        # reduction ahead of ANN at corpus scale
+        from uckg_spark.operators.similarity import random_projection
+
+        return random_projection(
+            _t(spark, sf, "embeddings"), EMB_DIM, out_dim=8)
+    q["embed_project"] = q_embed_project
+
+    def q_gap_fill(spark, sf):
+        # per-event-type daily counts + exact-cents sums DENSIFIED over
+        # each key's own [first, last] day — gap days appear as zeros
+        from uckg_spark.operators.temporal import gap_fill_counts
+
+        return gap_fill_counts(
+            _t(spark, sf, "events"), "event_type", "ts", "1 day",
+            value_col="value",
+        )
+    q["gap_fill"] = q_gap_fill
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3114,6 +3135,44 @@ def oracle_sql() -> dict[str, str]:
                    AS revenue_c
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         GROUP BY o.o_orderpriority
+    """
+
+    # random-projection twin: same md5-derived ±1 weights, same
+    # sequential coordinate-order summation (list_dot_product), same
+    # micro-unit fixed-pointing — one UNION ALL branch per output dim
+    rp_branches = []
+    for p in range(8):
+        w = ", ".join(
+            f"(CASE WHEN ({_h32_sql(f_lit)} & 1) = 1 THEN 1.0 ELSE -1.0 END)"
+            for f_lit in (f"'{p}:{i}'" for i in range(EMB_DIM))
+        )
+        rp_branches.append(
+            f"SELECT vec_id, {p} AS p, CAST(round(list_dot_product("
+            f"embedding::DOUBLE[], [{w}]) * 1000000) AS BIGINT) AS proj_e6 "
+            f"FROM embeddings"
+        )
+    o["embed_project"] = " UNION ALL ".join(rp_branches)
+
+    # gap-fill twin: generate_series spine per key over its own
+    # [first, last] day-bucket range, zero-filled left join
+    o["gap_fill"] = """
+        WITH b AS (
+            SELECT event_type AS key,
+                   epoch_us(ts) // 86400000000 AS bucket_idx,
+                   count(*)::BIGINT AS n_events,
+                   sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS value_c
+            FROM events GROUP BY 1, 2
+        ), s AS (
+            SELECT key, min(bucket_idx) AS lo, max(bucket_idx) AS hi
+            FROM b GROUP BY key
+        ), spine AS (
+            SELECT key, unnest(range(lo, hi + 1)) AS bucket_idx FROM s
+        )
+        SELECT spine.key, spine.bucket_idx,
+               make_timestamp(spine.bucket_idx * 86400000000) AS bucket_ts,
+               coalesce(b.n_events, 0)::BIGINT AS n_events,
+               coalesce(b.value_c, 0)::BIGINT AS value_c
+        FROM spine LEFT JOIN b USING (key, bucket_idx)
     """
 
     o["streaming_dedup_ingest"] = """

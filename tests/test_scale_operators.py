@@ -676,3 +676,93 @@ class TestWinnowing:
             "doc_id long, text string")
         audit = audit_plan(winnow_fingerprints(df, 3, 4))
         assert audit["ok"] and audit["exchanges"] == 0
+
+
+class TestRandomProjection:
+    @staticmethod
+    def _emb(spark, n=30, dim=16, seed=11):
+        import random
+
+        rng = random.Random(seed)
+        rows = [(i, [round(rng.gauss(0, 1), 3) for _ in range(dim)])
+                for i in range(n)]
+        return rows, spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    def test_matches_explicit_weight_matrix(self, spark):
+        from uckg_spark.operators.similarity import (plane_weight,
+                                                     random_projection)
+
+        rows, df = self._emb(spark, dim=16)
+        got = {(r["vec_id"], r["p"]): r["proj_e6"]
+               for r in random_projection(df, 16, out_dim=5).collect()}
+        import numpy as np
+        for vid, vec in rows:
+            v = np.array(vec, dtype=np.float32).astype(np.float64)
+            for p in range(5):
+                w = np.array([plane_weight(p, i) for i in range(16)])
+                want = round(float((v * w).sum()) * 1e6)
+                assert abs(got[(vid, p)] - want) <= 1  # fold-order ulp
+
+    def test_signs_agree_with_lsh_signature(self, spark):
+        # the projection IS the LSH signature's pre-sign value: packing
+        # the signs must reproduce hyperplane_signature bit-for-bit
+        from pyspark.sql import functions as F
+
+        from uckg_spark.operators.similarity import (hyperplane_signature,
+                                                     random_projection)
+
+        _, df = self._emb(spark, dim=16)
+        sig = {r["vec_id"]: r["b"] for r in df.select(
+            "vec_id",
+            hyperplane_signature(
+                F.col("embedding").cast("array<double>"), 16, 5).alias("b"),
+        ).collect()}
+        proj = random_projection(df, 16, out_dim=5).collect()
+        packed = {}
+        for r in proj:
+            if r["proj_e6"] > 0:
+                packed[r["vec_id"]] = packed.get(r["vec_id"], 0) | (1 << r["p"])
+        for vid, b in sig.items():
+            assert packed.get(vid, 0) == b
+
+    def test_jl_distance_preservation(self, spark):
+        # JL sanity: projected pairwise distance ratios concentrate —
+        # on a 64->16 projection of 20 gaussian vectors, every pair's
+        # squared-distance ratio (scaled by dim/out_dim) is within 3x
+        import numpy as np
+
+        from uckg_spark.operators.similarity import random_projection
+
+        rows, df = self._emb(spark, n=20, dim=64, seed=5)
+        proj = {}
+        for r in random_projection(df, 64, out_dim=16).collect():
+            proj.setdefault(r["vec_id"], {})[r["p"]] = r["proj_e6"] / 1e6
+        vecs = {i: np.array(v, dtype=np.float32).astype(np.float64)
+                for i, v in rows}
+        pv = {i: np.array([proj[i][p] for p in range(16)]) for i in vecs}
+        # for ±1 weights E[||proj_a - proj_b||²] = out_dim·||a - b||²,
+        # so the normalized ratio concentrates around 1
+        for a in range(20):
+            for b in range(a + 1, 20):
+                d_full = float(((vecs[a] - vecs[b]) ** 2).sum())
+                d_proj = float(((pv[a] - pv[b]) ** 2).sum())
+                ratio = d_proj / (16 * d_full) if d_full else 1.0
+                assert 1 / 3 <= ratio <= 3, (a, b, ratio)
+
+    def test_zero_shuffle_plan(self, spark):
+        from uckg_spark.operators.similarity import random_projection
+        from uckg_spark.plans.doctor import audit_plan
+
+        _, df = self._emb(spark, n=5, dim=8)
+        audit = audit_plan(random_projection(df, 8, out_dim=3))
+        assert audit["ok"] and audit["exchanges"] == 0
+
+    def test_rejects_bad_dims(self, spark):
+        import pytest as _pytest
+
+        from uckg_spark.operators.similarity import random_projection
+
+        _, df = self._emb(spark, n=2, dim=4)
+        with _pytest.raises(ValueError):
+            random_projection(df, 0, out_dim=2)

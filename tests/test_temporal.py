@@ -145,3 +145,56 @@ class TestRollingCounts:
         for bad in ("1h", "0 hours", "-1 hour", "1 fortnight"):
             with pytest.raises(ValueError):
                 rolling_counts(df, "user", "ts", "event_id", bad)
+
+
+class TestGapFill:
+    def test_gaps_are_zero_filled(self, spark):
+        from uckg_spark.operators.temporal import gap_fill_counts
+
+        # key 'a' has events on days 0, 1 and 4 — days 2, 3 must appear
+        # as zeros; key 'b' has one day — a single row, no spine growth
+        rows = [
+            (1, "a", _ts(0), 1.25),
+            (2, "a", _ts(10), 2.0),
+            (3, "a", _ts(86400 + 5), 0.5),
+            (4, "a", _ts(4 * 86400 + 5), 3.0),
+            (5, "b", _ts(2 * 86400), 7.0),
+        ]
+        df = spark.createDataFrame(rows, ["event_id", "event_type", "ts", "value"])
+        out = gap_fill_counts(df, "event_type", "ts", "1 day", value_col="value")
+        got = {(r["key"], r["bucket_idx"]): (r["n_events"], r["value_c"])
+               for r in out.collect()}
+        base = min(b for (k, b) in got if k == "a")
+        assert len(got) == 6  # a: 5 consecutive days, b: 1
+        assert got[("a", base)] == (2, 325)
+        assert got[("a", base + 1)] == (1, 50)
+        assert got[("a", base + 2)] == (0, 0)
+        assert got[("a", base + 3)] == (0, 0)
+        assert got[("a", base + 4)] == (1, 300)
+        # bucket_ts is the exact bucket start
+        ts = {r["bucket_idx"]: r["bucket_ts"] for r in out.collect()}
+        assert ts[base] == dt.datetime(2024, 1, 1)
+        assert ts[base + 2] == dt.datetime(2024, 1, 3)
+
+    def test_no_value_col(self, spark):
+        from uckg_spark.operators.temporal import gap_fill_counts
+
+        df = spark.createDataFrame(
+            [(1, "k", _ts(0)), (2, "k", _ts(2 * 3600))],
+            ["event_id", "event_type", "ts"])
+        out = gap_fill_counts(df, "event_type", "ts", "1 hour")
+        assert sorted(out.columns) == ["bucket_idx", "bucket_ts", "key",
+                                       "n_events"]
+        assert [r["n_events"] for r in out.orderBy("bucket_idx").collect()] \
+            == [1, 0, 1]
+
+    def test_span_guard_raises(self, spark):
+        import pytest as _pytest
+        from uckg_spark.operators.temporal import gap_fill_counts
+
+        df = spark.createDataFrame(
+            [(1, "k", _ts(0), 1.0), (2, "k", _ts(9 * 86400), 1.0)],
+            ["event_id", "event_type", "ts", "value"])
+        with _pytest.raises(Exception, match="spans"):
+            gap_fill_counts(df, "event_type", "ts", "1 day",
+                            max_buckets_per_key=5).collect()

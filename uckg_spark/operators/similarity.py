@@ -66,29 +66,35 @@ def plane_weight(p: int, i: int, salt: str = "") -> float:
     return 1.0 if h & 1 else -1.0
 
 
-def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8,
-                         salt: str = "") -> Column:
-    """Deterministic random-hyperplane LSH signature: plane p's weight for
-    coordinate i is ±1 by bit 0 of h32('p:i') — reproducible in any engine
-    with md5. Returns the signature as a bigint bucket id.
-
-    ONE fold over the vector carrying all n_planes running projections as
-    the accumulator (the round-3 shape ran n_planes independent aggregate
-    passes — one full vector traversal per plane). The weight matrix rides
-    in TRANSPOSED (per-coordinate weight rows), so plane p's sum still
-    accumulates coordinate 0,1,2,… contributions in sequence — the float
-    addition order, and therefore the signature, is bit-identical to the
-    unfused form and to the oracle SQL."""
+def projections(vec: Column, dim: int, n_planes: int = 8,
+                salt: str = "") -> Column:
+    """All ``n_planes`` signed-projection sums ``Σ_i w(p,i)·v[i]`` as one
+    array<double>, in ONE fold over the vector (the round-3 shape ran
+    n_planes independent aggregate passes — one full vector traversal per
+    plane). The weight matrix rides in TRANSPOSED (per-coordinate weight
+    rows), so plane p's sum still accumulates coordinate 0,1,2,…
+    contributions in sequence — the float addition order, and therefore
+    every downstream consumer (sign buckets, projected vectors), is
+    bit-identical to the unfused form and to the oracle SQL."""
     w_t = F.array(*[
         F.array(*[F.lit(plane_weight(p, i, salt)) for p in range(n_planes)])
         for i in range(dim)
     ])
     zero = F.array(*[F.lit(0.0).cast("double") for _ in range(n_planes)])
-    sums = F.aggregate(
+    return F.aggregate(
         F.zip_with(vec, w_t, lambda x, wrow: F.transform(wrow, lambda w: x * w)),
         zero,
         lambda acc, contrib: F.zip_with(acc, contrib, lambda a, v: a + v),
     )
+
+
+def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8,
+                         salt: str = "") -> Column:
+    """Deterministic random-hyperplane LSH signature: plane p's weight for
+    coordinate i is ±1 by bit 0 of h32('p:i') — reproducible in any engine
+    with md5. Returns the signature as a bigint bucket id (sign bit of
+    each :func:`projections` sum, packed little-endian)."""
+    sums = projections(vec, dim, n_planes, salt)
     plane_weights = F.array(*[F.lit(2 ** p).cast("bigint") for p in range(n_planes)])
     return F.aggregate(
         F.zip_with(
@@ -98,6 +104,49 @@ def hyperplane_signature(vec: Column, dim: int, n_planes: int = 8,
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
+
+
+def random_projection(
+    embeddings: DataFrame,
+    dim: int,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    salt: str = "",
+    scale_e6: bool = True,
+) -> DataFrame:
+    """Signed random projection (Achlioptas 2003 / JL transform, the
+    database-friendly ±1 variant): project each ``dim``-vector onto
+    ``out_dim`` deterministic ±1 hyperplanes — the standard
+    dimensionality-reduction front end of a 100 TB ANN pipeline, where
+    the full-width embedding column dominates shuffle traffic and the
+    JL lemma bounds the distance distortion of the narrow copy.
+
+    The weight matrix is the same md5-derived family the LSH operators
+    use (:func:`plane_weight` — bit 0 of h32('{salt}{p}:{i}')), so the
+    "random" matrix is reproducible in any engine with md5, and
+    signatures built downstream from these projections agree with
+    :func:`hyperplane_signature` by construction (identical fold order).
+
+    Shuffle-free: one :func:`projections` fold per row inside
+    whole-stage codegen — at any corpus size the operator is a map.
+    Returns exploded ``(id, p, proj_e6)`` rows: with ``scale_e6`` the
+    exact double sum is fixed-pointed to integer micro-units
+    (``CAST(round(proj * 1e6) AS BIGINT)``) so downstream comparisons
+    and the cross-engine oracle are integer-exact; pass
+    ``scale_e6=False`` for the raw double (column name ``proj``).
+    """
+    if dim < 1 or out_dim < 1:
+        raise ValueError(f"dim and out_dim must be >= 1: {dim}, {out_dim}")
+    sums = projections(
+        F.col(vec_col).cast("array<double>"), dim, out_dim, salt)
+    exploded = embeddings.select(
+        F.col(id_col), F.posexplode(sums).alias("p", "raw"))
+    if scale_e6:
+        return exploded.select(
+            id_col, "p",
+            F.round(F.col("raw") * 1e6).cast("bigint").alias("proj_e6"))
+    return exploded.select(id_col, "p", F.col("raw").alias("proj"))
 
 
 def adaptive_n_planes(n_rows: int, target_bucket_rows: int = 1024,

@@ -217,3 +217,86 @@ def range_join_pairs(
             (F.col("_rus") - F.col("_lus")).cast("bigint").alias("gap_us"),
         )
     )
+
+
+def gap_fill_counts(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket: str = "1 hour",
+    value_col: str | None = None,
+    max_buckets_per_key: int = 100_000,
+) -> DataFrame:
+    """Per-key fixed-width bucket counts DENSIFIED over each key's own
+    [first, last] bucket range — gap buckets appear with zero counts.
+    The resample / gap-fill primitive every monitoring and time-series
+    feature pipeline needs, and the one aggregation shape a plain
+    groupBy cannot express (absent groups produce no row).
+
+    Returns ``(key, bucket_idx, bucket_ts, n_events, value_c)``:
+    ``bucket_idx`` = epoch-µs div width (bigint — the exact join key),
+    ``bucket_ts`` its start timestamp, ``value_c`` the exact
+    integer-cents sum of ``value_col`` (0 for gaps; omitted when
+    ``value_col`` is None).
+
+    Scale shape: the only full-data shuffle is the (key, bucket) partial
+    agg — map-side combined, output ≈ |observed buckets| ≪ |events|.
+    The dense spine is built FROM the aggregate (per-key min/max is a
+    second agg over already-bucketed rows, then one row-local
+    sequence+explode), so spine size is time-span-bounded, never
+    event-count-bounded, and the zero-fill join runs aggregate-vs-spine
+    — both tiny relative to the input. A key idle for years with a
+    1-second bucket would explode the spine; ``max_buckets_per_key``
+    fails fast at plan-build time semantics (runtime assert per key)
+    rather than OOM-ing an executor.
+    """
+    width = _parse_duration_us(bucket)
+    agg_cols = [F.count(F.lit(1)).cast("bigint").alias("n_events")]
+    fill = {"n_events": F.lit(0).cast("bigint")}
+    if value_col is not None:
+        agg_cols.append(
+            F.sum(F.round(F.col(value_col) * 100).cast("bigint"))
+            .alias("value_c"))
+        fill["value_c"] = F.lit(0).cast("bigint")
+    bucketed = (
+        df.select(
+            F.col(key_col).alias("key"),
+            _epoch_us(F.col(ts_col)).alias("_us"),
+            *( [F.col(value_col)] if value_col is not None else [] ),
+        )
+        .select(
+            "key",
+            F.expr(f"_us div {width}L").alias("bucket_idx"),
+            *( [F.col(value_col)] if value_col is not None else [] ),
+        )
+        .groupBy("key", "bucket_idx")
+        .agg(*agg_cols)
+    )
+    spans = bucketed.groupBy("key").agg(
+        F.min("bucket_idx").alias("_lo"), F.max("bucket_idx").alias("_hi"))
+    # the guard rides INSIDE the sequence bound so Catalyst cannot prune
+    # it: a key spanning too many buckets fails the job, not the executor
+    hi_guarded = F.when(
+        F.col("_hi") - F.col("_lo") < F.lit(max_buckets_per_key),
+        F.col("_hi"),
+    ).otherwise(
+        F.raise_error(
+            f"gap_fill_counts: a key spans >= {max_buckets_per_key} "
+            f"buckets at width {bucket!r} — widen the bucket"
+        ).cast("bigint")
+    )
+    spine = spans.select(
+        "key",
+        F.explode(F.sequence("_lo", hi_guarded)).alias("bucket_idx"),
+    )
+    out = spine.join(bucketed, ["key", "bucket_idx"], "left")
+    return out.select(
+        "key",
+        "bucket_idx",
+        F.timestamp_add(
+            "MICROSECOND",
+            (F.col("bucket_idx") * F.lit(width)).cast("bigint"),
+            F.lit(_EPOCH).cast("timestamp_ntz"),
+        ).alias("bucket_ts"),
+        *[F.coalesce(F.col(c), fill[c]).alias(c) for c in fill],
+    )
