@@ -1072,6 +1072,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["gap_fill"] = q_gap_fill
 
+    def q_quality_fit(spark, sf):
+        # distributed closed-form OLS: one sufficient-statistics pass,
+        # Cramer solve on the 1-row aggregate (no collect), broadcast
+        # coefficients score every doc — quality_e6 ~ n_tokens + stop‰
+        from uckg_spark.operators.regression import fit_and_score_u
+        from uckg_spark.operators.textstats import quality_scores
+
+        feats = quality_scores(_t(spark, sf, "documents")).select(
+            "doc_id", "n_tokens",
+            F.expr("stop_ratio_e6 div 1000").alias("stop_pm"),
+            "quality_e6",
+        )
+        return fit_and_score_u(
+            feats, "n_tokens", "stop_pm", "quality_e6", "doc_id")
+    q["quality_fit"] = q_quality_fit
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3173,6 +3189,59 @@ def oracle_sql() -> dict[str, str]:
                coalesce(b.n_events, 0)::BIGINT AS n_events,
                coalesce(b.value_c, 0)::BIGINT AS value_c
         FROM spine LEFT JOIN b USING (key, bucket_idx)
+    """
+
+    # closed-form OLS twin: identical sufficient statistics (exact
+    # bigints), identical float64 solve tree, identical floor(b*1e6)
+    # fixed-pointing — determinism is IEEE 754, not luck
+    o["quality_fit"] = f"""
+        WITH q AS ({o['quality']}),
+        f AS (
+            SELECT doc_id, n_tokens::BIGINT AS x1,
+                   (stop_ratio_e6 // 1000)::BIGINT AS x2,
+                   quality_e6::BIGINT AS y
+            FROM q
+        ), s AS (
+            SELECT count(*)::BIGINT AS n,
+                   sum(x1)::BIGINT AS sx1, sum(x2)::BIGINT AS sx2,
+                   sum(y)::BIGINT AS sy,
+                   sum(x1 * x1)::BIGINT AS sx1x1,
+                   sum(x2 * x2)::BIGINT AS sx2x2,
+                   sum(x1 * x2)::BIGINT AS sx1x2,
+                   sum(x1 * y)::BIGINT AS sx1y,
+                   sum(x2 * y)::BIGINT AS sx2y
+            FROM f
+        ), c AS (
+            SELECT n, sx1, sx2, sy,
+                   (n * sx1x1 - sx1 * sx1)::DOUBLE AS s11,
+                   (n * sx2x2 - sx2 * sx2)::DOUBLE AS s22,
+                   (n * sx1x2 - sx1 * sx2)::DOUBLE AS s12,
+                   (n * sx1y - sx1 * sy)::DOUBLE AS s1y,
+                   (n * sx2y - sx2 * sy)::DOUBLE AS s2y
+            FROM s
+        ), b AS (
+            SELECT
+                floor(((sy::DOUBLE
+                        - ((s1y * s22 - s2y * s12)
+                           / (s11 * s22 - s12 * s12)) * sx1::DOUBLE)
+                       - ((s11 * s2y - s12 * s1y)
+                          / (s11 * s22 - s12 * s12)) * sx2::DOUBLE)
+                      / n::DOUBLE * 1000000.0)::BIGINT AS b0_e6,
+                floor(((s1y * s22 - s2y * s12)
+                       / (s11 * s22 - s12 * s12)) * 1000000.0)::BIGINT
+                    AS b1_e6,
+                floor(((s11 * s2y - s12 * s1y)
+                       / (s11 * s22 - s12 * s12)) * 1000000.0)::BIGINT
+                    AS b2_e6
+            FROM c
+        )
+        SELECT f.doc_id,
+               (b.b0_e6 + b.b1_e6 * f.x1 + b.b2_e6 * f.x2)::BIGINT
+                   AS score_u,
+               (f.y * 1000000
+                - (b.b0_e6 + b.b1_e6 * f.x1 + b.b2_e6 * f.x2))::BIGINT
+                   AS resid_u
+        FROM f, b
     """
 
     o["streaming_dedup_ingest"] = """
