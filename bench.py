@@ -100,7 +100,7 @@ def main() -> None:
         "rolling_counts", "kg_pagerank_seeded", "event_transitions", "fuzzy_name_pairs", "zorder_keys", "kg_query_text", "table_stats", "er_canonical_names",
         # round-4 resume-2 additions
         "containment_pairs", "winnow_fingerprint", "salted_join",
-        "embed_project", "gap_fill",
+        "embed_project", "gap_fill", "quality_fit",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical
