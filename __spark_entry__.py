@@ -1088,6 +1088,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             feats, "n_tokens", "stop_pm", "quality_e6", "doc_id")
     q["quality_fit"] = q_quality_fit
 
+    def q_kg_link_predict(spark, sf):
+        # propose new cust–cust KG edges from co-purchase structure:
+        # common-neighbor / Jaccard / resource-allocation scores, all
+        # integer-exact, super-node cap 40, deterministic top-100
+        from uckg_spark.plans.graphalgs import link_prediction
+
+        li = _t(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+        orders = _t(spark, sf, "orders").select("o_orderkey", "o_custkey")
+        edges = li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).select(
+            F.concat(F.lit("cust:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("part:"), F.col("l_partkey")).alias("dst"),
+        )
+        return link_prediction(edges, max_hub_degree=40, k=100)
+    q["kg_link_predict"] = q_kg_link_predict
+
+    def q_group_sample_k(spark, sf):
+        # exact-quota eval-set draw: the 5 docs per source whose
+        # (md5(doc_id), doc_id) sorts smallest — two-phase prefilter+rank
+        # so no task ever holds a whole group; fallback keeps it exact
+        from uckg_spark.operators.corpus import group_sample_k
+
+        return group_sample_k(
+            _t(spark, sf, "documents"), group_col="source", k=5)
+    q["group_sample_k"] = q_group_sample_k
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3242,6 +3269,52 @@ def oracle_sql() -> dict[str, str]:
                 - (b.b0_e6 + b.b1_e6 * f.x1 + b.b2_e6 * f.x2))::BIGINT
                    AS resid_u
         FROM f, b
+    """
+
+    # exact-quota sampler twin: the two-phase Spark execution (prefilter
+    # + rank + deficiency fallback) provably returns the per-group top-k
+    # by (md5, id), so the twin is the plain one-window form
+    o["group_sample_k"] = """
+        SELECT doc_id, source, rk FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(doc_id::VARCHAR), doc_id
+                   )::BIGINT AS rk
+            FROM documents
+        ) WHERE rk <= 5
+    """
+
+    # link-prediction twin: same capped bipartite graph, same integer
+    # scores (// is DuckDB integer division ≡ Spark's div on bigints),
+    # same strict (cn, ra_e6, a, b) total order so the top-100 SET is
+    # deterministic in both engines
+    o["kg_link_predict"] = """
+        WITH e AS (
+            SELECT DISTINCT 'cust:' || o.o_custkey AS node,
+                   'part:' || l.l_partkey AS hub
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), hd AS (
+            SELECT hub, count(*)::BIGINT AS hdeg FROM e GROUP BY hub
+        ), capped AS (
+            SELECT e.node, e.hub, hd.hdeg
+            FROM e JOIN hd USING (hub) WHERE hd.hdeg <= 40
+        ), nd AS (
+            SELECT node, count(*)::BIGINT AS deg FROM capped GROUP BY node
+        ), pairs AS (
+            SELECT x.node AS a, y.node AS b, count(*)::BIGINT AS cn,
+                   sum(1000000 // x.hdeg)::BIGINT AS ra_e6
+            FROM capped x JOIN capped y
+              ON x.hub = y.hub AND x.node < y.node
+            GROUP BY x.node, y.node
+        )
+        SELECT p.a, p.b, p.cn, p.cn AS jacc_num,
+               (da.deg + db.deg - p.cn)::BIGINT AS jacc_den, p.ra_e6
+        FROM pairs p
+        JOIN nd da ON p.a = da.node
+        JOIN nd db ON p.b = db.node
+        ORDER BY p.cn DESC, p.ra_e6 DESC, p.a, p.b
+        LIMIT 100
     """
 
     o["streaming_dedup_ingest"] = """

@@ -100,7 +100,8 @@ def main() -> None:
         "rolling_counts", "kg_pagerank_seeded", "event_transitions", "fuzzy_name_pairs", "zorder_keys", "kg_query_text", "table_stats", "er_canonical_names",
         # round-4 resume-2 additions
         "containment_pairs", "winnow_fingerprint", "salted_join",
-        "embed_project", "gap_fill", "quality_fit",
+        "embed_project", "gap_fill", "quality_fit", "kg_link_predict",
+        "group_sample_k",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical
@@ -119,7 +120,8 @@ def main() -> None:
              "kg_reachability", "kg_triangles", "approx_distinct_kmv",
              "kg_kcore", "cooccur_lift", "kg_communities",
              "similarity_join", "kg_pagerank_seeded",
-             "containment_pairs", "winnow_fingerprint", "salted_join"}
+             "containment_pairs", "winnow_fingerprint", "salted_join",
+             "kg_link_predict"}
 
     def timed(name: str, run) -> None:
         walls = []

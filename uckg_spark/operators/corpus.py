@@ -66,6 +66,83 @@ def stratified_sample(
     )
 
 
+def group_sample_k(
+    docs: DataFrame,
+    group_col: str = "source",
+    k: int = 5,
+    id_col: str = "doc_id",
+    safety: int = 4,
+) -> DataFrame:
+    """EXACT-quota deterministic per-group sample: the ``k`` docs of
+    each group whose ``(md5(id), id)`` sorts smallest — the eval-set /
+    few-shot-prompt construction contract where quotas are hard.
+    ``stratified_sample`` keeps ≈target per group with one map-side
+    filter (the right default for corpus downsampling); this guarantees
+    exactly ``min(k, |group|)`` rows per group. Returns
+    ``(id, group, rk)`` with rk the 1-based rank inside the group.
+
+    md5 (not xxhash64) because the sample membership is part of the
+    contract and must be re-derivable OUTSIDE Spark (the DuckDB twin, a
+    data loader auditing the split): md5 is engine-portable, xxhash64's
+    seed is an implementation detail.
+
+    Scale shape — a naive ``row_number() OVER (PARTITION BY group)``
+    puts each group in ONE task (5 TB/task when 100 TB has 20 sources).
+    Instead, two phases with an exactness-preserving fallback:
+
+    1. PREFILTER: keep rows whose 32-bit md5 prefix falls under
+       ``safety·k/|group|`` of the hash space (threshold from a
+       broadcast per-group count table — one scan, map-side filter,
+       the stratified_sample shape). Survivors form a downward-closed
+       prefix of the (md5, id) order, ~safety·k rows per group, so
+       whenever a group keeps ≥ k survivors its true top-k is provably
+       inside them.
+    2. RANK the survivors (a window over ~safety·k rows per group, not
+       the group). Groups that kept < k survivors (Chernoff-rare at
+       safety=4, but possible) fall back to ranking their full rows —
+       the fallback only changes WHERE the work happens, never the
+       result, so the oracle is the plain one-window SQL.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    key = F.md5(F.col(id_col).cast("string"))
+    # 32-bit numeric prefix of the md5: lexicographic order on the full
+    # digest is prefix-dominated, so {key32 < t} is downward-closed
+    key32 = F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint")
+    counts = docs.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_gn"))
+    thresh = counts.withColumn(
+        "_t",
+        F.least(
+            F.lit(1 << 32).cast("bigint"),
+            (F.lit((1 << 32) * safety * k) / F.col("_gn"))
+            .cast("bigint") + F.lit(1),
+        ),
+    )
+    tagged = docs.select(F.col(id_col), F.col(group_col)).join(
+        F.broadcast(thresh), group_col)
+    surv = tagged.filter(key32 < F.col("_t"))
+    surv_n = surv.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_sn"))
+    group_state = thresh.join(surv_n, group_col, "left").withColumn(
+        "_ok", F.coalesce(F.col("_sn"), F.lit(0)) >= F.lit(k))
+    candidates = surv.join(
+        F.broadcast(group_state.filter("_ok").select(group_col)), group_col
+    ).unionByName(
+        # fallback: deficient groups rank all their rows (usually none)
+        tagged.join(
+            F.broadcast(group_state.filter("NOT _ok").select(group_col)),
+            group_col,
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        candidates.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, group_col, "rk")
+    )
+
+
 def training_chunks(
     docs: DataFrame,
     vocab: DataFrame,

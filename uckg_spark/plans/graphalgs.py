@@ -416,3 +416,88 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     added = new.subtract(old).withColumn("change", F.lit("added"))
     removed = old.subtract(new).withColumn("change", F.lit("removed"))
     return added.unionByName(removed)
+
+
+def link_prediction(
+    edges: DataFrame,
+    max_hub_degree: int = 64,
+    k: int = 100,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Common-neighbor link prediction over a bipartite (node, hub) edge
+    set: score node pairs by how many hubs they share — the "customers
+    who co-purchase parts" / "entities co-mentioned on pages" candidate
+    generator a KG-construction pipeline runs to PROPOSE new edges (the
+    reference graph only materializes edges it extracted; proposing
+    missing ones is the canonical downstream analytic,
+    /root/reference/neo4j_kg/graph_db_operations.py loads into Neo4j
+    where GDS link prediction is the standard follow-on).
+
+    Returns the top-``k`` pairs (a, b) with a < b, scored three ways —
+    ALL integer-exact so the cross-engine twin is hash-identical:
+
+      cn       = |H(a) ∩ H(b)|                 (common hub count)
+      jacc_num / jacc_den = cn / (deg(a) + deg(b) − cn)   (Jaccard as an
+                 exact rational — no float division anywhere)
+      ra_e6    = Σ_{h ∈ H(a)∩H(b)} (1_000_000 div deg(h))  (resource
+                 allocation index, Zhou et al. 2009, in fixed micro-
+                 units; integer div keeps the sum order-independent,
+                 unlike a float Σ1/deg whose value depends on partition
+                 sum order)
+
+    Ranking is (cn desc, ra_e6 desc, a asc, b asc) — fully deterministic.
+
+    ``max_hub_degree`` drops hubs with more than that many neighbors
+    BEFORE pair generation (degrees are computed on the capped graph,
+    so every score refers to the same graph the pairs came from). This
+    is the super-node cap every production link-prediction job applies:
+    per-hub pair fan-out is deg², so one celebrity hub at 10^6 degree
+    would emit 10^12 pairs — and sharing a near-universal hub carries
+    no signal anyway (its RA weight → 0). The cap makes the worst-case
+    intermediate |E_capped| · max_hub_degree rows, shuffled on the hub
+    key (AQE splits residual skew); the pair aggregation shuffles on
+    (a, b), which tracks true co-occurrence structure.
+
+    Scale shape: two shuffles (hub self-join, pair agg) + two broadcast-
+    or-shuffle degree joins + a TakeOrdered — no driver loops, no
+    cartesian (the self-join is keyed on the hub).
+    """
+    if max_hub_degree < 2:
+        raise ValueError("max_hub_degree must be >= 2 to form any pair")
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("hub")).distinct()
+    hub_deg = e.groupBy("hub").agg(
+        F.count(F.lit(1)).cast("bigint").alias("hdeg"))
+    capped = (
+        e.join(hub_deg.filter(F.col("hdeg") <= max_hub_degree), "hub")
+        .persist()  # reused: degree pass + both sides of the pair join
+    )
+    node_deg = capped.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg"))
+    a = capped.select(F.col("node").alias("a"), "hub", "hdeg")
+    b = capped.select(F.col("node").alias("b"), "hub")
+    pairs = (
+        a.join(b, "hub")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum(F.expr("1000000 div hdeg")).cast("bigint").alias("ra_e6"),
+        )
+    )
+    da = node_deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = node_deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    return (
+        pairs.join(da, "a").join(db, "b")
+        .select(
+            "a", "b", "cn",
+            F.col("cn").alias("jacc_num"),
+            (F.col("deg_a") + F.col("deg_b") - F.col("cn"))
+            .cast("bigint").alias("jacc_den"),
+            "ra_e6",
+        )
+        .orderBy(
+            F.col("cn").desc(), F.col("ra_e6").desc(),
+            F.col("a"), F.col("b"))
+        .limit(k)
+    )
