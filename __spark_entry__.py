@@ -1115,6 +1115,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), group_col="source", k=5)
     q["group_sample_k"] = q_group_sample_k
 
+    def q_pii_scrub(spark, sf):
+        # the corpus tables carry no PII by construction, so the query
+        # plants deterministic doc_id-derived email/IP/phone strings in
+        # both engines, then exercises the real scrub operator on them
+        from uckg_spark.operators.webtext import pii_scrub
+
+        d = F.col("doc_id")
+        docs = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"), d.cast("string"),
+                F.lit("@mail"), (d % 7).cast("string"),
+                F.lit(".example.com from 10."), (d % 256).cast("string"),
+                F.lit(".0."), (d % 100).cast("string"),
+                F.lit(" tel 555-"), (d % 900 + 100).cast("string"),
+                F.lit("-"),
+                F.lpad((d % 10000).cast("string"), 4, "0"),
+            ).alias("text"),
+        )
+        return pii_scrub(docs)
+    q["pii_scrub"] = q_pii_scrub
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3269,6 +3292,47 @@ def oracle_sql() -> dict[str, str]:
                 - (b.b0_e6 + b.b1_e6 * f.x1 + b.b2_e6 * f.x2))::BIGINT
                    AS resid_u
         FROM f, b
+    """
+
+    # pii_scrub twin: identical PII synthesis, then the same three
+    # sequential scrub passes — patterns live in the RE2 ∩ Java-regex
+    # agreement subset (classes, bounded repeats, ASCII \b), counts on
+    # each pass's input, 'g' flag = Spark's replace-all default
+    o["pii_scrub"] = r"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id || '@mail'
+                        || (doc_id % 7) || '.example.com from 10.'
+                        || (doc_id % 256) || '.0.' || (doc_id % 100)
+                        || ' tel 555-' || (doc_id % 900 + 100) || '-'
+                        || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t0
+            FROM documents
+        ), s1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                   ))::BIGINT AS n_email,
+                   regexp_replace(t0,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1
+            FROM aug
+        ), s2 AS (
+            SELECT doc_id, n_email,
+                   len(regexp_extract_all(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'
+                   ))::BIGINT AS n_ipv4,
+                   regexp_replace(t1,
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g') AS t2
+            FROM s1
+        )
+        SELECT doc_id, regexp_replace(t2,
+                   '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '<PHONE>', 'g')
+                   AS text_scrubbed,
+               n_email, n_ipv4,
+               len(regexp_extract_all(t2,
+                   '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b'))::BIGINT AS n_phone
+        FROM s2
     """
 
     # exact-quota sampler twin: the two-phase Spark execution (prefilter

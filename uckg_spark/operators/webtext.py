@@ -223,3 +223,45 @@ def normalize_url(url: Column) -> Column:
         ).otherwise(pathq)
     )
     return F.concat(scheme, F.lit("://"), host, portpart, path_norm)
+
+
+# PII patterns, ordered: each scrub pass runs on the PREVIOUS pass's
+# output (an email's digits must not later count as a phone). Patterns
+# restrict to the syntax subset where Java regex (Spark) and RE2
+# (DuckDB) agree exactly: character classes, bounded repeats, \b on
+# ASCII — no backrefs, no lookaround, so both engines produce identical
+# matches and the scrubbed text is hash-identical cross-engine.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Redact emails, IPv4 addresses, and phone-shaped numbers from a
+    text column — the compliance pass every web-scraped training corpus
+    runs before the tokenizer (emails and IPs are the top memorization-
+    extraction targets; Carlini et al. 2021). Returns
+    ``(id, text_scrubbed, n_email, n_ipv4, n_phone)``.
+
+    Reference parity note: the reference ingests structured NVD/MITRE
+    records with no PII surface (/root/reference/data_collection/
+    cve_collection.py); this operator is part of the web-scale graft's
+    curation family, not a port.
+
+    Scale shape: pure per-row JVM column algebra — three
+    ``regexp_replace`` passes and three ``regexp_count``s inside one
+    projection, no UDF, no shuffle, whole-stage codegen end to end.
+    Counts are taken on the input of each pass (post-prior-scrubs), so
+    they sum to the number of replacements actually made.
+    """
+    col = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(col, F.lit(pat)).cast("bigint")
+                      .alias(f"n_{name}"))
+        col = F.regexp_replace(col, pat, token)
+    return docs.select(
+        F.col(id_col), col.alias("text_scrubbed"), *counts)
