@@ -1138,6 +1138,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pii_scrub(docs)
     q["pii_scrub"] = q_pii_scrub
 
+    def q_equi_depth(spark, sf):
+        # optimizer-style equi-depth histogram of doc lengths per
+        # source — integer-exact PERCENTILE_DISC breakpoints via
+        # cross-multiplied ranks, no float compares anywhere
+        from uckg_spark.operators.quantiles import equi_depth_hist
+
+        return equi_depth_hist(
+            _t(spark, sf, "documents"), "n_chars", "source", n_buckets=8)
+    q["equi_depth"] = q_equi_depth
+
+    def q_scd2_history(spark, sf):
+        # type-2 dimension history of each sampled user's event_type
+        # runs: no-op repeats collapse, intervals close on the next
+        # change, version numbers ride the same window shuffle
+        from uckg_spark.operators.temporal import scd2_history
+
+        ev = _t(spark, sf, "events").filter(F.col("user_id") % 20 == 0)
+        return scd2_history(
+            ev, key_col="user_id", ts_col="ts",
+            value_col="event_type", tiebreak_col="event_id")
+    q["scd2_history"] = q_scd2_history
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3292,6 +3314,61 @@ def oracle_sql() -> dict[str, str]:
                 - (b.b0_e6 + b.b1_e6 * f.x1 + b.b2_e6 * f.x2))::BIGINT
                    AS resid_u
         FROM f, b
+    """
+
+    # equi-depth twin: identical integer rank thresholds (cle·n ≥ k·tot)
+    # and the same tie rule (v > break_k), so buckets match exactly
+    o["equi_depth"] = """
+        WITH base AS (
+            SELECT source AS grp, n_chars::BIGINT AS v
+            FROM documents WHERE n_chars IS NOT NULL
+        ), cd AS (
+            SELECT grp, v,
+                   count(*) OVER (PARTITION BY grp ORDER BY v
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cle,
+                   count(*) OVER (PARTITION BY grp)::BIGINT AS total
+            FROM base
+        ), brk AS (
+            SELECT grp,
+                   min(CASE WHEN cle * 8 >= 1 * total THEN v END) AS b1,
+                   min(CASE WHEN cle * 8 >= 2 * total THEN v END) AS b2,
+                   min(CASE WHEN cle * 8 >= 3 * total THEN v END) AS b3,
+                   min(CASE WHEN cle * 8 >= 4 * total THEN v END) AS b4,
+                   min(CASE WHEN cle * 8 >= 5 * total THEN v END) AS b5,
+                   min(CASE WHEN cle * 8 >= 6 * total THEN v END) AS b6,
+                   min(CASE WHEN cle * 8 >= 7 * total THEN v END) AS b7
+            FROM cd GROUP BY grp
+        )
+        SELECT base.grp,
+               ((v > b1)::INT + (v > b2)::INT + (v > b3)::INT
+                + (v > b4)::INT + (v > b5)::INT + (v > b6)::INT
+                + (v > b7)::INT)::BIGINT AS bucket,
+               count(*)::BIGINT AS n, min(v) AS lo, max(v) AS hi
+        FROM base JOIN brk USING (grp)
+        GROUP BY base.grp, bucket
+    """
+
+    # scd2 twin: same null-safe collapse (IS DISTINCT FROM ≡ NOT
+    # eqNullSafe), same (ts, event_id) tiebreak in BOTH windows so
+    # equal-timestamp runs order identically across engines
+    o["scd2_history"] = """
+        WITH kept AS (
+            SELECT user_id, ts, event_type, event_id FROM (
+                SELECT user_id, ts, event_type, event_id,
+                       lag(event_type) OVER w AS prev,
+                       lag(event_id) OVER w AS prev_id
+                FROM events WHERE user_id % 20 = 0
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ) WHERE prev_id IS NULL
+                 OR prev IS DISTINCT FROM event_type
+        )
+        SELECT user_id, event_type, ts AS valid_from,
+               coalesce(lead(ts) OVER w,
+                        TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+               row_number() OVER w::BIGINT AS version,
+               (lead(ts) OVER w IS NULL) AS is_current
+        FROM kept WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """
 
     # pii_scrub twin: identical PII synthesis, then the same three

@@ -102,3 +102,67 @@ def quantiles_disc(
             for p, name in zip(probs, names)
         ]
     )
+
+
+def equi_depth_hist(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Per-group equi-depth histogram — the value-boundary histogram
+    every optimizer keeps (equal ROW mass per bucket instead of equal
+    value width): ``(grp, bucket, n, lo, hi)`` for each OCCUPIED bucket.
+
+    Semantics (exact, integer-only — deliberately no float anywhere):
+    breakpoint k (k = 1..n-1) is PERCENTILE_DISC(k/n): the smallest v
+    whose inclusive rank satisfies ``rank_le(v) · n_buckets ≥ k · total``
+    (cross-multiplied — the float ``cume_dist ≥ p`` compare this family
+    avoids). A row lands in ``bucket = Σ_k [v > breakpoint_k]``, so ties
+    always share a bucket: counts are only ≈equal under heavy ties,
+    which is standard equi-depth histogram semantics (the tie mass is
+    indivisible).
+
+    Scale shape: one per-group window sort (RANGE frame for inclusive
+    rank), breakpoint aggregation rides the same partitioning, and the
+    breakpoint table (|groups| rows, n-1 columns) broadcasts back onto
+    the scan for assignment — the corpus never shuffles a second time
+    except the final (grp, bucket) count, which is map-side combinable
+    with output cardinality |groups| × n_buckets.
+    """
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("bigint").alias("v"),
+    ).filter(F.col("v").isNotNull())
+    w_rank = (
+        Window.partitionBy("grp").orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("grp")
+    cd = base.select(
+        "grp", "v",
+        F.count(F.lit(1)).over(w_rank).cast("bigint").alias("cle"),
+        F.count(F.lit(1)).over(w_tot).cast("bigint").alias("total"),
+    )
+    breaks = cd.groupBy("grp").agg(*[
+        F.min(F.when(
+            F.col("cle") * n_buckets >= F.lit(k) * F.col("total"), F.col("v")
+        )).alias(f"_b{k}")
+        for k in range(1, n_buckets)
+    ])
+    bucket = sum(
+        (F.col("v") > F.col(f"_b{k}")).cast("int")
+        for k in range(1, n_buckets)
+    ).cast("bigint")
+    return (
+        base.join(F.broadcast(breaks), "grp")
+        .select("grp", "v", bucket.alias("bucket"))
+        .groupBy("grp", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )

@@ -300,3 +300,63 @@ def gap_fill_counts(
         ).alias("bucket_ts"),
         *[F.coalesce(F.col(c), fill[c]).alias(c) for c in fill],
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Change log → slowly-changing-dimension TYPE-2 history: one
+    validity interval per (key, value run) — ``(key, value, valid_from,
+    valid_to, version, is_current)``, ``valid_to`` NULL for the open
+    (current) interval. This is the MERGE-INTO-with-history pattern a
+    lakehouse dimension table runs on every sync (the reference's Neo4j
+    MERGE keeps only latest state, /root/reference/process/
+    graph_updater.py:30-45; the graft keeps the full timeline so
+    point-in-time KG queries — "what did we believe about this CVE in
+    March" — stay answerable, same motivation as the snapshot catalog).
+
+    Consecutive no-op writes are collapsed FIRST (null-safe value
+    compare): a re-ingest that writes the same value must extend the
+    interval, never split it — the idempotency contract resume relies
+    on. ``tiebreak_col`` (any row-unique column) makes the order within
+    equal timestamps deterministic in both engines. The open interval's
+    ``valid_to`` is the SCD2 high-date sentinel (9999-12-31), not NULL —
+    the standard convention, so point-in-time lookups are a plain
+    ``ts BETWEEN valid_from AND valid_to`` with no NULL branch (and the
+    column stays non-null for engines/fetch paths that mangle null
+    timestamps).
+
+    Scale shape: everything is windows over ONE partitioning (the key):
+    the collapse lag, the valid_to lead, and the version number reuse
+    the same shuffle — Catalyst plans a single Exchange; no joins, no
+    driver state. Hot keys are bounded by a key's own change count
+    (dimension churn, not corpus size).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    # lag(tiebreak) — row-unique and non-null — distinguishes "no
+    # previous row" from "previous value is NULL": a key whose FIRST
+    # value is NULL must still open an interval (eqNullSafe alone would
+    # collapse it into the nonexistent predecessor)
+    kept = (
+        changes.select(key_col, ts_col, value_col, tiebreak_col)
+        .withColumn("_prev", F.lag(value_col).over(w))
+        .withColumn("_prev_tb", F.lag(tiebreak_col).over(w))
+        .filter(
+            F.col("_prev_tb").isNull()
+            | ~F.col(value_col).eqNullSafe(F.col("_prev"))
+        )
+    )
+    sentinel = F.lit("9999-12-31 00:00:00").cast(
+        changes.schema[ts_col].dataType)
+    return kept.select(
+        F.col(key_col),
+        F.col(value_col),
+        F.col(ts_col).alias("valid_from"),
+        F.coalesce(F.lead(ts_col).over(w), sentinel).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+    )
