@@ -1160,6 +1160,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             value_col="event_type", tiebreak_col="event_id")
     q["scd2_history"] = q_scd2_history
 
+    def q_bloom_semi(spark, sf):
+        # bloom-prefiltered semi join: the explicit shuffle-volume
+        # reducer when the dim can't broadcast — result provably equals
+        # the plain semi join (bloom admits false positives only)
+        from uckg_spark.operators.skew import bloom_semi_join
+
+        cust = _t(spark, sf, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING")
+        return bloom_semi_join(
+            _t(spark, sf, "orders").select("o_orderkey", "o_custkey"),
+            cust, "o_custkey", "c_custkey")
+    q["bloom_semi"] = q_bloom_semi
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3347,6 +3360,15 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n, min(v) AS lo, max(v) AS hi
         FROM base JOIN brk USING (grp)
         GROUP BY base.grp, bucket
+    """
+
+    # bloom_semi twin: the PLAIN semi join — the bloom stage is a
+    # false-positive-only prefilter, so the result set is identical
+    o["bloom_semi"] = """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer
+            WHERE c_mktsegment = 'BUILDING')
     """
 
     # scd2 twin: same null-safe collapse (IS DISTINCT FROM ≡ NOT

@@ -95,3 +95,90 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>")),
     )
     return f.join(d, [key, "_salt"]).drop("_salt")
+
+
+def bloom_semi_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_bits: int = 1 << 18,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Semi-join ``fact`` to ``dim`` with a bloom-filter PREFILTER: the
+    shuffle-volume reducer for the case the broadcast join can't cover
+    (dim too big to broadcast) and the plain shuffle join wastes on
+    (at 100 TB, most fact rows match nothing — shuffling them is pure
+    loss). Spark's own runtime row-group bloom pruning
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) is the same
+    idea applied by the optimizer when it can; this operator is the
+    explicit, tunable form for when it doesn't fire (non-equi plans,
+    pre-aggregated facts, or a dim derived mid-query).
+
+    Result is EXACTLY ``fact LEFT SEMI JOIN dim`` — the bloom admits
+    false positives only, and survivors still pass the exact semi join;
+    the filter just shrinks what reaches that join's shuffle. The
+    oracle twin is therefore the plain semi join.
+
+    Mechanics (all integer-deterministic): each dim key sets
+    ``n_hashes`` md5-derived positions in an ``n_bits`` bitmap built as
+    32-bit words via explode + bit_or aggregation (map-side
+    combinable). The word table is ≤ ``n_bits/32`` rows — bounded by a
+    PARAMETER, not by data (default 32 KB of bitmap) — and is fetched
+    once and re-attached as an array literal, the same bounded-collect
+    family as the ANN query-vector fetch. Fact rows test all
+    ``n_hashes`` bits in pure column algebra (no UDF, no shuffle);
+    NULL fact keys fail the test, matching semi-join semantics.
+
+    Sizing: false-positive rate ≈ (1 − e^(−kn/m))^k; at the 256 Kbit
+    default and k=3, ~1% at n≈25k dim keys. fp only costs wasted
+    shuffle rows, never correctness.
+    """
+    if n_bits % 32 != 0:
+        raise ValueError("n_bits must be a multiple of 32")
+    n_words = n_bits // 32
+
+    def positions(key: Column) -> list[Column]:
+        return [
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(key.cast("string"), F.lit(f":{j}"))),
+                        1, 15),
+                    16, 10,
+                ).cast("bigint"),
+                F.lit(n_bits),
+            )
+            for j in range(n_hashes)
+        ]
+
+    words_df = (
+        dim.select(F.explode(F.array(*positions(F.col(dim_key)))).alias("pos"))
+        .filter(F.col("pos").isNotNull())
+        .select(
+            (F.col("pos") / 32).cast("int").alias("w"),
+            # SQL shiftleft takes a column shift amount (the PySpark
+            # helper only accepts a literal)
+            F.expr("cast(shiftleft(1, cast(pos % 32 as int)) as int)")
+            .alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    words = [0] * n_words
+    for r in words_df.collect():  # bounded: <= n_bits/32 rows by construction
+        words[r["w"]] = r["word"]
+    bitmap = F.lit(words)
+    mask_of = [1 << i for i in range(32)]
+    tests = []
+    for pos in positions(F.col(fact_key)):
+        word = F.element_at(bitmap, (pos / 32).cast("int") + F.lit(1))
+        mask = F.element_at(F.lit(mask_of), (pos % 32).cast("int") + F.lit(1))
+        tests.append(word.bitwiseAND(mask) != F.lit(0))
+    keep = tests[0]
+    for t in tests[1:]:
+        keep = keep & t
+    return fact.filter(keep).join(
+        dim.select(F.col(dim_key).alias(fact_key)).distinct(),
+        fact_key, "left_semi",
+    )
