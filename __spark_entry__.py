@@ -1173,6 +1173,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             cust, "o_custkey", "c_custkey")
     q["bloom_semi"] = q_bloom_semi
 
+    def q_weighted_quantile(spark, sf):
+        # quantity-weighted price quantiles per returnflag: integer
+        # cross-multiplied thresholds, exact cents, no float compares
+        from uckg_spark.operators.quantiles import weighted_quantiles
+
+        li = _t(spark, sf, "lineitem").select(
+            "l_returnflag",
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint").alias("price_c"),
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        return weighted_quantiles(
+            li, "price_c", "qty", "l_returnflag",
+            probs=((1, 2), (9, 10), (99, 100)))
+    q["weighted_quantile"] = q_weighted_quantile
+
+    def q_interval_concurrency(spark, sf):
+        # sweep-line concurrency of 1-hour activity windows per event
+        # type: boundary deltas net out per timestamp BEFORE the cumsum
+        # so tie order is unrepresentable
+        from uckg_spark.operators.temporal import interval_concurrency
+
+        ev = _t(spark, sf, "events").filter(
+            F.col("user_id") % 20 == 0
+        ).select(
+            "event_type", "ts",
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("te"),
+        )
+        return interval_concurrency(ev, "event_type", "ts", "te")
+    q["interval_concurrency"] = q_interval_concurrency
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3360,6 +3391,50 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n, min(v) AS lo, max(v) AS hi
         FROM base JOIN brk USING (grp)
         GROUP BY base.grp, bucket
+    """
+
+    # weighted-quantile twin: same inclusive RANGE-frame weight cumsum,
+    # same cross-multiplied integer thresholds
+    o["weighted_quantile"] = """
+        WITH base AS (
+            SELECT l_returnflag AS grp,
+                   round(l_extendedprice * 100)::BIGINT AS v,
+                   l_quantity::BIGINT AS w
+            FROM lineitem
+        ), cd AS (
+            SELECT grp, v,
+                   sum(w) OVER (PARTITION BY grp ORDER BY v
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cw,
+                   sum(w) OVER (PARTITION BY grp)::BIGINT AS tw
+            FROM base
+        )
+        SELECT grp,
+               min(CASE WHEN cw * 2 >= 1 * tw THEN v END) AS wp50,
+               min(CASE WHEN cw * 10 >= 9 * tw THEN v END) AS wp90,
+               min(CASE WHEN cw * 100 >= 99 * tw THEN v END) AS wp99
+        FROM cd GROUP BY grp
+    """
+
+    # concurrency twin: same boundary-delta netting per (grp, ts),
+    # same running sum — no intra-timestamp ordering exists to disagree
+    o["interval_concurrency"] = """
+        WITH src AS (
+            SELECT event_type AS grp, ts, ts + INTERVAL 1 HOUR AS te
+            FROM events WHERE user_id % 20 = 0
+        ), ev AS (
+            SELECT grp, ts, 1 AS d FROM src
+            UNION ALL
+            SELECT grp, te AS ts, -1 AS d FROM src
+        ), net AS (
+            SELECT grp, ts, sum(d)::BIGINT AS net
+            FROM ev GROUP BY grp, ts
+        )
+        SELECT grp, ts,
+               sum(net) OVER (PARTITION BY grp ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::BIGINT AS concurrent
+        FROM net
     """
 
     # bloom_semi twin: the PLAIN semi join — the bloom stage is a

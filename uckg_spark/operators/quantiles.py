@@ -166,3 +166,67 @@ def equi_depth_hist(
             F.max("v").alias("hi"),
         )
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_col: str,
+    probs: tuple[tuple[int, int], ...] = ((1, 2), (9, 10)),
+) -> DataFrame:
+    """Per-group WEIGHTED discrete quantiles — what "median document
+    length weighted by token count" or "p90 price weighted by quantity"
+    actually mean: each row counts ``weight`` times. ``probs`` are
+    exact rationals (num, den), and the whole computation is integer
+    cross-multiplication (``cum_w·den ≥ num·tot_w``) — the same
+    no-float-compare discipline as ``equi_depth_hist``, so the
+    cross-engine twin is bit-exact. Output columns ``wp{100·num/den}``
+    (1/2 → wp50).
+
+    Semantics: quantile = min v whose INCLUSIVE cumulative weight
+    (RANGE frame: ties collapse to the tie-group total, exactly like
+    cume_dist) reaches the probability of the group's total weight.
+    Zero-weight rows are inert (they add nothing to cum_w but can still
+    be selected if they sit exactly at a boundary another row reached —
+    matching PERCENTILE_DISC-with-repeats semantics). Negative weights
+    are rejected: a signed "weight" makes cum_w non-monotone and the
+    quantile meaningless.
+
+    Scale shape: identical to ``quantiles_disc`` — one per-group window
+    sort, aggregation riding the same partitioning.
+    """
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    names = []
+    for num, den in probs:
+        if not (0 < num <= den):
+            raise ValueError(f"prob {num}/{den} outside (0, 1]")
+        names.append("wp" + format(100 * num / den, "g").replace(".", "_"))
+    if len(set(names)) != len(names):
+        raise ValueError(f"probs collide after naming: {names}")
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("bigint").alias("v"),
+        F.col(weight_col).cast("bigint").alias("w"),
+    ).filter(F.col("v").isNotNull() & F.col("w").isNotNull())
+    w_rank = (
+        Window.partitionBy("grp").orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cd = base.select(
+        "grp", "v",
+        # fail fast inside the sum so a bad weight can't silently skew
+        F.sum(F.when(F.col("w") < 0, F.raise_error(
+            F.concat(F.lit("negative weight for value "),
+                     F.col("v").cast("string"))
+        ).cast("bigint")).otherwise(F.col("w"))).over(w_rank)
+        .cast("bigint").alias("cw"),
+        F.sum("w").over(Window.partitionBy("grp")).cast("bigint").alias("tw"),
+    )
+    return cd.groupBy("grp").agg(*[
+        F.min(F.when(
+            F.col("cw") * F.lit(den) >= F.lit(num) * F.col("tw"), F.col("v")
+        )).alias(name)
+        for (num, den), name in zip(probs, names)
+    ])

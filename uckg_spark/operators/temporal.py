@@ -360,3 +360,53 @@ def scd2_history(
         F.row_number().over(w).cast("bigint").alias("version"),
         F.lead(ts_col).over(w).isNull().alias("is_current"),
     )
+
+
+def interval_concurrency(
+    intervals: DataFrame,
+    group_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Sweep-line concurrency over half-open ``[start, end)`` intervals:
+    ``(grp, ts, concurrent)`` — the number of intervals active from
+    ``ts`` (inclusive) until the next boundary. "Max concurrent
+    sessions", license-seat peaks, connection-pool sizing: all reads of
+    this timeline (peak = ``max(concurrent)`` per group).
+
+    Half-open semantics make touching intervals unambiguous: an
+    interval ending at t releases BEFORE one starting at t acquires —
+    encoded structurally, not by sort order: both boundary deltas at
+    one (grp, ts) collapse into a single net row BEFORE the running
+    sum, so the cumsum never depends on intra-timestamp event order
+    (the classic sweep-line tie bug this construction makes
+    unrepresentable).
+
+    Scale shape: one 2-rows-per-interval explode, one (grp, ts) net
+    aggregation (map-side combinable), one per-group window cumsum
+    riding the same partitioning. Intervals with ``end < start`` fail
+    fast inside the aggregate (corrupt data, not a sortable opinion).
+    """
+    bad = F.col(end_col) < F.col(start_col)
+    ev = intervals.select(
+        F.col(group_col).alias("grp"),
+        F.explode(F.array(
+            F.struct(
+                F.col(start_col).alias("ts"),
+                F.when(bad, F.raise_error(F.lit(
+                    "interval end precedes start"
+                )).cast("int")).otherwise(F.lit(1)).alias("d"),
+            ),
+            F.struct(F.col(end_col).alias("ts"), F.lit(-1).alias("d")),
+        )).alias("e"),
+    ).select("grp", "e.ts", "e.d")
+    net = ev.groupBy("grp", "ts").agg(
+        F.sum("d").cast("bigint").alias("net"))
+    w = (
+        Window.partitionBy("grp").orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return net.select(
+        "grp", "ts",
+        F.sum("net").over(w).cast("bigint").alias("concurrent"),
+    )
