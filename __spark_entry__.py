@@ -1204,6 +1204,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return interval_concurrency(ev, "event_type", "ts", "te")
     q["interval_concurrency"] = q_interval_concurrency
 
+    def q_kge_negatives(spark, sf):
+        # reproducible TransE filtered negative sampling over the
+        # in_nation KG slice: md5-derived corruption indices through a
+        # bucketed dense node index (no global sort), k=2 per edge
+        from uckg_spark.plans.graphalgs import kge_negative_samples
+
+        edges = _kg_edges(spark, sf).filter(F.col("pred") == "in_nation")
+        return kge_negative_samples(edges, k=2)
+    q["kge_negatives"] = q_kge_negatives
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3414,6 +3424,54 @@ def oracle_sql() -> dict[str, str]:
                min(CASE WHEN cw * 10 >= 9 * tw THEN v END) AS wp90,
                min(CASE WHEN cw * 100 >= 99 * tw THEN v END) AS wp99
         FROM cd GROUP BY grp
+    """
+
+    # kge twin: identical bucketed dense index (md5-bucket + in-bucket
+    # row_number + prefix-sum offsets), identical \x01-joined corruption
+    # hash, identical filtered-protocol anti-join
+    o["kge_negatives"] = """
+        WITH e AS (
+            SELECT DISTINCT * FROM (
+                SELECT 'cust:' || c_custkey AS s, 'in_nation' AS p,
+                       'nation:' || c_nationkey AS o FROM customer
+                UNION ALL
+                SELECT 'supp:' || s_suppkey, 'in_nation',
+                       'nation:' || s_nationkey FROM supplier
+            )
+        ), nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT s AS node FROM e UNION SELECT o FROM e)
+        ), bucketed AS (
+            SELECT node,
+                   ('0x' || substr(md5(node), 1, 8))::BIGINT % 64 AS b,
+                   row_number() OVER (
+                       PARTITION BY ('0x' || substr(md5(node), 1, 8))::BIGINT % 64
+                       ORDER BY node)::BIGINT - 1 AS rn
+            FROM nodes
+        ), offs AS (
+            SELECT b, sum(cnt) OVER (ORDER BY b
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT - cnt AS off
+            FROM (SELECT b, count(*)::BIGINT AS cnt
+                  FROM bucketed GROUP BY b)
+        ), indexed AS (
+            SELECT node, off + rn AS idx
+            FROM bucketed JOIN offs USING (b)
+        ), total AS (
+            SELECT count(*)::BIGINT AS n_nodes FROM nodes
+        ), cand AS (
+            SELECT s, p, o, i AS sample_i,
+                   ('0x' || substr(md5(
+                       s || chr(1) || p || chr(1) || o || chr(1)
+                         || i::VARCHAR), 1, 15))::BIGINT % n_nodes AS idx
+            FROM e, total, (VALUES (0), (1)) AS t(i)
+        )
+        SELECT c.s AS subj, c.p AS pred, x.node AS neg_obj,
+               c.sample_i::BIGINT AS sample_i
+        FROM cand c JOIN indexed x USING (idx)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM e r
+            WHERE r.s = c.s AND r.p = c.p AND r.o = x.node)
     """
 
     # concurrency twin: same boundary-delta netting per (grp, ts),

@@ -15,7 +15,8 @@ SF = "/root/testdata/sf0.001"
 _STREAMING = {k for k in entry_mod.queries() if k.startswith("streaming_")}
 # single-row scalar attach via crossJoin(broadcast(1-row agg)) — the
 # one sanctioned BroadcastNestedLoopJoin use
-_SCALAR_ATTACH = {"cooccur_lift", "bm25_topk", "quality_fit"}
+_SCALAR_ATTACH = {"cooccur_lift", "bm25_topk", "quality_fit",
+                  "kge_negatives"}
 
 _BATCH_KEYS = sorted(set(entry_mod.queries()) - _STREAMING)
 

@@ -501,3 +501,103 @@ def link_prediction(
             F.col("a"), F.col("b"))
         .limit(k)
     )
+
+
+def kge_negative_samples(
+    edges: DataFrame,
+    k: int = 2,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """FILTERED negative sampling for KG-embedding training (TransE
+    protocol, Bordes et al. NeurIPS'13): for every positive (s, p, o)
+    and sample slot i < k, corrupt the object with a pseudo-random node
+    — ``idx_i = md5(s‖p‖o‖':'‖i) mod n_nodes`` through a dense node
+    index — then drop corruptions that collide with ANY real (s, p, ·)
+    edge (the "filtered" setting; unfiltered scoring penalizes models
+    for ranking true triples highly). Returns
+    ``(subj, pred, neg_obj, sample_i)``. Deterministic end to end:
+    the same edge set yields the same negatives on any cluster, so
+    training runs are reproducible and the oracle twin is exact.
+
+    The dense node index needs NO global sort (a row_number over all
+    nodes is one task holding every node id at 10^9+ nodes): nodes
+    hash into ``n_buckets`` md5-buckets, get a within-bucket
+    row_number, and bucket offsets come from a prefix sum over the
+    n_buckets-row count table — a deterministic bijection
+    node ↔ [0, n) built from one small window. n_nodes attaches via
+    the sanctioned 1-row broadcast scalar attach.
+
+    Scale shape: per-bucket window sort (buckets are uniform md5
+    shards — no hot key), one equi-join negatives→index on idx (both
+    sides shuffle on a uniform key), one anti-join against the real
+    edges on (s, p, o) — the same key the edge table is already
+    organized by. Corrupting OBJECTS only is deliberate: subject
+    corruption is the same operator with the roles swapped.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    e = edges.select(
+        F.col(subj).alias("s"), F.col(pred).alias("p"), F.col(obj).alias("o")
+    ).distinct()
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("o").alias("node")))
+        .distinct()
+    )
+    b = F.pmod(
+        F.conv(F.substring(F.md5(F.col("node")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n_buckets),
+    )
+    from pyspark.sql import Window
+
+    bucketed = nodes.withColumn("b", b).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("b").orderBy("node"))
+        .cast("bigint") - 1,
+    )
+    counts = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    offsets = counts.select(
+        "b",
+        (F.sum("cnt").over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+        ) - F.col("cnt")).cast("bigint").alias("off"),
+    )
+    indexed = bucketed.join(F.broadcast(offsets), "b").select(
+        "node", (F.col("off") + F.col("rn")).alias("idx"))
+    total = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    cand = (
+        e.crossJoin(F.broadcast(total))
+        .select(
+            "s", "p", "o",
+            F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("sample_i"),
+            "n_nodes",
+        )
+        .select(
+            "s", "p", "o", "sample_i",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("\x01", "s", "p", "o",
+                                          F.col("sample_i").cast("string"))),
+                        1, 15),
+                    16, 10,
+                ).cast("bigint"),
+                F.col("n_nodes"),
+            ).alias("idx"),
+        )
+    )
+    neg = cand.join(indexed, "idx").select(
+        "s", "p", F.col("node").alias("neg_obj"), "sample_i", "o")
+    # filtered protocol: the corruption must not be a real edge
+    real = e.select("s", "p", F.col("o").alias("neg_obj"))
+    return (
+        neg.join(real, ["s", "p", "neg_obj"], "left_anti")
+        .select(
+            F.col("s").alias(subj), F.col("p").alias(pred),
+            "neg_obj", F.col("sample_i").cast("bigint").alias("sample_i"),
+        )
+    )
