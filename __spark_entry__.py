@@ -1214,6 +1214,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return kge_negative_samples(edges, k=2)
     q["kge_negatives"] = q_kge_negatives
 
+    def q_doc_chunks(spark, sf):
+        # RAG-style overlapping retrieval chunks: 32-token windows every
+        # 24 tokens, zero-shuffle row-local array algebra
+        from uckg_spark.operators.corpus import sliding_chunks
+
+        return sliding_chunks(
+            _t(spark, sf, "documents"), chunk_size=32, stride=24)
+    q["doc_chunks"] = q_doc_chunks
+
+    def q_heavy_hitters(spark, sf):
+        # tokens covering >= 2% of the stream: CMS prefilter drops the
+        # tail before the exact count's shuffle; threshold from ONE
+        # bounded 1-row fetch (the total), result equals plain HAVING
+        from uckg_spark.operators.dedup import tokens
+        from uckg_spark.operators.sketches import cms_heavy_hitters
+
+        toks = _t(spark, sf, "documents").select(
+            F.explode(tokens(F.col("text"))).alias("value"))
+        total = toks.count()
+        return cms_heavy_hitters(
+            toks, "value", threshold=max(1, total // 50), width=256)
+    q["heavy_hitters"] = q_heavy_hitters
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3424,6 +3447,39 @@ def oracle_sql() -> dict[str, str]:
                min(CASE WHEN cw * 10 >= 9 * tw THEN v END) AS wp90,
                min(CASE WHEN cw * 100 >= 99 * tw THEN v END) AS wp99
         FROM cd GROUP BY grp
+    """
+
+    # heavy-hitters twin: the plain GROUP BY ... HAVING — the CMS stage
+    # is a never-undercounting prefilter, so the result is identical
+    o["heavy_hitters"] = """
+        WITH tok AS (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS value
+            FROM documents
+        ), tot AS (SELECT count(*)::BIGINT AS n FROM tok)
+        SELECT value, count(*)::BIGINT AS n
+        FROM tok, tot
+        GROUP BY value, tot.n
+        HAVING count(*) >= greatest(1, tot.n // 50)
+    """
+
+    # chunking twin: same start lattice (range excludes n ≡ sequence to
+    # n-1), same 1-based inclusive slice, same space re-join
+    o["doc_chunks"] = """
+        WITH tok AS (
+            SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents
+        ), ex AS (
+            SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS s
+            FROM tok WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               (s // 24)::BIGINT AS chunk_idx,
+               s::BIGINT AS start,
+               len(toks[s + 1 : s + 32])::BIGINT AS n_tokens,
+               array_to_string(toks[s + 1 : s + 32], ' ') AS text_chunk
+        FROM ex
     """
 
     # kge twin: identical bucketed dense index (md5-bucket + in-bucket

@@ -364,3 +364,57 @@ def curate_corpus(
             & (F.col("dup_token_frac_e6") <= max_dup_frac_e6)
         )
     )
+
+
+def sliding_chunks(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """RAG-style overlapping chunking: windows of ``chunk_size`` tokens
+    starting every ``stride`` tokens (``stride < chunk_size`` ⇒ overlap
+    of ``chunk_size − stride``), tail windows shorter — the retrieval
+    index's unit of text, and the other half of the packing story:
+    ``training_chunks`` cuts a CONCATENATED stream for pretraining;
+    this cuts PER-DOCUMENT overlapping windows so no retrieval boundary
+    splits an answer span. Returns
+    ``(id, chunk_idx, start, n_tokens, text_chunk)``.
+
+    Exactness: pure integer array algebra — starts are
+    ``sequence(0, n−1, stride)`` (every start < n, so the tail is never
+    dropped: the window at the last start always covers the final
+    token), the chunk is a 1-based ``slice``. Empty docs yield no rows.
+
+    Scale shape: ZERO shuffles — tokenize, sequence, explode, slice are
+    all row-local; the output lands partitioned exactly like the input
+    corpus, which is what a retrieval-index writer wants to bucket on.
+    """
+    if chunk_size < 1:
+        raise ValueError("chunk_size must be >= 1")
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    t = (
+        docs.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col, "_toks",
+            F.explode(
+                F.sequence(F.lit(0), F.col("_n") - 1, F.lit(stride))
+            ).alias("start"),
+        )
+        .select(
+            id_col, "start",
+            F.slice(F.col("_toks"), F.col("start") + 1, chunk_size)
+            .alias("_chunk"),
+        )
+    )
+    return t.select(
+        F.col(id_col),
+        F.expr(f"start div {stride}").cast("bigint").alias("chunk_idx"),
+        F.col("start").cast("bigint").alias("start"),
+        F.size("_chunk").cast("bigint").alias("n_tokens"),
+        F.array_join("_chunk", " ").alias("text_chunk"),
+    )

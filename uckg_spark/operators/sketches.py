@@ -91,3 +91,78 @@ def kmv_distinct(
         est.cast("bigint").alias("est_distinct"),
         "true_distinct",
     )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    threshold: int,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """EXACT heavy hitters — ``(value, n)`` for every value occurring
+    ``>= threshold`` times — computed with a count-min-sketch PREFILTER
+    (Cormode & Muthukrishnan 2005). The sketch's min-over-rows estimate
+    NEVER undercounts, so rows whose estimate clears the threshold are
+    a superset of the true heavy hitters; the exact count then runs on
+    candidates only. Same architecture as ``skew.bloom_semi_join``:
+    approximate structure prunes, exact operator decides, result
+    provably identical to the plain ``GROUP BY ... HAVING`` (which is
+    therefore the oracle twin).
+
+    Why this matters at 100 TB: token/URL/entity frequencies are
+    zipfian — the exact count's shuffle is dominated by the endless
+    unique tail that can never reach the threshold. The prefilter
+    drops tail occurrences BEFORE the exchange (a row-level filter on
+    the scan), so the shuffle carries only heavy keys plus sketch
+    false positives (bounded: P[est ≥ T | true n_v] decays as
+    (N/(T·width))^depth by the CMS Markov bound).
+
+    Mechanics: depth md5-derived hash rows × width cells, built as ONE
+    map-side-combining (row, cell) count aggregation; the cell table
+    (≤ depth·width rows — bounded by PARAMETERS) is fetched once and
+    re-attached as array literals, the same bounded-fetch family as the
+    bloom bitmap and the ANN query vector. NULL values are ignored
+    (GROUP BY would keep a NULL group; a frequency sketch of "missing"
+    is a data-quality metric, not a heavy hitter).
+    """
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+    if width < 2 or depth < 1:
+        raise ValueError("width must be >= 2 and depth >= 1")
+    v = F.col(value_col)
+    base = df.select(v.cast("string").alias("value")).filter(
+        F.col("value").isNotNull())
+
+    def pos(j: int) -> Column:
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("value"), F.lit(f":{j}"))), 1, 8),
+                16, 10,
+            ).cast("bigint"),
+            F.lit(width),
+        )
+
+    cells_df = (
+        base.select(F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"), pos(j).alias("p"))
+            for j in range(depth)
+        ])).alias("e"))
+        .groupBy("e.j", "e.p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tables = [[0] * width for _ in range(depth)]
+    for r in cells_df.collect():  # bounded: <= depth*width rows
+        tables[r["j"]][r["p"]] = r["n"]
+    est = F.least(*[
+        F.element_at(F.lit(tables[j]), pos(j).cast("int") + F.lit(1))
+        for j in range(depth)
+    ]) if depth > 1 else F.element_at(
+        F.lit(tables[0]), pos(0).cast("int") + F.lit(1))
+    return (
+        base.filter(est >= F.lit(threshold))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= threshold)
+    )
