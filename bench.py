@@ -123,7 +123,8 @@ def main() -> None:
              "kg_kcore", "cooccur_lift", "kg_communities",
              "similarity_join", "kg_pagerank_seeded",
              "containment_pairs", "winnow_fingerprint", "salted_join",
-             "kg_link_predict"}
+             "kg_link_predict", "heavy_hitters", "kge_negatives",
+             "bloom_semi", "weighted_quantile"}
 
     def timed(name: str, run) -> None:
         walls = []

@@ -119,12 +119,16 @@ def cms_heavy_hitters(
     (N/(T·width))^depth by the CMS Markov bound).
 
     Mechanics: depth md5-derived hash rows × width cells, built as ONE
-    map-side-combining (row, cell) count aggregation; the cell table
-    (≤ depth·width rows — bounded by PARAMETERS) is fetched once and
-    re-attached as array literals, the same bounded-fetch family as the
-    bloom bitmap and the ANN query vector. NULL values are ignored
-    (GROUP BY would keep a NULL group; a frequency sketch of "missing"
-    is a data-quality metric, not a heavy hitter).
+    map-side-combining (row, cell) count aggregation; fact rows read
+    their depth cells via BROADCAST left joins on (row, cell) — one
+    broadcast of the ≤ depth·width-row cell table, reused across probes
+    (ReuseExchange: the build subplans are identical), a missing cell
+    reading as 0. Fully lazy, no driver fetch — the literal-array and
+    hex-string-constant probe forms were both measured slower (per-row
+    CreateArray; JVM-constant-limit codegen fallback — see
+    skew.bloom_semi_join). NULL values are ignored (GROUP BY would keep
+    a NULL group; a frequency sketch of "missing" is a data-quality
+    metric, not a heavy hitter).
     """
     if threshold < 1:
         raise ValueError("threshold must be >= 1")
@@ -152,16 +156,21 @@ def cms_heavy_hitters(
         .groupBy("e.j", "e.p")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
-    tables = [[0] * width for _ in range(depth)]
-    for r in cells_df.collect():  # bounded: <= depth*width rows
-        tables[r["j"]][r["p"]] = r["n"]
-    est = F.least(*[
-        F.element_at(F.lit(tables[j]), pos(j).cast("int") + F.lit(1))
-        for j in range(depth)
-    ]) if depth > 1 else F.element_at(
-        F.lit(tables[0]), pos(0).cast("int") + F.lit(1))
+    probe = base
+    ests = []
+    for j in range(depth):
+        ctab = cells_df.select(
+            F.col("j").alias(f"_cj{j}"), F.col("p").alias(f"_cp{j}"),
+            F.col("n").alias(f"_cn{j}"))
+        probe = (
+            probe.withColumn(f"_cj{j}", F.lit(j))
+            .withColumn(f"_cp{j}", pos(j))
+            .join(F.broadcast(ctab), [f"_cj{j}", f"_cp{j}"], "left")
+        )
+        ests.append(F.coalesce(F.col(f"_cn{j}"), F.lit(0)))
+    est = F.least(*ests) if depth > 1 else ests[0]
     return (
-        base.filter(est >= F.lit(threshold))
+        probe.filter(est >= F.lit(threshold))
         .groupBy("value")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .filter(F.col("n") >= threshold)

@@ -124,11 +124,17 @@ def bloom_semi_join(
     ``n_hashes`` md5-derived positions in an ``n_bits`` bitmap built as
     32-bit words via explode + bit_or aggregation (map-side
     combinable). The word table is ≤ ``n_bits/32`` rows — bounded by a
-    PARAMETER, not by data (default 32 KB of bitmap) — and is fetched
-    once and re-attached as an array literal, the same bounded-collect
-    family as the ANN query-vector fetch. Fact rows test all
-    ``n_hashes`` bits in pure column algebra (no UDF, no shuffle);
-    NULL fact keys fail the test, matching semi-join semantics.
+    PARAMETER, not by data (default 32 KB of bitmap) — and fact rows
+    probe it with ``n_hashes`` BROADCAST hash joins on the word index
+    (identical build subplans: ReuseExchange materializes the broadcast
+    once). Probing via a driver-fetched literal was measured and
+    rejected twice over: an ``F.lit(list)`` array is CreateArray,
+    rebuilt per row by codegen (3.7× slower at 8k words), and a 64 KB+
+    hex-string literal breaches JVM constant limits and drops the whole
+    stage out of codegen (6× slower again) — the broadcast join IS the
+    idiomatic Spark shape, keeps the operator fully lazy (no collect),
+    and a missing word reads as 0 via the left join. NULL fact keys
+    fail every probe, matching semi-join semantics.
 
     Sizing: false-positive rate ≈ (1 − e^(−kn/m))^k; at the 256 Kbit
     default and k=3, ~1% at n≈25k dim keys. fp only costs wasted
@@ -165,20 +171,22 @@ def bloom_semi_join(
         .groupBy("w")
         .agg(F.bit_or("bit").alias("word"))
     )
-    words = [0] * n_words
-    for r in words_df.collect():  # bounded: <= n_bits/32 rows by construction
-        words[r["w"]] = r["word"]
-    bitmap = F.lit(words)
-    mask_of = [1 << i for i in range(32)]
+    mask_of = [1 << i for i in range(32)]  # tiny CreateArray: negligible
+    probe = fact
     tests = []
-    for pos in positions(F.col(fact_key)):
-        word = F.element_at(bitmap, (pos / 32).cast("int") + F.lit(1))
+    for j, pos in enumerate(positions(F.col(fact_key))):
+        wtab = words_df.select(
+            F.col("w").alias(f"_bw{j}"), F.col("word").alias(f"_bword{j}"))
+        probe = probe.withColumn(f"_bw{j}", (pos / 32).cast("int")).join(
+            F.broadcast(wtab), f"_bw{j}", "left")
         mask = F.element_at(F.lit(mask_of), (pos % 32).cast("int") + F.lit(1))
-        tests.append(word.bitwiseAND(mask) != F.lit(0))
+        tests.append(
+            F.coalesce(F.col(f"_bword{j}"), F.lit(0))
+            .bitwiseAND(mask) != F.lit(0))
     keep = tests[0]
     for t in tests[1:]:
         keep = keep & t
-    return fact.filter(keep).join(
+    return probe.filter(keep).select(*fact.columns).join(
         dim.select(F.col(dim_key).alias(fact_key)).distinct(),
         fact_key, "left_semi",
     )
