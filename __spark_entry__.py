@@ -1237,6 +1237,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             toks, "value", threshold=max(1, total // 50), width=256)
     q["heavy_hitters"] = q_heavy_hitters
 
+    def q_rank_normalize(spark, sf):
+        # scale-free percentile-rank normalization of doc length within
+        # each source — ties share the min rank, integer div throughout
+        from uckg_spark.operators.quantiles import rank_normalize
+
+        return rank_normalize(
+            _t(spark, sf, "documents").select("doc_id", "source", "n_chars"),
+            "n_chars", "source")
+    q["rank_normalize"] = q_rank_normalize
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3447,6 +3457,21 @@ def oracle_sql() -> dict[str, str]:
                min(CASE WHEN cw * 10 >= 9 * tw THEN v END) AS wp90,
                min(CASE WHEN cw * 100 >= 99 * tw THEN v END) AS wp99
         FROM cd GROUP BY grp
+    """
+
+    # rank-normalize twin: same min-rank tie rule, same integer division
+    o["rank_normalize"] = """
+        SELECT doc_id, source, n_chars,
+               CASE WHEN cnt > 1
+                    THEN ((rk - 1) * 1000000) // (cnt - 1)
+                    ELSE 0 END::BIGINT AS pct_e6
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   rank() OVER (PARTITION BY source
+                                ORDER BY n_chars)::BIGINT AS rk,
+                   count(*) OVER (PARTITION BY source)::BIGINT AS cnt
+            FROM documents WHERE n_chars IS NOT NULL
+        )
     """
 
     # heavy-hitters twin: the plain GROUP BY ... HAVING — the CMS stage

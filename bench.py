@@ -103,7 +103,7 @@ def main() -> None:
         "embed_project", "gap_fill", "quality_fit", "kg_link_predict",
         "group_sample_k", "pii_scrub", "equi_depth", "scd2_history",
         "bloom_semi", "weighted_quantile", "interval_concurrency",
-        "kge_negatives", "doc_chunks", "heavy_hitters",
+        "kge_negatives", "doc_chunks", "heavy_hitters", "rank_normalize",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical

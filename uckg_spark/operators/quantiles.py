@@ -230,3 +230,40 @@ def weighted_quantiles(
         )).alias(name)
         for (num, den), name in zip(probs, names)
     ])
+
+
+def rank_normalize(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Percentile-rank feature scaling per group, integer-exact:
+    ``pct_e6 = (rank(v) − 1)·1e6 div (n − 1)`` — 0 for the minimum,
+    1e6 for the maximum, ties share the MIN rank (so equal inputs get
+    equal scores), single-row groups score 0. The scale-free transform
+    a multi-signal quality gate applies before combining features that
+    live on incomparable scales (chars + stopword ppm + repetition —
+    ranks compose, raw units don't). NULL values are dropped (they
+    carry no rank). Integer division everywhere, so the cross-engine
+    twin is bit-exact.
+
+    Scale shape: one per-group window sort; rank and the group count
+    ride the same partitioning (no second exchange).
+    """
+    base = df.filter(F.col(value_col).isNotNull())
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    return (
+        base.withColumn("_rk", F.rank().over(w).cast("bigint"))
+        .withColumn(
+            "_n",
+            F.count(F.lit(1)).over(Window.partitionBy(group_col))
+            .cast("bigint"),
+        )
+        .withColumn(
+            "pct_e6",
+            F.when(F.col("_n") > 1,
+                   F.expr("((_rk - 1) * 1000000) div (_n - 1)"))
+            .otherwise(F.lit(0)).cast("bigint"),
+        )
+        .drop("_rk", "_n")
+    )

@@ -146,8 +146,11 @@ class GraphCatalog:
 
     # ---- writes --------------------------------------------------------
 
+    _UNPINNED = object()  # sentinel: "parent = whatever head is at write time"
+
     def _write_snapshot(self, table: str, writer, mode: str,
-                        props: dict | None = None) -> str:
+                        props: dict | None = None,
+                        expected_parent_id=_UNPINNED) -> str:
         """Write a fresh immutable ``snap-<id>`` dir, then commit it as the
         new head. ``writer(path) -> rows_written`` runs the Spark job; the
         commit happens only after the data is fully on disk, so a crashed
@@ -157,7 +160,16 @@ class GraphCatalog:
         which is what makes foreachBatch maintenance exactly-once."""
         if mode not in ("overwrite", "append"):
             raise ValueError(f"mode must be overwrite|append, got {mode!r}")
-        parent = self.latest_snapshot(table)
+        if expected_parent_id is GraphCatalog._UNPINNED:
+            parent = self.latest_snapshot(table)
+        else:
+            # snapshot-pinned commit (read-modify-write callers like
+            # merge_table): the commit must land on EXACTLY the snapshot
+            # the caller read, else a concurrent writer's rows would be
+            # silently overwritten — _commit raises CommitConflictError
+            # when the head moved
+            parent = (self.snapshot(table, expected_parent_id)
+                      if expected_parent_id is not None else None)
         snap = uuid.uuid4().hex[:12]
         rel_dir = os.path.join(table, f"snap-{snap}")
         rows_written = int(writer(os.path.join(self.root, rel_dir)))
@@ -177,7 +189,8 @@ class GraphCatalog:
 
     def write_table(self, name: str, df: DataFrame, n_tasks: int = 8,
                     mode: str = "overwrite",
-                    props: dict | None = None) -> str:
+                    props: dict | None = None,
+                    expected_parent_id=_UNPINNED) -> str:
         """Generic snapshot table (no layout contract beyond parquet) —
         the materialized-view slot beside the edges/nodes tables."""
         if name in ("edges", "nodes"):
@@ -194,7 +207,59 @@ class GraphCatalog:
             )
             return int(obs.get["n"])
 
-        return self._write_snapshot(name, write, mode, props=props)
+        return self._write_snapshot(
+            name, write, mode, props=props,
+            expected_parent_id=expected_parent_id)
+
+    def merge_table(self, spark: SparkSession, name: str,
+                    updates: DataFrame, key_cols: list[str],
+                    n_tasks: int = 8) -> str:
+        """MERGE INTO (keyed upsert), copy-on-write: rows of ``updates``
+        REPLACE current rows with the same key, new keys insert, and the
+        result commits as a fresh snapshot (the old head stays
+        time-travelable). This is the Iceberg MERGE COW mode on the shim
+        — the write path a dimension table or incrementally-maintained
+        materialized view runs every sync.
+
+        OCC is SNAPSHOT-PINNED, not head-at-write-time: the merge reads
+        head S, computes against S, and commits with expected parent S —
+        a concurrent writer that advanced the head in between surfaces
+        as ``CommitConflictError`` (re-read and re-merge), never a lost
+        update. An unpinned read-modify-write would silently drop the
+        concurrent writer's rows; this is the difference between MERGE
+        and blind overwrite.
+
+        Duplicate keys WITHIN ``updates`` are the caller's contract
+        violation (which row wins would be nondeterministic) — dedupe
+        with a latest-wins window first (e.g. ``scd2_history``'s collapse
+        or ``sources/dims.py``'s window_dedup).
+
+        Scale shape: one anti-join shuffled on the merge key + the
+        rewrite. COW rewrites the whole table per merge — right for
+        dimension-scale tables; for fact-scale targets the refinement is
+        merge-on-read delete files, noted and not built (readers here
+        are plain parquet scans).
+        """
+        if not key_cols:
+            raise ValueError("key_cols must be non-empty")
+        head = self.latest_snapshot(name)
+        if head is None:
+            return self.write_table(name, updates, n_tasks=n_tasks)
+        current = self.read_table(spark, name,
+                                  snapshot_id=head["snapshot_id"])
+        if sorted(current.columns) != sorted(updates.columns):
+            raise ValueError(
+                f"schema mismatch: table {sorted(current.columns)} vs "
+                f"updates {sorted(updates.columns)}")
+        missing = set(key_cols) - set(updates.columns)
+        if missing:
+            raise ValueError(f"key columns missing from updates: {missing}")
+        kept = current.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti")
+        merged = kept.unionByName(updates.select(*current.columns))
+        return self.write_table(
+            name, merged, n_tasks=n_tasks,
+            expected_parent_id=head["snapshot_id"])
 
     def read_table(self, spark: SparkSession, name: str,
                    snapshot_id: str | None = None) -> DataFrame:
