@@ -1247,6 +1247,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_chars", "source")
     q["rank_normalize"] = q_rank_normalize
 
+    def q_pareto_front(spark, sf):
+        # maximal parts under (size, retail cents): one global-sort
+        # window form, checked against the quadratic NOT-EXISTS twin —
+        # two different algorithms must agree on the exact set
+        from uckg_spark.operators.olap import pareto_front_2d
+
+        p = _t(spark, sf, "part").select(
+            "p_partkey", "p_size",
+            F.round(F.col("p_retailprice") * 100)
+            .cast("bigint").alias("price_c"),
+        )
+        return pareto_front_2d(p, "p_size", "price_c", "p_partkey")
+    q["pareto_front"] = q_pareto_front
+
+    def q_label_spread(spark, sf):
+        # 1-round transductive kNN pseudo-labeling: vec_id % 5 held
+        # out, cosine 5-NN majority vote among the labeled rest
+        from uckg_spark.operators.similarity import label_spread
+
+        return label_spread(_t(spark, sf, "embeddings"), k=5, mask_mod=5)
+    q["label_spread"] = q_label_spread
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3457,6 +3479,56 @@ def oracle_sql() -> dict[str, str]:
                min(CASE WHEN cw * 10 >= 9 * tw THEN v END) AS wp90,
                min(CASE WHEN cw * 100 >= 99 * tw THEN v END) AS wp99
         FROM cd GROUP BY grp
+    """
+
+    # pareto twin: the O(n²) NOT-EXISTS dominance formulation — a
+    # STRUCTURALLY different algorithm than the window form it checks
+    o["pareto_front"] = """
+        WITH p AS (
+            SELECT p_partkey, p_size::BIGINT AS x,
+                   round(p_retailprice * 100)::BIGINT AS y
+            FROM part
+        )
+        SELECT a.p_partkey, a.x, a.y FROM p a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p b
+            WHERE b.x >= a.x AND b.y >= a.y
+              AND (b.x > a.x OR b.y > a.y))
+    """
+
+    # label-spread twin: same 6-dp cosine, same (cos desc, id) neighbor
+    # rank and (votes desc, label) winner rule
+    o["label_spread"] = """
+        WITH unl AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v, label
+            FROM embeddings WHERE vec_id % 5 = 0
+        ), lab AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v, label
+            FROM embeddings WHERE vec_id % 5 <> 0
+        ), sims AS (
+            SELECT u.vec_id AS qid, l.vec_id AS nid, l.label,
+                   round(list_dot_product(u.v, l.v)
+                         / (sqrt(list_dot_product(u.v, u.v))
+                            * sqrt(list_dot_product(l.v, l.v))), 6) AS cs
+            FROM unl u, lab l
+        ), top AS (
+            SELECT qid, label FROM (
+                SELECT qid, label,
+                       row_number() OVER (PARTITION BY qid
+                           ORDER BY cs DESC, nid) AS rn
+                FROM sims) WHERE rn <= 5
+        ), votes AS (
+            SELECT qid, label, count(*)::BIGINT AS votes
+            FROM top GROUP BY qid, label
+        )
+        SELECT w.qid AS vec_id, u.label::BIGINT AS true_label,
+               w.label::BIGINT AS pred_label, w.votes
+        FROM (SELECT qid, label, votes,
+                     row_number() OVER (PARTITION BY qid
+                         ORDER BY votes DESC, label) AS wr
+              FROM votes) w
+        JOIN unl u ON u.vec_id = w.qid
+        WHERE w.wr = 1
     """
 
     # rank-normalize twin: same min-rank tie rule, same integer division

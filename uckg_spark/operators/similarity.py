@@ -11,7 +11,7 @@ Two paths per the training-data-pipeline mandate:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import h32
@@ -504,4 +504,57 @@ def knn_join_pandas(
         local.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def label_spread(
+    embeddings: DataFrame,
+    k: int = 5,
+    mask_mod: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """One round of semi-supervised kNN label propagation: vectors with
+    ``id % mask_mod == 0`` are treated as UNLABELED; each receives the
+    majority label among its ``k`` nearest LABELED neighbors by cosine
+    (neighbor rank: cos desc, id asc; vote winner: votes desc, label
+    asc — fully deterministic). Returns ``(vec_id, true_label,
+    pred_label, votes)`` with the held-out true label riding along, so
+    the result doubles as a transductive-accuracy report — the
+    pseudo-labeling step a weakly-supervised curation pipeline runs to
+    extend a small labeled seed set over the corpus.
+
+    Execution reuses ``knn_join_pandas`` — broadcast query matrix,
+    partition-local numpy top-k, window merge — so the labeled corpus
+    never shuffles for the search. The query side is COLLECTED
+    (bounded by the mask for this exact baseline); at corpus scale the
+    swap is the bucketed candidate families (``lsh_bucketed_pairs`` /
+    ``ivf_topk_col``) feeding the same vote tail, trading exactness for
+    a bounded candidate set — same trade as the dedup family.
+    """
+    unl = embeddings.filter(F.col(id_col) % mask_mod == 0)
+    lab = embeddings.filter(F.col(id_col) % mask_mod != 0)
+    queries = [(r[0], list(r[1])) for r in
+               unl.select(id_col, vec_col).collect()]
+    nn = knn_join_pandas(lab, queries, k=k, id_col=id_col, vec_col=vec_col)
+    votes = (
+        nn.join(lab.select(id_col, label_col), id_col)
+        .groupBy("query_id", label_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col(label_col))
+    winner = votes.withColumn("_r", F.row_number().over(w)).filter("_r = 1")
+    return (
+        winner.join(
+            unl.select(F.col(id_col).alias("query_id"),
+                       F.col(label_col).alias("true_label")),
+            "query_id")
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("true_label").cast("bigint").alias("true_label"),
+            F.col(label_col).cast("bigint").alias("pred_label"),
+            "votes",
+        )
     )
