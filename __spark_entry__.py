@@ -1269,6 +1269,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return label_spread(_t(spark, sf, "embeddings"), k=5, mask_mod=5)
     q["label_spread"] = q_label_spread
 
+    def q_auc(spark, sf):
+        # exact rational ROC-AUC (Mann-Whitney, average-rank ties) of
+        # doc length as an is-English classifier — no floats anywhere
+        from uckg_spark.operators.regression import auc_exact
+
+        d = _t(spark, sf, "documents").select(
+            "n_chars", (F.col("lang") == "en").alias("y"))
+        return auc_exact(d, "n_chars", "y")
+    q["auc"] = q_auc
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3479,6 +3489,32 @@ def oracle_sql() -> dict[str, str]:
                min(CASE WHEN cw * 10 >= 9 * tw THEN v END) AS wp90,
                min(CASE WHEN cw * 100 >= 99 * tw THEN v END) AS wp99
         FROM cd GROUP BY grp
+    """
+
+    # auc twin: same doubled average-rank identity, same integer div
+    o["auc"] = """
+        WITH base AS (
+            SELECT n_chars::BIGINT AS s, (lang = 'en') AS y
+            FROM documents
+            WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        ), ranked AS (
+            SELECT y,
+                   2 * rank() OVER (ORDER BY s)::BIGINT
+                     + count(*) OVER (PARTITION BY s)::BIGINT - 1 AS r2
+            FROM base
+        ), agg AS (
+            SELECT sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+                   sum(CASE WHEN NOT y THEN 1 ELSE 0 END)::BIGINT AS n_neg,
+                   sum(CASE WHEN y THEN r2 END)::BIGINT AS r2_pos
+            FROM ranked
+        )
+        SELECT n_pos, n_neg,
+               (r2_pos - n_pos * (n_pos + 1))::BIGINT AS auc_num,
+               (2 * n_pos * n_neg)::BIGINT AS auc_den,
+               (CASE WHEN n_pos * n_neg > 0
+                     THEN ((r2_pos - n_pos * (n_pos + 1)) * 1000000)
+                          // (2 * n_pos * n_neg) END)::BIGINT AS auc_e6
+        FROM agg
     """
 
     # pareto twin: the O(n²) NOT-EXISTS dominance formulation — a

@@ -31,7 +31,7 @@ linearly) or pre-aggregate per shard before fitting.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -136,4 +136,63 @@ def fit_and_score_u(
     )
     return scored.join(y_u, id_col).select(
         id_col, "score_u", (F.col("_yu") - F.col("score_u")).alias("resid_u")
+    )
+
+
+def auc_exact(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """EXACT ROC-AUC as a rational (one row: ``n_pos, n_neg, auc_num,
+    auc_den, auc_e6``) via the Mann-Whitney rank-sum identity — the
+    eval metric for any binary gate this repo fits or thresholds
+    (quality filters, dedup keep/drop, language gates), computed
+    without a single float until the final display value.
+
+    Identity: AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺·n⁻) where R⁺ is the sum of
+    positives' ranks, ties taking the AVERAGE rank. Average ranks are
+    halves, so everything is doubled once: with ``2·avg_rank =
+    2·min_rank + (tie_size − 1)``, the numerator ``auc_num =
+    Σ2·avg_rank(pos) − n⁺(n⁺+1)`` over ``auc_den = 2·n⁺·n⁻`` is an
+    exact integer pair; ``auc_e6 = auc_num·1e6 div auc_den`` for
+    display. Ties between a positive and a negative contribute ½ —
+    exactly the trapezoidal ROC convention.
+
+    Scale shape: one global rank sort (AUC is a global property — same
+    caveat as ``olap.pareto_front_2d``) expressed as two frames over a
+    single window ordered by score, then a 1-row aggregate. NULL
+    scores/labels are dropped. Degenerate inputs (no positives or no
+    negatives) yield auc_den = 0 and NULL auc_e6 — the caller's signal
+    that AUC is undefined, not a silent 0.5.
+    """
+    base = df.select(
+        F.col(score_col).cast("bigint").alias("s"),
+        F.col(label_col).cast("boolean").alias("y"),
+    ).filter(F.col("s").isNotNull() & F.col("y").isNotNull())
+    w_rank = Window.orderBy("s")
+    w_tie = Window.partitionBy("s")
+    ranked = base.select(
+        "y",
+        # 2·avg_rank = 2·min_rank + (ties − 1), all integers
+        (F.lit(2) * F.rank().over(w_rank).cast("bigint")
+         + F.count(F.lit(1)).over(w_tie).cast("bigint") - F.lit(1)
+         ).alias("r2"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("y"), 1).otherwise(0)).cast("bigint").alias("n_pos"),
+        F.sum(F.when(~F.col("y"), 1).otherwise(0)).cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("y"), F.col("r2"))).cast("bigint").alias("r2_pos"),
+    )
+    num = F.col("r2_pos") - F.col("n_pos") * (F.col("n_pos") + 1)
+    den = F.lit(2) * F.col("n_pos") * F.col("n_neg")
+    pre = agg.select(
+        "n_pos", "n_neg", num.alias("auc_num"), den.alias("auc_den"))
+    # integer div keeps auc_e6 exact; auc_num·1e6 fits bigint up to
+    # ~3e6 scored rows — beyond that read the exact num/den pair
+    return pre.select(
+        "*",
+        F.when(F.col("auc_den") > 0,
+               F.expr("(auc_num * 1000000) div auc_den"))
+        .cast("bigint").alias("auc_e6"),
     )
