@@ -1279,6 +1279,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return auc_exact(d, "n_chars", "y")
     q["auc"] = q_auc
 
+    def q_incremental_pairs(spark, sf):
+        # dedup-on-ingest: near-dup candidates touching the "new" batch
+        # (doc_id % 10) via a band join against the existing corpus's
+        # LSH index — existing×existing is never examined
+        from uckg_spark.operators.dedup import incremental_near_dup_pairs
+
+        docs = _t(spark, sf, "documents")
+        return incremental_near_dup_pairs(
+            docs.filter(F.col("doc_id") % 10 == 0),
+            base_docs=docs.filter(F.col("doc_id") % 10 != 0))
+    q["incremental_pairs"] = q_incremental_pairs
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -1927,6 +1939,24 @@ def oracle_sql() -> dict[str, str]:
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+    """
+
+    # incremental twin: the FULL-corpus banded pairs restricted to
+    # pairs touching the new batch — signatures are per-doc, so the
+    # batched computation must produce exactly this set
+    o["incremental_pairs"] = f"""
+        {shingle_cte}, sig AS (
+            SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id
+        ), banded AS (
+            SELECT doc_id, 0 AS band,
+                   mh0::VARCHAR || '_' || mh1::VARCHAR AS bsig FROM sig
+            UNION ALL
+            SELECT doc_id, 1, mh2::VARCHAR || '_' || mh3::VARCHAR FROM sig
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
     """
 
     o["dedup_exact_apply"] = """

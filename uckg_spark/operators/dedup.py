@@ -241,6 +241,102 @@ def minhash_signatures(
     return digs.select("doc_id", sig.alias("sig"))
 
 
+def banded_signatures(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(doc_id, sig) → (doc_id, band, bsig): each signature sliced into
+    ``bands`` equal row-groups, each group concatenated into one band
+    key. The banded table IS the LSH index — a real pipeline
+    materializes it once (e.g. ``GraphCatalog.write_table``) and every
+    ingest batch joins against it (``incremental_near_dup_pairs``)."""
+    rows_per_band = num_hashes // bands
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        "_",
+                        *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                          for r in range(rows_per_band)],
+                    ).alias("bsig"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bsig")
+
+
+def incremental_near_dup_pairs(
+    new_docs: DataFrame,
+    base_docs: DataFrame | None = None,
+    base_banded: DataFrame | None = None,
+    num_hashes: int = 4,
+    bands: int = 2,
+    n: int = 3,
+    text_col: str = "text",
+    hasher: str = "md5",
+) -> DataFrame:
+    """Dedup-on-INGEST: LSH candidate pairs touching a new batch —
+    new×existing plus new×new — WITHOUT re-examining existing×existing.
+    Provably equals the full-corpus ``minhash_lsh_pairs`` over
+    old ∪ new RESTRICTED to pairs with at least one new side
+    (signatures are per-doc, so banding the batch separately changes
+    nothing — pinned by pytest and the driver oracle). Returns distinct
+    ``(doc_a, doc_b)``, ``doc_a < doc_b``.
+
+    This is the shape that makes continuous curation affordable: the
+    full self-join re-pays the whole corpus every day, while this pays
+    ``|batch| × collision rate`` — against a PRE-BUILT banded index
+    (pass ``base_banded``, e.g. read back from the snapshot catalog
+    where the build job materialized it; ``base_docs`` recomputes it
+    inline for self-contained use). Doc-id sets must be disjoint
+    (ingest ids are new by construction).
+
+    Scale shape: one equi-join new-banded × base-banded on
+    (band, bsig) — the batch side is small, so AQE broadcasts it —
+    plus the batch's own tiny self-join; the base corpus is touched
+    only through the index.
+    """
+    if (base_docs is None) == (base_banded is None):
+        raise ValueError("pass exactly one of base_docs / base_banded")
+    new_banded = banded_signatures(
+        minhash_signatures(new_docs, num_hashes, n, text_col, hasher),
+        num_hashes, bands,
+    ).persist()
+    new_banded.count()  # materialize: feeds both joins below
+    if base_banded is None:
+        base_banded = banded_signatures(
+            minhash_signatures(base_docs, num_hashes, n, text_col, hasher),
+            num_hashes, bands,
+        )
+    nb, bb = new_banded.alias("n"), base_banded.alias("e")
+    cross = (
+        nb.join(
+            bb,
+            (F.col("n.band") == F.col("e.band"))
+            & (F.col("n.bsig") == F.col("e.bsig")),
+        )
+        .select(
+            F.least("n.doc_id", "e.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "e.doc_id").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    n2 = new_banded.alias("m")
+    within = (
+        nb.join(
+            n2,
+            (F.col("n.band") == F.col("m.band"))
+            & (F.col("n.bsig") == F.col("m.bsig"))
+            & (F.col("n.doc_id") < F.col("m.doc_id")),
+        )
+        .select(F.col("n.doc_id").alias("doc_a"), F.col("m.doc_id").alias("doc_b"))
+    )
+    return cross.unionByName(within).distinct()
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -267,22 +363,7 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     if sigs is None:
         sigs = minhash_signatures(docs, num_hashes, n, text_col, hasher)
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws(
-                        "_",
-                        *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
-                          for r in range(rows_per_band)],
-                    ).alias("bsig"),
-                )
-                for b in range(bands)
-            ])
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.bsig").persist()
+    banded = banded_signatures(sigs, num_hashes, bands).persist()
     # materialize BEFORE the self-join: the join's two scans of this cache
     # race otherwise, and partitions not yet cached are computed twice
     banded.count()
