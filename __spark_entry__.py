@@ -1291,6 +1291,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             base_docs=docs.filter(F.col("doc_id") % 10 != 0))
     q["incremental_pairs"] = q_incremental_pairs
 
+    def q_period_over_period(spark, sf):
+        # day-over-day deltas per event type on the gap-FILLED series —
+        # quiet days compare as real zeros, not silent skips
+        from uckg_spark.operators.temporal import period_over_period
+
+        return period_over_period(
+            _t(spark, sf, "events"), "event_type", "ts", "1 day")
+    q["period_over_period"] = q_period_over_period
+
+    def q_confusion(spark, sf):
+        # shipped-gate eval: n_chars >= 250 as an is-English classifier,
+        # exact counts + integer-div micro-unit precision/recall/F1
+        from uckg_spark.operators.regression import confusion_at_threshold
+
+        d = _t(spark, sf, "documents").select(
+            "n_chars", (F.col("lang") == "en").alias("y"))
+        return confusion_at_threshold(d, "n_chars", "y", threshold=250)
+    q["confusion"] = q_confusion
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3519,6 +3538,63 @@ def oracle_sql() -> dict[str, str]:
                min(CASE WHEN cw * 10 >= 9 * tw THEN v END) AS wp90,
                min(CASE WHEN cw * 100 >= 99 * tw THEN v END) AS wp99
         FROM cd GROUP BY grp
+    """
+
+    # period-over-period twin: gap_fill's spine + one lag, first period
+    # dropped so the output is NULL-free on both fetch paths
+    o["period_over_period"] = """
+        WITH b AS (
+            SELECT event_type AS key,
+                   epoch_us(ts) // 86400000000 AS bucket_idx,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY 1, 2
+        ), s AS (
+            SELECT key, min(bucket_idx) AS lo, max(bucket_idx) AS hi
+            FROM b GROUP BY key
+        ), spine AS (
+            SELECT key, unnest(range(lo, hi + 1)) AS bucket_idx FROM s
+        ), g AS (
+            SELECT spine.key, spine.bucket_idx,
+                   make_timestamp(spine.bucket_idx * 86400000000)
+                       AS bucket_ts,
+                   coalesce(b.n_events, 0)::BIGINT AS n_events
+            FROM spine LEFT JOIN b USING (key, bucket_idx)
+        )
+        SELECT key, bucket_idx, bucket_ts, n_events, prev_n,
+               (n_events - prev_n)::BIGINT AS delta
+        FROM (
+            SELECT *, lag(n_events) OVER (
+                PARTITION BY key ORDER BY bucket_idx)::BIGINT AS prev_n
+            FROM g
+        ) WHERE prev_n IS NOT NULL
+    """
+
+    # confusion twin: same four conditional counts, same integer-div
+    # ratios, same -1 undefined sentinel
+    o["confusion"] = """
+        WITH base AS (
+            SELECT n_chars::BIGINT AS s, (lang = 'en') AS y
+            FROM documents
+            WHERE n_chars IS NOT NULL AND lang IS NOT NULL
+        ), agg AS (
+            SELECT
+                coalesce(sum(CASE WHEN s >= 250 AND y THEN 1 END), 0)::BIGINT AS tp,
+                coalesce(sum(CASE WHEN s >= 250 AND NOT y THEN 1 END), 0)::BIGINT AS fp,
+                coalesce(sum(CASE WHEN s < 250 AND y THEN 1 END), 0)::BIGINT AS fn,
+                coalesce(sum(CASE WHEN s < 250 AND NOT y THEN 1 END), 0)::BIGINT AS tn
+            FROM base
+        )
+        SELECT tp, fp, fn, tn,
+               (CASE WHEN tp + fp > 0
+                     THEN (tp * 1000000) // (tp + fp)
+                     ELSE -1 END)::BIGINT AS prec_e6,
+               (CASE WHEN tp + fn > 0
+                     THEN (tp * 1000000) // (tp + fn)
+                     ELSE -1 END)::BIGINT AS rec_e6,
+               (CASE WHEN 2 * tp + fp + fn > 0
+                     THEN (2 * tp * 1000000) // (2 * tp + fp + fn)
+                     ELSE -1 END)::BIGINT AS f1_e6
+        FROM agg
     """
 
     # auc twin: same doubled average-rank identity, same integer div

@@ -196,3 +196,54 @@ def auc_exact(
                F.expr("(auc_num * 1000000) div auc_den"))
         .cast("bigint").alias("auc_e6"),
     )
+
+
+def confusion_at_threshold(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    threshold: int,
+) -> DataFrame:
+    """One-row exact classification report at ``score >= threshold``:
+    ``(tp, fp, fn, tn, prec_e6, rec_e6, f1_e6)`` — the companion to
+    :func:`auc_exact` (AUC ranks the scorer; this evaluates the actual
+    cut a production gate ships). All integer: precision = tp/(tp+fp),
+    recall = tp/(tp+fn), F1 = 2tp/(2tp+fp+fn), each floored to e6
+    micro-units by integer division. An undefined ratio (zero
+    denominator: no predicted positives / no actual positives) is
+    reported as **-1**, not NULL — a sentinel keeps the row NULL-free
+    (cross-engine fetch paths mangle null ints) and unmistakable, where
+    a silent 0 would read as a terrible-but-defined score.
+
+    Scale shape: ONE map-side-combinable aggregate over the scan — four
+    conditional counts; the ratios are column algebra on the 1-row
+    result.
+    """
+    s = F.col(score_col).cast("bigint")
+    y = F.col(label_col).cast("boolean")
+    base = df.filter(s.isNotNull() & y.isNotNull())
+    pred = s >= F.lit(threshold)
+    agg = base.agg(
+        F.sum((pred & y).cast("bigint")).alias("tp"),
+        F.sum((pred & ~y).cast("bigint")).alias("fp"),
+        F.sum((~pred & y).cast("bigint")).alias("fn"),
+        F.sum((~pred & ~y).cast("bigint")).alias("tn"),
+    ).select(
+        *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+          for c in ("tp", "fp", "fn", "tn")])
+
+    def ratio_e6(num_expr: str, den_expr: str):
+        # bigint `div`, never float floor: a float quotient that lands
+        # microscopically under an exact integer would floor differently
+        # than the twin's integer division
+        return F.when(
+            F.expr(den_expr) > 0,
+            F.expr(f"({num_expr} * 1000000) div ({den_expr})"),
+        ).otherwise(F.lit(-1)).cast("bigint")
+
+    return agg.select(
+        "tp", "fp", "fn", "tn",
+        ratio_e6("tp", "tp + fp").alias("prec_e6"),
+        ratio_e6("tp", "tp + fn").alias("rec_e6"),
+        ratio_e6("2 * tp", "2 * tp + fp + fn").alias("f1_e6"),
+    )

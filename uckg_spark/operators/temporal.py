@@ -410,3 +410,36 @@ def interval_concurrency(
         "grp", "ts",
         F.sum("net").over(w).cast("bigint").alias("concurrent"),
     )
+
+
+def period_over_period(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Period-over-period event-count deltas on the DENSIFIED timeline:
+    ``(key, bucket_idx, bucket_ts, n_events, prev_n, delta)`` — the
+    WoW/DoD metric every monitoring dashboard runs, composed as
+    ``gap_fill_counts`` + one lag. Composing on the gap-FILLED series
+    is the point: a key that went quiet shows a real drop to zero and
+    the recovery shows a real rise from zero, where the naive
+    lag-over-sparse-groupBy silently compares across the gap (the
+    classic WoW bug). The first period of each key is dropped (no
+    predecessor), so every output column is non-null; the change ratio
+    is the caller's ``delta / prev_n`` — delivered as the exact integer
+    pair, not a float (prev_n = 0 periods stay representable).
+
+    Scale shape: gap_fill's one partial agg + the spine join, then a
+    lag over the per-key aggregate rows — all post-aggregate, sized by
+    buckets, not events.
+    """
+    filled = gap_fill_counts(df, key_col, ts_col, bucket)
+    w = Window.partitionBy("key").orderBy("bucket_idx")
+    return (
+        filled.withColumn(
+            "prev_n", F.lag("n_events").over(w).cast("bigint"))
+        .filter(F.col("prev_n").isNotNull())
+        .withColumn(
+            "delta", (F.col("n_events") - F.col("prev_n")).cast("bigint"))
+    )
