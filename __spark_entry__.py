@@ -1310,6 +1310,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return confusion_at_threshold(d, "n_chars", "y", threshold=250)
     q["confusion"] = q_confusion
 
+    def q_kg_hits(spark, sf):
+        # hub/authority separation over the KG (2 fixed-point
+        # iterations) — reference entities vs aggregator entities,
+        # which the single PageRank score conflates
+        from uckg_spark.plans.graphalgs import hits_fixed
+
+        return hits_fixed(_kg_edges(spark, sf), iterations=2)
+    q["kg_hits"] = q_kg_hits
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3567,6 +3576,42 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY key ORDER BY bucket_idx)::BIGINT AS prev_n
             FROM g
         ) WHERE prev_n IS NOT NULL
+    """
+
+    # hits twin: the same two fixed-point iterations unrolled —
+    # a1 = indeg·1e6 (every h0 is 1e6), then h1, a2, h2 as join-sums
+    o["kg_hits"] = """
+        WITH e AS (
+            SELECT DISTINCT * FROM (
+                SELECT 'order:' || o_orderkey AS src,
+                       'cust:' || o_custkey AS dst FROM orders
+                UNION ALL
+                SELECT 'cust:' || c_custkey,
+                       'nation:' || c_nationkey FROM customer
+                UNION ALL
+                SELECT 'supp:' || s_suppkey,
+                       'nation:' || s_nationkey FROM supplier
+            )
+        ), nodes AS (
+            SELECT src AS node FROM e UNION SELECT dst FROM e
+        ), a1 AS (
+            SELECT dst AS node, (count(*) * 1000000)::BIGINT AS a
+            FROM e GROUP BY dst
+        ), h1 AS (
+            SELECT e.src AS node, sum(a1.a)::BIGINT AS h
+            FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src
+        ), a2 AS (
+            SELECT e.dst AS node, sum(h1.h)::BIGINT AS a
+            FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst
+        ), h2 AS (
+            SELECT e.src AS node, sum(a2.a)::BIGINT AS h
+            FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src
+        )
+        SELECT n.node, coalesce(a2.a, 0)::BIGINT AS auth,
+               coalesce(h2.h, 0)::BIGINT AS hub
+        FROM nodes n
+        LEFT JOIN a2 ON n.node = a2.node
+        LEFT JOIN h2 ON n.node = h2.node
     """
 
     # confusion twin: same four conditional counts, same integer-div

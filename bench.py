@@ -105,7 +105,7 @@ def main() -> None:
         "bloom_semi", "weighted_quantile", "interval_concurrency",
         "kge_negatives", "doc_chunks", "heavy_hitters", "rank_normalize",
         "pareto_front", "label_spread", "auc", "incremental_pairs",
-        "period_over_period", "confusion",
+        "period_over_period", "confusion", "kg_hits",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical
@@ -126,7 +126,7 @@ def main() -> None:
              "similarity_join", "kg_pagerank_seeded",
              "containment_pairs", "winnow_fingerprint", "salted_join",
              "kg_link_predict", "heavy_hitters", "kge_negatives",
-             "bloom_semi", "weighted_quantile"}
+             "bloom_semi", "weighted_quantile", "kg_hits"}
 
     def timed(name: str, run) -> None:
         walls = []

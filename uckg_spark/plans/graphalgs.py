@@ -601,3 +601,73 @@ def kge_negative_samples(
             "neg_obj", F.col("sample_i").cast("bigint").alias("sample_i"),
         )
     )
+
+
+def hits_fixed(
+    edges: DataFrame,
+    iterations: int = 2,
+    subj: str = "subj",
+    obj: str = "obj",
+) -> DataFrame:
+    """Integer fixed-point HITS (Kleinberg 1999): ``(node, auth, hub)``
+    — authorities are pointed AT by good hubs, hubs point TO good
+    authorities; on a KG this separates reference entities (nations,
+    popular CVEs — high auth) from aggregator entities (orders,
+    advisory pages — high hub), which PageRank's single score conflates.
+
+    Exact, engine-portable semantics (the same no-float discipline as
+    ``pagerank_fixed``):
+
+      E       = DISTINCT (subj, obj)
+      h0(n)   = 1_000_000
+      a_k(n)  = Σ_{(m,n)∈E} h_{k-1}(m)     -- auth from CURRENT hubs
+      h_k(n)  = Σ_{(n,m)∈E} a_k(m)         -- hub from the NEW auths
+
+    No per-iteration normalization: float norms would break cross-
+    engine exactness, and with a FIXED iteration budget the raw sums
+    preserve the RANKING the normalized iteration produces (norms are
+    positive scalars). Magnitudes grow like (d_in·d_out)^k·1e6 — with
+    the default 2 iterations the bigint bound allows degree products up
+    to ~10^6 per step, far beyond the KG's hubs; more iterations on a
+    high-degree graph should rescale (div by max) between steps.
+    Dangling directions contribute 0 (a node nothing points at has
+    auth 0 — coalesced, never NULL).
+
+    Scale shape: per iteration exactly two shuffle joins (edges×hub on
+    src, edges×auth on dst) with map-side-combined sums — the PageRank
+    shuffle pair, twice. The DuckDB twin unrolls the same steps.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(
+        F.col(subj).alias("src"), F.col(obj).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if iterations > 1:
+        e = e.persist()
+        nodes = nodes.persist()
+    hub = nodes.withColumn("h", F.lit(1_000_000).cast("bigint"))
+    auth = None
+    for _ in range(iterations):
+        auth = (
+            e.join(hub, e.src == hub.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").cast("bigint").alias("a"))
+        )
+        hub = (
+            e.join(auth, e.dst == auth.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").cast("bigint").alias("h"))
+        )
+    return (
+        nodes.join(auth, "node", "left")
+        .join(hub, "node", "left")
+        .select(
+            "node",
+            F.coalesce("a", F.lit(0)).cast("bigint").alias("auth"),
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hub"),
+        )
+    )
