@@ -1319,6 +1319,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return hits_fixed(_kg_edges(spark, sf), iterations=2)
     q["kg_hits"] = q_kg_hits
 
+    def q_mad_outliers(spark, sf):
+        # robust median/MAD gate on doc lengths per source — the
+        # heavy-tail companion to the k-sigma doc_outliers row
+        from uckg_spark.operators.outliers import mad_outliers
+
+        return mad_outliers(
+            _t(spark, sf, "documents"), "n_chars", "source", "doc_id", k=3)
+    q["mad_outliers"] = q_mad_outliers
+
+    def q_kg_struct_groups(spark, sf):
+        # entity resolution by GRAPH SHAPE: groups of nodes whose
+        # neighbor-set minhash signatures fully agree (orders of one
+        # customer collide structurally even with disjoint labels)
+        from uckg_spark.plans.graphalgs import structural_groups
+
+        return structural_groups(_kg_edges(spark, sf), num_hashes=4)
+    q["kg_struct_groups"] = q_kg_struct_groups
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3576,6 +3594,75 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY key ORDER BY bucket_idx)::BIGINT AS prev_n
             FROM g
         ) WHERE prev_n IS NOT NULL
+    """
+
+    # struct-groups twin: same symmetrized neighbor set, same md5
+    # hash-family slices, same full-signature grouping
+    o["kg_struct_groups"] = """
+        WITH e AS (
+            SELECT DISTINCT * FROM (
+                SELECT 'order:' || o_orderkey AS src,
+                       'cust:' || o_custkey AS dst FROM orders
+                UNION ALL
+                SELECT 'cust:' || c_custkey,
+                       'nation:' || c_nationkey FROM customer
+                UNION ALL
+                SELECT 'supp:' || s_suppkey,
+                       'nation:' || s_nationkey FROM supplier
+            )
+        ), und AS (
+            SELECT src AS node, dst AS nbr FROM e
+            UNION
+            SELECT dst, src FROM e
+        ), sig AS (
+            SELECT node,
+                   min(('0x' || substr(md5('0:' || nbr), 1, 8))::BIGINT) AS mh0,
+                   min(('0x' || substr(md5('0:' || nbr), 9, 8))::BIGINT) AS mh1,
+                   min(('0x' || substr(md5('0:' || nbr), 17, 8))::BIGINT) AS mh2,
+                   min(('0x' || substr(md5('0:' || nbr), 25, 8))::BIGINT) AS mh3
+            FROM und GROUP BY node
+        )
+        SELECT mh0, mh1, mh2, mh3, count(*)::BIGINT AS n_nodes,
+               min(node) AS rep
+        FROM sig GROUP BY mh0, mh1, mh2, mh3
+        HAVING count(*) >= 2
+    """
+
+    # mad twin: the same cross-multiplied discrete medians (of v, then
+    # of |v − med|) and the same raw-MAD-units gate
+    o["mad_outliers"] = """
+        WITH base AS (
+            SELECT doc_id AS id, source AS grp, n_chars::BIGINT AS v
+            FROM documents WHERE n_chars IS NOT NULL
+        ), cd1 AS (
+            SELECT grp, v,
+                   count(*) OVER (PARTITION BY grp ORDER BY v
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cle,
+                   count(*) OVER (PARTITION BY grp)::BIGINT AS tot
+            FROM base
+        ), med AS (
+            SELECT grp, min(CASE WHEN cle * 2 >= tot THEN v END) AS med
+            FROM cd1 GROUP BY grp
+        ), dev AS (
+            SELECT base.id, base.grp, base.v,
+                   abs(base.v - med.med)::BIGINT AS dev
+            FROM base JOIN med USING (grp)
+        ), cd2 AS (
+            SELECT grp, dev,
+                   count(*) OVER (PARTITION BY grp ORDER BY dev
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cle,
+                   count(*) OVER (PARTITION BY grp)::BIGINT AS tot
+            FROM dev
+        ), madt AS (
+            SELECT grp, min(CASE WHEN cle * 2 >= tot THEN dev END
+                   )::BIGINT AS mad
+            FROM cd2 GROUP BY grp
+        )
+        SELECT dev.id, dev.grp, dev.v, dev.dev, madt.mad,
+               (dev.dev > 3 * madt.mad) AS is_outlier
+        FROM dev JOIN madt USING (grp)
     """
 
     # hits twin: the same two fixed-point iterations unrolled —

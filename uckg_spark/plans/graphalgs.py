@@ -671,3 +671,70 @@ def hits_fixed(
             F.coalesce("h", F.lit(0)).cast("bigint").alias("hub"),
         )
     )
+
+
+def node_neighbor_minhash(
+    edges: DataFrame,
+    num_hashes: int = 4,
+    subj: str = "subj",
+    obj: str = "obj",
+) -> DataFrame:
+    """Structural node signatures: a MinHash of each node's UNDIRECTED
+    neighbor set — ``(node, mh0..mh{k-1})``. Nodes playing the same
+    structural role (two alias nodes for one real-world entity, split
+    crawl identities of one host) share neighbors even when their
+    labels disagree, so their signatures collide — entity resolution by
+    GRAPH SHAPE, complementing the label-based `canonical_map` and the
+    content-based dedup family. Hash family is exactly
+    ``operators.dedup.minhash_signatures``'s (md5 ``'{j div 4}:'``
+    prefix, digest slice ``j mod 4``), so the same banding/joining
+    machinery applies downstream.
+
+    Scale shape: symmetrize (one union), then ONE groupBy on node —
+    each min() combines map-side; signatures cost a single shuffle
+    keyed by the node.
+    """
+    if num_hashes < 1:
+        raise ValueError("num_hashes must be >= 1")
+    e = edges.select(
+        F.col(subj).alias("src"), F.col(obj).alias("dst")).distinct()
+    und = (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .unionByName(
+            e.select(F.col("dst").alias("node"), F.col("src").alias("nbr")))
+        .distinct()
+    )
+    return und.groupBy("node").agg(*[
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j // 4}:"), F.col("nbr"))),
+                    8 * (j % 4) + 1, 8),
+                16, 10,
+            ).cast("bigint")
+        ).alias(f"mh{j}")
+        for j in range(num_hashes)
+    ])
+
+
+def structural_groups(
+    edges: DataFrame,
+    num_hashes: int = 4,
+    min_size: int = 2,
+    subj: str = "subj",
+    obj: str = "obj",
+) -> DataFrame:
+    """Groups of nodes whose FULL neighbor-minhash signatures agree —
+    high-probability same-neighborhood candidates: ``(mh0.., n_nodes,
+    rep)`` with ``rep`` the minimum node id (the canonicalization
+    convention). The structural-ER candidate generator; verify
+    candidates with an exact neighbor-set compare before merging."""
+    sig = node_neighbor_minhash(edges, num_hashes, subj, obj)
+    return (
+        sig.groupBy(*[f"mh{j}" for j in range(num_hashes)])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").alias("rep"),
+        )
+        .filter(F.col("n_nodes") >= min_size)
+    )
