@@ -1337,6 +1337,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return structural_groups(_kg_edges(spark, sf), num_hashes=4)
     q["kg_struct_groups"] = q_kg_struct_groups
 
+    def q_grouped_corr(spark, sf):
+        # exact n-scaled covariance pair + IEEE-deterministic corr_e6
+        # of chars vs tokens per source — the collinearity diagnostic
+        # to run before any 2-feature OLS fit
+        from uckg_spark.operators.dedup import tokens
+        from uckg_spark.operators.integrity import grouped_corr
+
+        d = _t(spark, sf, "documents").select(
+            "source", "n_chars",
+            F.size(tokens(F.col("text"))).alias("n_tok"))
+        return grouped_corr(d, "n_chars", "n_tok", "source")
+    q["grouped_corr"] = q_grouped_corr
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3594,6 +3607,34 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY key ORDER BY bucket_idx)::BIGINT AS prev_n
             FROM g
         ) WHERE prev_n IS NOT NULL
+    """
+
+    # corr twin: identical exact bigint moments, identical float64 op
+    # tree for the display value (HUGEINT sums cast back to BIGINT)
+    o["grouped_corr"] = """
+        WITH base AS (
+            SELECT source AS grp, n_chars::BIGINT AS x,
+                   len(list_filter(string_split(text, ' '),
+                                   t -> t <> ''))::BIGINT AS y
+            FROM documents WHERE n_chars IS NOT NULL
+        ), agg AS (
+            SELECT grp, count(*)::BIGINT AS n,
+                   sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                   sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy,
+                   sum(x * y)::BIGINT AS sxy
+            FROM base GROUP BY grp
+        )
+        SELECT grp, n,
+               (n * sxy - sx * sy)::BIGINT AS cov_num,
+               (n * sxx - sx * sx)::BIGINT AS varx_num,
+               (n * syy - sy * sy)::BIGINT AS vary_num,
+               (CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                     THEN floor(1000000.0
+                          * (n * sxy - sx * sy)::DOUBLE
+                          / sqrt((n * sxx - sx * sx)::DOUBLE
+                                 * (n * syy - sy * sy)::DOUBLE))
+                     ELSE 0 END)::BIGINT AS corr_e6
+        FROM agg
     """
 
     # struct-groups twin: same symmetrized neighbor set, same md5

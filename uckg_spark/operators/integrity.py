@@ -98,3 +98,60 @@ def table_checksum(
         F.sum("h").cast("bigint").alias("checksum"),
     ]
     return keyed.groupBy("grp").agg(*agg) if group_col else keyed.agg(*agg)
+
+
+def grouped_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Per-group Pearson correlation of two INTEGER signals:
+    ``(grp, n, cov_num, varx_num, vary_num, corr_e6)`` — the pairwise
+    companion to ``collect_stats`` (is doc length just token count in
+    disguise? do two quality signals measure the same thing?), and the
+    diagnostic ``fit_linear_e6`` callers should check first (a feature
+    pair at |corr| ≈ 1 makes the OLS system ill-conditioned).
+
+    Exactness: the n-scaled moments are exact bigints —
+    ``cov_num = n·Σxy − Σx·Σy`` and the two variance numerators
+    (the shared n² scale cancels in the ratio). ``corr_e6 =
+    floor(1e6 · cov_num / sqrt(varx_num · vary_num))`` does touch
+    float64, but both engines evaluate the IDENTICAL op tree on
+    identical integers and IEEE sqrt/div/mul are correctly rounded, so
+    the result is deterministic cross-engine (the ``quality_fit`` solve
+    argument); the exact numerators ride along for callers that need
+    rational precision. Degenerate groups (zero variance either side)
+    get NULL-free corr_e6 = 0 with the numerators telling the story.
+
+    Scale shape: ONE map-side-combinable aggregate per group — five
+    sums; nothing else.
+    """
+    x = F.col(x_col).cast("bigint")
+    y = F.col(y_col).cast("bigint")
+    base = df.filter(x.isNotNull() & y.isNotNull())
+    agg = base.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x * x).cast("bigint").alias("sxx"),
+        F.sum(y * y).cast("bigint").alias("syy"),
+        F.sum(x * y).cast("bigint").alias("sxy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    pre = agg.select(
+        "grp", "n",
+        cov.alias("cov_num"), vx.alias("varx_num"), vy.alias("vary_num"))
+    corr = F.floor(
+        F.lit(1_000_000.0) * F.col("cov_num").cast("double")
+        / F.sqrt(F.col("varx_num").cast("double")
+                 * F.col("vary_num").cast("double"))
+    ).cast("bigint")
+    return pre.select(
+        "grp", "n", "cov_num", "varx_num", "vary_num",
+        F.when(
+            (F.col("varx_num") > 0) & (F.col("vary_num") > 0), corr
+        ).otherwise(F.lit(0)).cast("bigint").alias("corr_e6"),
+    )
