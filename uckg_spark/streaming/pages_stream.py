@@ -353,3 +353,108 @@ def run_incremental_kg(
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_ingest_sink(spark, cat, num_hashes: int = 4, bands: int = 2,
+                      n: int = 3, index_table: str = "lsh_index",
+                      pairs_table: str = "dup_pairs"):
+    """foreachBatch body for ``run_dedup_ingest`` (factored so tests can
+    drive replays directly). Per document batch:
+
+    1. candidate near-dup pairs of the batch against the CURRENT
+       cataloged LSH index plus within-batch pairs
+       (``operators.dedup.incremental_near_dup_pairs`` — existing
+       corpus touched only through the index);
+    2. append the NEW pairs to ``pairs_table`` as a set-delta
+       (subtract-then-append: a replayed batch computes an empty delta,
+       the ``run_incremental_kg`` idempotence argument);
+    3. extend the index with the batch's banded signatures, committed
+       with the producing batch_id in the snapshot props — the
+       transactional marker (``counts_sink`` argument) that makes the
+       non-idempotent index append exactly-once.
+
+    Step order is the crash-safety argument: a crash after (2) but
+    before (3) replays the batch, the pair delta is empty (already
+    appended), and the index commit — the only step with the marker —
+    happens once. The final ``pairs_table`` equals the FULL-corpus
+    ``minhash_lsh_pairs`` set regardless of how ingest batched the
+    corpus: a pair (a, b) with a in batch i ≥ j ∋ b is found when
+    batch i runs (b's signatures are already in the index), pinned by
+    the any-batching pytest.
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (
+        banded_signatures,
+        incremental_near_dup_pairs,
+        minhash_signatures,
+    )
+
+    def sink(batch_df, batch_id: int) -> None:
+        idx_head = cat.latest_snapshot(index_table)
+        if idx_head is not None and idx_head.get("props", {}).get(
+                "last_batch_id") == batch_id:
+            return  # full replay of a committed batch
+        batch_df = batch_df.persist()
+        try:
+            if idx_head is None:
+                pairs = incremental_near_dup_pairs(
+                    batch_df,
+                    base_docs=batch_df.limit(0),
+                    num_hashes=num_hashes, bands=bands, n=n)
+            else:
+                pairs = incremental_near_dup_pairs(
+                    batch_df,
+                    base_banded=cat.read_table(
+                        spark, index_table,
+                        snapshot_id=idx_head["snapshot_id"]),
+                    num_hashes=num_hashes, bands=bands, n=n)
+            try:
+                existing = cat.read_table(spark, pairs_table)
+                delta = pairs.subtract(existing)
+            except FileNotFoundError:
+                delta = pairs
+            delta = delta.persist()
+            if delta.count() > 0:
+                cat.write_table(pairs_table, delta, mode="append")
+            delta.unpersist()
+            cat.write_table(
+                index_table,
+                banded_signatures(
+                    minhash_signatures(batch_df, num_hashes, n),
+                    num_hashes, bands),
+                mode="append",
+                props={"last_batch_id": batch_id},
+            )
+        finally:
+            batch_df.unpersist()
+
+    return sink
+
+
+def run_dedup_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    catalog_root: str,
+    checkpoint: str,
+    num_hashes: int = 4,
+    bands: int = 2,
+    n: int = 3,
+) -> None:
+    """Streaming dedup-on-ingest: maintain the LSH index AND the
+    near-dup pair table incrementally as document batches arrive —
+    the continuous form of the batch dedup family, with per-ingest cost
+    |batch|·collision-rate instead of re-paying the corpus self-join
+    every sync. Exactly-once via the set-delta + snapshot-marker pair
+    (see ``dedup_ingest_sink``)."""
+    from ..sources.catalog import GraphCatalog
+
+    q = (
+        stream.writeStream.foreachBatch(
+            dedup_ingest_sink(spark, GraphCatalog(catalog_root),
+                              num_hashes=num_hashes, bands=bands, n=n))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
