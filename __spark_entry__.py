@@ -1350,6 +1350,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return grouped_corr(d, "n_chars", "n_tok", "source")
     q["grouped_corr"] = q_grouped_corr
 
+    def q_source_overlap(spark, sf):
+        # mixture-health check: pairwise shingle-set Jaccard between
+        # sources as exact inter/uni rationals — double-counted crawls
+        # show up as near-1 pairs before they double-weight a voice
+        from uckg_spark.operators.corpus import source_overlap
+
+        return source_overlap(_t(spark, sf, "documents"))
+    q["source_overlap"] = q_source_overlap
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3607,6 +3616,29 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY key ORDER BY bucket_idx)::BIGINT AS prev_n
             FROM g
         ) WHERE prev_n IS NOT NULL
+    """
+
+    # source-overlap twin: same distinct (group, 3-gram) projection,
+    # same shingle-keyed join and size attach
+    o["source_overlap"] = """
+        WITH toks AS (
+            SELECT source, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT source AS g,
+                   unnest(list_transform(
+                       range(1, greatest(len(t) - 2, 0) + 1),
+                       i -> array_to_string(t[i:i+2], ' '))) AS s
+            FROM toks
+        ), sizes AS (
+            SELECT g, count(*)::BIGINT AS n FROM sh GROUP BY g
+        )
+        SELECT a.g AS src_a, b.g AS src_b, count(*)::BIGINT AS inter,
+               (na.n + nb.n - count(*))::BIGINT AS uni
+        FROM sh a
+        JOIN sh b ON a.s = b.s AND a.g < b.g
+        JOIN sizes na ON na.g = a.g
+        JOIN sizes nb ON nb.g = b.g
+        GROUP BY a.g, b.g, na.n, nb.n
     """
 
     # corr twin: identical exact bigint moments, identical float64 op

@@ -106,7 +106,7 @@ def main() -> None:
         "kge_negatives", "doc_chunks", "heavy_hitters", "rank_normalize",
         "pareto_front", "label_spread", "auc", "incremental_pairs",
         "period_over_period", "confusion", "kg_hits", "mad_outliers",
-        "kg_struct_groups", "grouped_corr",
+        "kg_struct_groups", "grouped_corr", "source_overlap",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import h32, tokens
+from .dedup import h32, shingles, tokens
 
 E6 = 1000000
 
@@ -417,4 +417,47 @@ def sliding_chunks(
         F.col("start").cast("bigint").alias("start"),
         F.size("_chunk").cast("bigint").alias("n_tokens"),
         F.array_join("_chunk", " ").alias("text_chunk"),
+    )
+
+
+def source_overlap(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-composition diagnostic: pairwise shingle-set overlap
+    between groups (sources/hosts/dumps) — ``(src_a, src_b, inter,
+    uni)`` with Jaccard as the exact ``inter/uni`` rational. This is
+    the mixture-health check run before weighting a training mix: two
+    "different" sources with near-1 Jaccard are the same crawl twice
+    (double-weighting one voice), and near-0 overlap flags a source
+    that needs its own curation thresholds.
+
+    Scale shape: distinct (group, shingle) projection (map-side
+    combinable), then a self-join KEYED ON THE SHINGLE — per-shingle
+    fan-out is bounded by C(G, 2) where G is the number of groups
+    (tiny by definition: sources, not documents), so the join never
+    approaches |corpus|²; per-group set sizes ride a broadcast join.
+    """
+    sh = docs.select(
+        F.col(group_col).alias("g"),
+        F.explode(shingles(F.col(text_col))).alias("s"),
+    ).distinct()
+    sizes = sh.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s"))
+               & (F.col("a.g") < F.col("b.g")))
+        .groupBy(F.col("a.g").alias("src_a"), F.col("b.g").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    na = sizes.select(F.col("g").alias("src_a"), F.col("n").alias("_na"))
+    nb = sizes.select(F.col("g").alias("src_b"), F.col("n").alias("_nb"))
+    return (
+        inter.join(F.broadcast(na), "src_a").join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a", "src_b", "inter",
+            (F.col("_na") + F.col("_nb") - F.col("inter"))
+            .cast("bigint").alias("uni"),
+        )
     )
