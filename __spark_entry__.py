@@ -1359,6 +1359,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return source_overlap(_t(spark, sf, "documents"))
     q["source_overlap"] = q_source_overlap
 
+    def q_kg_struct_pairs(spark, sf):
+        # the verify stage of structural ER: small-group sketch
+        # candidates scored by TRUE neighbor-set Jaccard — sketch
+        # collisions are hypotheses, the set intersection decides
+        from uckg_spark.plans.graphalgs import structural_pairs
+
+        return structural_pairs(
+            _kg_edges(spark, sf), num_hashes=4, max_group_size=8)
+    q["kg_struct_pairs"] = q_kg_struct_pairs
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3639,6 +3649,60 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes na ON na.g = a.g
         JOIN sizes nb ON nb.g = b.g
         GROUP BY a.g, b.g, na.n, nb.n
+    """
+
+    # struct-pairs twin: same sketch grouping (2..8 members), same
+    # exact neighbor-intersection joins
+    o["kg_struct_pairs"] = """
+        WITH e AS (
+            SELECT DISTINCT * FROM (
+                SELECT 'order:' || o_orderkey AS src,
+                       'cust:' || o_custkey AS dst FROM orders
+                UNION ALL
+                SELECT 'cust:' || c_custkey,
+                       'nation:' || c_nationkey FROM customer
+                UNION ALL
+                SELECT 'supp:' || s_suppkey,
+                       'nation:' || s_nationkey FROM supplier
+            )
+        ), und AS (
+            SELECT src AS node, dst AS nbr FROM e
+            UNION
+            SELECT dst, src FROM e
+        ), sig AS (
+            SELECT node,
+                   min(('0x' || substr(md5('0:' || nbr), 1, 8))::BIGINT) AS mh0,
+                   min(('0x' || substr(md5('0:' || nbr), 9, 8))::BIGINT) AS mh1,
+                   min(('0x' || substr(md5('0:' || nbr), 17, 8))::BIGINT) AS mh2,
+                   min(('0x' || substr(md5('0:' || nbr), 25, 8))::BIGINT) AS mh3
+            FROM und GROUP BY node
+        ), small AS (
+            SELECT mh0, mh1, mh2, mh3 FROM sig
+            GROUP BY mh0, mh1, mh2, mh3
+            HAVING count(*) BETWEEN 2 AND 8
+        ), members AS (
+            SELECT sig.* FROM sig
+            JOIN small USING (mh0, mh1, mh2, mh3)
+        ), cand AS (
+            SELECT a.node AS node_a, b.node AS node_b
+            FROM members a JOIN members b
+              ON a.mh0 = b.mh0 AND a.mh1 = b.mh1
+             AND a.mh2 = b.mh2 AND a.mh3 = b.mh3
+             AND a.node < b.node
+        ), deg AS (
+            SELECT node, count(*)::BIGINT AS deg FROM und GROUP BY node
+        ), inter AS (
+            SELECT c.node_a, c.node_b, count(*)::BIGINT AS inter
+            FROM cand c
+            JOIN und ua ON ua.node = c.node_a
+            JOIN und ub ON ub.node = c.node_b AND ub.nbr = ua.nbr
+            GROUP BY c.node_a, c.node_b
+        )
+        SELECT i.node_a, i.node_b, i.inter,
+               (da.deg + db.deg - i.inter)::BIGINT AS uni
+        FROM inter i
+        JOIN deg da ON da.node = i.node_a
+        JOIN deg db ON db.node = i.node_b
     """
 
     # corr twin: identical exact bigint moments, identical float64 op

@@ -66,3 +66,31 @@ def test_signatures_are_neighbor_set_functions(spark):
     b = node_neighbor_minhash(
         _edges(spark, [("y", "r", "x"), ("x", "r", "y")]))
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_structural_pairs_expose_false_candidates(spark):
+    from uckg_spark.plans.graphalgs import structural_pairs
+
+    e = _edges(spark, [
+        ("o1", "r", "c1"), ("o2", "r", "c1"), ("o3", "r", "c2"),
+        ("c1", "r", "n1"), ("c2", "r", "n1"),
+    ])
+    # at k=4 this fixture's sketch groups {o1, o2, n1} (the superset
+    # collision) — the verify stage must EXPOSE n1 as a false
+    # candidate (inter < uni) while confirming the true pair exactly
+    got = {(r["node_a"], r["node_b"]): (r["inter"], r["uni"])
+           for r in structural_pairs(e, num_hashes=4).collect()}
+    assert got[("o1", "o2")] == (1, 1)          # true duplicates: N = {c1}
+    for pair, (inter, uni) in got.items():
+        if "n1" in pair:
+            assert inter < uni                   # exposed, not merged
+
+
+def test_structural_pairs_skip_giant_groups(spark):
+    from uckg_spark.plans.graphalgs import structural_pairs
+
+    rows = [(f"o{i}", "r", "hub") for i in range(12)]
+    e = _edges(spark, rows)
+    # all 12 orders share neighborhood {hub}: one structural group of
+    # 12 > max_group_size 8 — skipped, so no pairwise blow-up
+    assert structural_pairs(e, num_hashes=4, max_group_size=8).count() == 0

@@ -738,3 +738,79 @@ def structural_groups(
         )
         .filter(F.col("n_nodes") >= min_size)
     )
+
+
+def structural_pairs(
+    edges: DataFrame,
+    num_hashes: int = 4,
+    max_group_size: int = 8,
+    subj: str = "subj",
+    obj: str = "obj",
+) -> DataFrame:
+    """The VERIFY stage of structural entity resolution: candidate
+    pairs from ``structural_groups`` scored by their TRUE neighbor-set
+    overlap — ``(node_a, node_b, inter, uni)`` with Jaccard the exact
+    ``inter/uni`` rational. This is the candidate→exact-verify
+    composition the MinHash superset collision demands (a sketch
+    collision is a hypothesis, the set intersection is the answer;
+    false candidates surface as inter ≪ uni instead of silently
+    merging).
+
+    ``max_group_size`` skips structural groups larger than that: their
+    pairwise fan-out is C(g, 2) (one nation's customers would be ~10⁵
+    pairs), and a giant group is its own finding — read it from
+    ``structural_groups`` directly; pairwise verification targets the
+    small-cluster alias/duplicate case. The cap is the scale guard:
+    candidate pairs are bounded by |groups|·C(cap, 2).
+
+    Scale shape: signature groupBy, a within-group self-join on the
+    full signature (bounded by the cap), then the intersection count
+    as one (pair × neighbor) equi-join chain keyed on node then
+    neighbor — per-pair cost tracks the nodes' degrees, never the
+    graph.
+    """
+    if max_group_size < 2:
+        raise ValueError("max_group_size must be >= 2")
+    keys = [f"mh{j}" for j in range(num_hashes)]
+    sig = node_neighbor_minhash(edges, num_hashes, subj, obj)
+    small = (
+        sig.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_gn"))
+        .filter((F.col("_gn") >= 2) & (F.col("_gn") <= max_group_size))
+        .select(*keys)
+    )
+    members = sig.join(small, keys)
+    ma, mb = members.alias("ma"), members.alias("mb")
+    cand = ma.join(
+        mb,
+        [F.col(f"ma.{k}") == F.col(f"mb.{k}") for k in keys]
+        + [F.col("ma.node") < F.col("mb.node")],
+    ).select(
+        F.col("ma.node").alias("node_a"), F.col("mb.node").alias("node_b"))
+    e = edges.select(
+        F.col(subj).alias("src"), F.col(obj).alias("dst")).distinct()
+    und = (
+        e.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .unionByName(
+            e.select(F.col("dst").alias("node"), F.col("src").alias("nbr")))
+        .distinct()
+    )
+    deg = und.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg"))
+    ua = und.select(F.col("node").alias("node_a"), "nbr")
+    ub = und.select(F.col("node").alias("node_b"), "nbr")
+    inter = (
+        cand.join(ua, "node_a").join(ub, ["node_b", "nbr"])
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+    )
+    da = deg.select(F.col("node").alias("node_a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("node").alias("node_b"), F.col("deg").alias("_db"))
+    return (
+        inter.join(da, "node_a").join(db, "node_b")
+        .select(
+            "node_a", "node_b", "inter",
+            (F.col("_da") + F.col("_db") - F.col("inter"))
+            .cast("bigint").alias("uni"),
+        )
+    )
