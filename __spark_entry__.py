@@ -1369,6 +1369,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _kg_edges(spark, sf), num_hashes=4, max_group_size=8)
     q["kg_struct_pairs"] = q_kg_struct_pairs
 
+    def q_spike_days(spark, sf):
+        # anomaly composition: day-over-day deltas (gap-aware) gated by
+        # the robust MAD outlier test per event type — "which days
+        # spiked" with no float and no distribution assumption
+        from uckg_spark.operators.outliers import mad_outliers
+        from uckg_spark.operators.temporal import period_over_period
+
+        pop = period_over_period(
+            _t(spark, sf, "events"), "event_type", "ts", "1 day")
+        return mad_outliers(
+            pop.select("key", F.col("bucket_idx").alias("day"), "delta"),
+            "delta", "key", "day", k=4)
+    q["spike_days"] = q_spike_days
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3649,6 +3663,62 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes na ON na.g = a.g
         JOIN sizes nb ON nb.g = b.g
         GROUP BY a.g, b.g, na.n, nb.n
+    """
+
+    # spike twin: the period_over_period spine+lag feeding the same
+    # double-median MAD gate
+    o["spike_days"] = """
+        WITH b AS (
+            SELECT event_type AS key,
+                   epoch_us(ts) // 86400000000 AS bucket_idx,
+                   count(*)::BIGINT AS n_events
+            FROM events GROUP BY 1, 2
+        ), s AS (
+            SELECT key, min(bucket_idx) AS lo, max(bucket_idx) AS hi
+            FROM b GROUP BY key
+        ), spine AS (
+            SELECT key, unnest(range(lo, hi + 1)) AS bucket_idx FROM s
+        ), g AS (
+            SELECT spine.key, spine.bucket_idx,
+                   coalesce(b.n_events, 0)::BIGINT AS n_events
+            FROM spine LEFT JOIN b USING (key, bucket_idx)
+        ), base AS (
+            SELECT key AS grp, bucket_idx AS id,
+                   (n_events - prev_n)::BIGINT AS v
+            FROM (
+                SELECT *, lag(n_events) OVER (
+                    PARTITION BY key ORDER BY bucket_idx
+                )::BIGINT AS prev_n FROM g
+            ) WHERE prev_n IS NOT NULL
+        ), cd1 AS (
+            SELECT grp, v,
+                   count(*) OVER (PARTITION BY grp ORDER BY v
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cle,
+                   count(*) OVER (PARTITION BY grp)::BIGINT AS tot
+            FROM base
+        ), med AS (
+            SELECT grp, min(CASE WHEN cle * 2 >= tot THEN v END) AS med
+            FROM cd1 GROUP BY grp
+        ), dev AS (
+            SELECT base.id, base.grp, base.v,
+                   abs(base.v - med.med)::BIGINT AS dev
+            FROM base JOIN med USING (grp)
+        ), cd2 AS (
+            SELECT grp, dev,
+                   count(*) OVER (PARTITION BY grp ORDER BY dev
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   )::BIGINT AS cle,
+                   count(*) OVER (PARTITION BY grp)::BIGINT AS tot
+            FROM dev
+        ), madt AS (
+            SELECT grp, min(CASE WHEN cle * 2 >= tot THEN dev END
+                   )::BIGINT AS mad
+            FROM cd2 GROUP BY grp
+        )
+        SELECT dev.id, dev.grp, dev.v, dev.dev, madt.mad,
+               (dev.dev > 4 * madt.mad) AS is_outlier
+        FROM dev JOIN madt USING (grp)
     """
 
     # struct-pairs twin: same sketch grouping (2..8 members), same

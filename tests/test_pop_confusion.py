@@ -60,3 +60,26 @@ def test_confusion_undefined_sentinels(spark):
     # nothing predicted AND nothing positive: all three undefined
     got = _conf(spark, [(1, False)], threshold=100)
     assert (got["prec_e6"], got["rec_e6"], got["f1_e6"]) == (-1, -1, -1)
+
+
+def test_spike_composition_flags_planted_burst(spark):
+    from uckg_spark.operators.outliers import mad_outliers
+    from uckg_spark.operators.temporal import period_over_period
+
+    rows, eid = [], 0
+    for day in range(12):
+        n = 50 if day == 7 else 5  # planted burst on day 7
+        for _ in range(n):
+            rows.append(("k", dt.datetime(2024, 1, 1 + day, 9), eid))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp_ntz, event_id long")
+    pop = period_over_period(df, "event_type", "ts", "1 day")
+    got = {r["id"]: r["is_outlier"] for r in mad_outliers(
+        pop.select("key", pop.bucket_idx.alias("day"), "delta"),
+        "delta", "key", "day", k=4).collect()}
+    days = sorted(got)
+    # the burst day (+45) and the collapse day after it (-45) are the
+    # only flags; steady days are quiet
+    flagged = {d for d in days if got[d]}
+    assert flagged == {days[6], days[7]}
