@@ -1383,6 +1383,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "delta", "key", "day", k=4)
     q["spike_days"] = q_spike_days
 
+    def q_contingency(spark, sf):
+        # lang × source drift cells with exact rational chi-square
+        # contributions — absent cells emitted (a vanished category IS
+        # the drift signal)
+        from uckg_spark.operators.integrity import contingency_cells
+
+        return contingency_cells(
+            _t(spark, sf, "documents"), "lang", "source")
+    q["contingency"] = q_contingency
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3663,6 +3673,30 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes na ON na.g = a.g
         JOIN sizes nb ON nb.g = b.g
         GROUP BY a.g, b.g, na.n, nb.n
+    """
+
+    # contingency twin: same marginals, same dense category product,
+    # same cleared-denominator chi-square rationals
+    o["contingency"] = """
+        WITH base AS (
+            SELECT lang AS r, source AS c FROM documents
+            WHERE lang IS NOT NULL AND source IS NOT NULL
+        ), cells AS (
+            SELECT r, c, count(*)::BIGINT AS observed
+            FROM base GROUP BY r, c
+        ), rt AS (SELECT r, count(*)::BIGINT AS r_tot FROM base GROUP BY r),
+        ct AS (SELECT c, count(*)::BIGINT AS c_tot FROM base GROUP BY c),
+        nt AS (SELECT count(*)::BIGINT AS n_tot FROM base)
+        SELECT rt.r, ct.c,
+               coalesce(cells.observed, 0)::BIGINT AS observed,
+               rt.r_tot, ct.c_tot, nt.n_tot,
+               ((coalesce(cells.observed, 0) * nt.n_tot
+                 - rt.r_tot * ct.c_tot)
+                * (coalesce(cells.observed, 0) * nt.n_tot
+                   - rt.r_tot * ct.c_tot))::BIGINT AS dev_num,
+               (nt.n_tot * rt.r_tot * ct.c_tot)::BIGINT AS dev_den
+        FROM rt CROSS JOIN ct CROSS JOIN nt
+        LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
     """
 
     # spike twin: the period_over_period spine+lag feeding the same

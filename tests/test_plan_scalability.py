@@ -17,6 +17,9 @@ _STREAMING = {k for k in entry_mod.queries() if k.startswith("streaming_")}
 # one sanctioned BroadcastNestedLoopJoin use
 _SCALAR_ATTACH = {"cooccur_lift", "bm25_topk", "quality_fit",
                   "kge_negatives"}
+# contingency's densify is TWO bounded attaches (the |categories|²
+# product + the 1-row total) — same sanctioned class, budget 2
+_BNLJ_BUDGET = {"contingency": 2}
 
 _BATCH_KEYS = sorted(set(entry_mod.queries()) - _STREAMING)
 
@@ -25,4 +28,5 @@ _BATCH_KEYS = sorted(set(entry_mod.queries()) - _STREAMING)
 def test_query_plan_is_scalable(spark, name):
     qs = entry_mod.queries()
     df = qs[name](spark, SF)
-    assert_scalable(df, allow_bnlj=1 if name in _SCALAR_ATTACH else 0)
+    budget = _BNLJ_BUDGET.get(name, 1 if name in _SCALAR_ATTACH else 0)
+    assert_scalable(df, allow_bnlj=budget)

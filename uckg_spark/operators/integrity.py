@@ -155,3 +155,66 @@ def grouped_corr(
             (F.col("varx_num") > 0) & (F.col("vary_num") > 0), corr
         ).otherwise(F.lit(0)).cast("bigint").alias("corr_e6"),
     )
+
+
+def contingency_cells(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Exact contingency-table cells for an independence/drift check:
+    ``(r, c, observed, r_tot, c_tot, n_tot, dev_num, dev_den)`` where
+    ``dev_num/dev_den = (O·N − r_tot·c_tot)² / (N·r_tot·c_tot)`` is the
+    cell's chi-square contribution as an EXACT rational (the classic
+    χ² = Σ (O−E)²/E with E = r·c/N, cleared of denominators) — "is the
+    language mix the same across sources / did this week's crawl drift"
+    without a single float. Consumers sum the rationals (or their e6
+    floors) and compare against their chosen critical value; the exact
+    pair keeps boundary decisions engine-independent.
+
+    ABSENT cells (observed 0) are emitted too — a category that
+    vanished from one source is precisely the drift signal, and
+    dropping empty cells would understate χ². NULL categories are
+    dropped. Overflow bound: (O·N)² must fit bigint — fine to ~3e9
+    total rows; shard the table first beyond that.
+
+    Scale shape: one (r, c) count aggregate + two marginal aggregates
+    (all map-side combinable), a cross of the two broadcast-sized
+    marginal tables to densify, and column algebra.
+    """
+    base = df.select(
+        F.col(row_col).cast("string").alias("r"),
+        F.col(col_col).cast("string").alias("c"),
+    ).filter(F.col("r").isNotNull() & F.col("c").isNotNull())
+    cells = base.groupBy("r", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("observed"))
+    r_tot = base.groupBy("r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("r_tot"))
+    c_tot = base.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_tot"))
+    n_tot = base.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
+    # densify with two explicit broadcast nested-loop attaches: the
+    # category product and the 1-row total. Both right sides are
+    # marginal tables — broadcast-sized by DEFINITION (categories, not
+    # rows) — so these are the sanctioned bounded-attach BNLJs, with
+    # the plan-audit budget raised to 2 for this operator's queries
+    # (tests/test_plan_scalability.py). A constant-key hash join does
+    # not dodge this honestly: Catalyst constant-folds it back to BNLJ.
+    dense = (
+        r_tot.crossJoin(F.broadcast(c_tot))
+        .join(cells, ["r", "c"], "left")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "r", "c",
+            F.coalesce("observed", F.lit(0)).cast("bigint").alias("observed"),
+            "r_tot", "c_tot", "n_tot",
+        )
+    )
+    diff = (F.col("observed") * F.col("n_tot")
+            - F.col("r_tot") * F.col("c_tot"))
+    return dense.select(
+        "r", "c", "observed", "r_tot", "c_tot", "n_tot",
+        (diff * diff).cast("bigint").alias("dev_num"),
+        (F.col("n_tot") * F.col("r_tot") * F.col("c_tot"))
+        .cast("bigint").alias("dev_den"),
+    )
