@@ -1393,6 +1393,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _t(spark, sf, "documents"), "lang", "source")
     q["contingency"] = q_contingency
 
+    def q_retention(spark, sf):
+        # classic retention triangle: cohort = first-active day, exact
+        # n_active/cohort_n rationals per day offset
+        from uckg_spark.operators.funnel import retention_cohorts
+
+        return retention_cohorts(_t(spark, sf, "events"), "user_id", "ts")
+    q["retention"] = q_retention
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3673,6 +3681,28 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes na ON na.g = a.g
         JOIN sizes nb ON nb.g = b.g
         GROUP BY a.g, b.g, na.n, nb.n
+    """
+
+    # retention twin: same distinct (user, day) set semantics, same
+    # first-day cohorts and integer day offsets
+    o["retention"] = """
+        WITH active AS (
+            SELECT DISTINCT user_id AS u,
+                   epoch_us(ts) // 86400000000 AS day
+            FROM events
+        ), cohort AS (
+            SELECT u, min(day) AS cohort_day FROM active GROUP BY u
+        ), sizes AS (
+            SELECT cohort_day, count(*)::BIGINT AS cohort_n
+            FROM cohort GROUP BY cohort_day
+        ), j AS (
+            SELECT a.u, c.cohort_day, (a.day - c.cohort_day) AS k
+            FROM active a JOIN cohort c USING (u)
+        )
+        SELECT j.cohort_day, j.k::BIGINT AS k,
+               count(*)::BIGINT AS n_active, sizes.cohort_n
+        FROM j JOIN sizes USING (cohort_day)
+        GROUP BY j.cohort_day, j.k, sizes.cohort_n
     """
 
     # contingency twin: same marginals, same dense category product,

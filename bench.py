@@ -107,7 +107,7 @@ def main() -> None:
         "pareto_front", "label_spread", "auc", "incremental_pairs",
         "period_over_period", "confusion", "kg_hits", "mad_outliers",
         "kg_struct_groups", "grouped_corr", "source_overlap",
-        "kg_struct_pairs", "spike_days", "contingency",
+        "kg_struct_pairs", "spike_days", "contingency", "retention",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical

@@ -142,3 +142,29 @@ class TestTransitionCounts:
             df, "user_id", "ts", "event_type", "event_id").collect()
         assert [(r["prev_type"], r["next_type"], r["n"]) for r in got] == [
             ("a", "b", 1)]
+
+
+def test_retention_cohorts_hand_checked(spark):
+    import datetime as dt
+
+    from uckg_spark.operators.funnel import retention_cohorts
+
+    def t(day, h=9):
+        return dt.datetime(2024, 1, 1 + day, h)
+
+    rows = [
+        # cohort day0: u1 active d0,d1,d2; u2 active d0,d2; u3 only d0
+        (1, t(0)), (1, t(1)), (1, t(2)),
+        (2, t(0)), (2, t(2)), (2, t(2, 20)),  # same-day repeat: set sem.
+        (3, t(0)),
+        # cohort day1: u4 active d1,d3
+        (4, t(1)), (4, t(3)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz")
+    got = {(r["cohort_day"], r["k"]): (r["n_active"], r["cohort_n"])
+           for r in retention_cohorts(df, "user_id", "ts").collect()}
+    d0 = (dt.datetime(2024, 1, 1) - dt.datetime(1970, 1, 1)).days
+    assert got == {
+        (d0, 0): (3, 3), (d0, 1): (1, 3), (d0, 2): (2, 3),
+        (d0 + 1, 0): (1, 1), (d0 + 1, 2): (1, 1),
+    }

@@ -100,3 +100,54 @@ def funnel_counts(
     return totals.selectExpr(
         f"stack({len(stages)}, {stacked}) AS (stage, stage_name, n_users)"
     )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+) -> DataFrame:
+    """Classic retention triangle: users grouped by FIRST-ACTIVE day
+    (their cohort), then for each later offset k the fraction still
+    active — ``(cohort_day, k, n_active, cohort_n)`` with retention the
+    exact ``n_active/cohort_n`` rational (k = 0 rows are the cohort
+    definition itself, n_active = cohort_n). The engagement metric
+    every event product reports, and the missing sibling of the funnel
+    / session / attribution family.
+
+    Day arithmetic is epoch-µs integer division (the repo's
+    TIMESTAMP_NTZ convention — no timezone, no DST edge); "active" is
+    set-semantics per (user, day), so event volume doesn't inflate
+    retention. Offsets with zero active users produce NO row (the
+    triangle is naturally sparse; densify with gap_fill-style spines
+    downstream if a chart needs zeros).
+
+    Scale shape: one distinct (user, day) projection (map-side
+    combinable), a per-user min for the cohort (same shuffle key), a
+    user-keyed join back, then the (cohort, k) count — every stage
+    keyed on the user or the cohort, nothing quadratic.
+    """
+    day = (_epoch_us_days(F.col(ts_col))).alias("day")
+    active = df.select(F.col(user_col).alias("u"), day).distinct()
+    cohort = active.groupBy("u").agg(F.min("day").alias("cohort_day"))
+    joined = active.join(cohort, "u").select(
+        "u", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("k"))
+    sizes = cohort.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_n"))
+    return (
+        joined.groupBy("cohort_day", "k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select("cohort_day", F.col("k").cast("bigint").alias("k"),
+                "n_active", "cohort_n")
+    )
+
+
+def _epoch_us_days(ts):
+    """Whole days since the epoch for TIMESTAMP_NTZ (integer µs div)."""
+    return (
+        F.timestamp_diff(
+            "MICROSECOND",
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), ts)
+        / F.lit(86_400_000_000)
+    ).cast("bigint")
