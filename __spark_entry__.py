@@ -1401,6 +1401,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return retention_cohorts(_t(spark, sf, "events"), "user_id", "ts")
     q["retention"] = q_retention
 
+    def q_token_cooccur(spark, sf):
+        # GloVe/PPMI-style co-occurrence matrix: window-3 canonical
+        # token pairs with marginals, pair generation fully row-local
+        from uckg_spark.operators.cooccur import token_cooccur
+
+        return token_cooccur(_t(spark, sf, "documents"), window=3)
+    q["token_cooccur"] = q_token_cooccur
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -3681,6 +3689,38 @@ def oracle_sql() -> dict[str, str]:
         JOIN sizes na ON na.g = a.g
         JOIN sizes nb ON nb.g = b.g
         GROUP BY a.g, b.g, na.n, nb.n
+    """
+
+    # token-cooccur twin: same 1-based window lattice, same canonical
+    # (min, max) pairing, same marginal attach
+    o["token_cooccur"] = """
+        WITH toks AS (
+            SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+            FROM documents
+        ), pr AS (
+            SELECT unnest(flatten(list_transform(
+                       range(1, greatest(len(t) - 1, 0) + 1),
+                       i -> list_transform(
+                           range(i + 1, least(i + 3, len(t)) + 1),
+                           j -> [least(t[i], t[j]),
+                                 greatest(t[i], t[j])])))) AS p
+            FROM toks WHERE len(t) >= 2
+        ), pairs AS (
+            SELECT p[1] AS tok_a, p[2] AS tok_b,
+                   count(*)::BIGINT AS n_pair
+            FROM pr GROUP BY 1, 2
+        ), cnt AS (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS tok
+            FROM documents
+        ), marg AS (
+            SELECT tok, count(*)::BIGINT AS n FROM cnt GROUP BY tok
+        )
+        SELECT pairs.tok_a, pairs.tok_b, pairs.n_pair,
+               ma.n AS n_a, mb.n AS n_b
+        FROM pairs
+        JOIN marg ma ON ma.tok = pairs.tok_a
+        JOIN marg mb ON mb.tok = pairs.tok_b
     """
 
     # retention twin: same distinct (user, day) set semantics, same

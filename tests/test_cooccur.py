@@ -84,3 +84,28 @@ class TestCooccurLift:
         assert "CartesianProduct" not in plan
         # item-count joins and the n_baskets scalar ride broadcasts
         assert plan.count("BroadcastExchange") >= 2
+
+
+def test_token_cooccur_hand_checked(spark):
+    from uckg_spark.operators.cooccur import token_cooccur
+
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "b a")], "doc_id long, text string")
+    got = {(r["tok_a"], r["tok_b"]): (r["n_pair"], r["n_a"], r["n_b"])
+           for r in token_cooccur(df, window=2).collect()}
+    # doc1 window-2 pairs: (a,b) (a,c) (b,c) (b,a) (c,a); doc2: (b,a)
+    # canonicalized: ab x3, ac x2, bc x1; marginals a=3, b=2, c=1
+    assert got == {
+        ("a", "b"): (3, 3, 2),
+        ("a", "c"): (2, 3, 1),
+        ("b", "c"): (1, 2, 1),
+    }
+
+
+def test_token_cooccur_window_one_is_bigrams(spark):
+    from uckg_spark.operators.cooccur import token_cooccur
+
+    df = spark.createDataFrame([(1, "x y x")], "doc_id long, text string")
+    got = {(r["tok_a"], r["tok_b"]): r["n_pair"]
+           for r in token_cooccur(df, window=1).collect()}
+    assert got == {("x", "y"): 2}  # adjacent pairs only

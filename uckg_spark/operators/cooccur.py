@@ -90,3 +90,58 @@ def cooccur_lift(
             ).alias("lift_e6"),
         )
     )
+
+
+def token_cooccur(
+    docs: DataFrame,
+    window: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window token co-occurrence counts — the raw matrix every
+    count-based embedding (GloVe/PPMI-SVD) trains on, and the
+    distributional-similarity signal ("which tokens share contexts")
+    that complements :func:`cooccur_lift`'s container-level statistic.
+    For each document, every ordered position pair within ``window``
+    contributes one observation to its canonicalized (min, max) token
+    pair; returns ``(tok_a, tok_b, n_pair, n_a, n_b)`` with the
+    marginal token occurrence counts riding along so consumers form
+    PMI/lift as exact rationals.
+
+    Scale shape: pair generation is ROW-LOCAL array algebra (nested
+    sequence transforms + one flatten — ~window pairs per token, no
+    join, no shuffle); the only shuffles are the (a, b) pair count and
+    the token-count aggregation, both map-side combinable, plus two
+    broadcast joins against the vocabulary-bounded marginal table.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    from .dedup import tokens
+
+    t = F.col("_t")
+    n = F.size(t)
+    pair_expr = F.flatten(F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.transform(
+            F.sequence(i + 1, F.least(i + window, n - 1)),
+            lambda j: F.struct(
+                F.least(F.element_at(t, i + 1),
+                        F.element_at(t, j + 1)).alias("a"),
+                F.greatest(F.element_at(t, i + 1),
+                           F.element_at(t, j + 1)).alias("b"),
+            ),
+        ),
+    ))
+    base = docs.select(tokens(F.col(text_col)).alias("_t")).filter(n >= 2)
+    pairs = (
+        base.select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
+    )
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    ca = counts.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))
+    return pairs.join(F.broadcast(ca), "tok_a").join(F.broadcast(cb), "tok_b")
