@@ -1451,6 +1451,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["pair_audit"] = q_pair_audit
 
+    def q_kmv_union(spark, sf):
+        # sketch MERGEABILITY: per-priority customer sketches combined
+        # into one union cardinality estimate without rescanning rows —
+        # the property that makes per-shard sketches production-viable
+        from uckg_spark.operators.sketches import (
+            kmv_sketch,
+            kmv_union_estimate,
+        )
+
+        sk = kmv_sketch(
+            _t(spark, sf, "orders"), "o_custkey", "o_orderpriority", k=64)
+        return kmv_union_estimate(sk, k=64)
+    q["kmv_union"] = q_kmv_union
+
     def q_approx_distinct_kmv(spark, sf):
         # integer-exact KMV cardinality sketch (k=64) of customers per
         # order priority, with the exact count riding along for error
@@ -2117,6 +2131,33 @@ def oracle_sql() -> dict[str, str]:
         FROM banded a JOIN banded b
           ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
         WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+    """
+
+    # kmv-union twin: same per-group k-smallest sketches, same
+    # explode+dedupe+re-take merge, same estimator read
+    o["kmv_union"] = """
+        WITH hs AS (
+            SELECT DISTINCT o_orderpriority AS grp,
+                   ('0x' || substr(md5(o_custkey::VARCHAR), 1, 8))::BIGINT
+                       AS h
+            FROM orders
+        ), sk AS (
+            SELECT grp, h FROM (
+                SELECT grp, h, row_number() OVER (
+                    PARTITION BY grp ORDER BY h) AS r
+                FROM hs
+            ) WHERE r <= 64
+        ), ng AS (
+            SELECT count(DISTINCT grp)::BIGINT AS n_groups FROM sk
+        ), topk AS (
+            SELECT count(*)::BIGINT AS k_used, max(h)::BIGINT AS h_k
+            FROM (SELECT DISTINCT h FROM sk ORDER BY h LIMIT 64)
+        )
+        SELECT ng.n_groups, topk.k_used,
+               (CASE WHEN topk.k_used < 64 THEN topk.k_used
+                     ELSE (63 * 4294967296) // topk.h_k
+                END)::BIGINT AS est_distinct
+        FROM topk, ng
     """
 
     # pair-audit twin: the lsh-pairs CTE + the same md5-ranked 16-pair

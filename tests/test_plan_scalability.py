@@ -16,7 +16,7 @@ _STREAMING = {k for k in entry_mod.queries() if k.startswith("streaming_")}
 # single-row scalar attach via crossJoin(broadcast(1-row agg)) — the
 # one sanctioned BroadcastNestedLoopJoin use
 _SCALAR_ATTACH = {"cooccur_lift", "bm25_topk", "quality_fit",
-                  "kge_negatives"}
+                  "kge_negatives", "kmv_union"}
 # contingency's densify is TWO bounded attaches (the |categories|²
 # product + the 1-row total) — same sanctioned class, budget 2
 _BNLJ_BUDGET = {"contingency": 2}

@@ -72,3 +72,38 @@ class TestKmvDistinct:
         df = spark.createDataFrame([("g", "v")], ["grp", "v"])
         with pytest.raises(ValueError, match="k must be"):
             kmv_distinct(df, "v", "grp", k=1)
+
+
+class TestKmvMerge:
+    def test_union_estimate_matches_single_global_sketch(self, spark):
+        """Mergeability: estimating the union from per-group sketches
+        must give EXACTLY the same answer as sketching the ungrouped
+        stream directly — k-smallest of a union == k-smallest of the
+        concatenated k-smallest lists."""
+        from uckg_spark.operators.sketches import (
+            kmv_distinct,
+            kmv_sketch,
+            kmv_union_estimate,
+        )
+
+        rows = [(f"v{i % 400}", f"g{i % 7}") for i in range(3000)]
+        df = spark.createDataFrame(rows, "v string, g string")
+        merged = kmv_union_estimate(
+            kmv_sketch(df, "v", "g", k=32), k=32).collect()[0]
+        direct = kmv_distinct(
+            df.selectExpr("v", "'all' AS g"), "v", "g", k=32).collect()[0]
+        assert merged["est_distinct"] == direct["est_distinct"]
+        assert merged["k_used"] == direct["k_used"]
+        assert merged["n_groups"] == 7
+
+    def test_small_union_is_exact(self, spark):
+        from uckg_spark.operators.sketches import (
+            kmv_sketch,
+            kmv_union_estimate,
+        )
+
+        rows = [(f"v{i}", f"g{i % 3}") for i in range(20)]
+        df = spark.createDataFrame(rows, "v string, g string")
+        got = kmv_union_estimate(
+            kmv_sketch(df, "v", "g", k=64), k=64).collect()[0]
+        assert got["est_distinct"] == 20  # < k survivors: sketch is exact

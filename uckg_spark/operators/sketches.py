@@ -175,3 +175,81 @@ def cms_heavy_hitters(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
         .filter(F.col("n") >= threshold)
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """The MERGEABLE state behind :func:`kmv_distinct`: per group, the
+    ``k`` smallest distinct h32 hashes as a sorted array —
+    ``(grp, k_used, hs)``. Persist THIS (e.g. one sketch per shard /
+    day / source in the catalog) and any union of groups can be
+    estimated later without rescanning rows: mergeability is the
+    property that makes sketches production-viable, and it holds
+    exactly because "k smallest of a union" = "k smallest of the
+    concatenated k-smallest lists".
+
+    Scale shape: the (grp, hash) DISTINCT combines map-side; the
+    per-group k-smallest is a window rank over distinct hashes riding
+    the same partitioning.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from pyspark.sql import Window
+
+    hs = df.select(
+        F.col(group_col).alias("grp"),
+        h32(F.col(value_col).cast("string")).alias("h"),
+    ).filter(F.col("h").isNotNull()).distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    return (
+        hs.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_used"),
+            F.sort_array(F.collect_list("h")).alias("hs"),
+        )
+    )
+
+
+def kmv_union_estimate(sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge EVERY sketch row of :func:`kmv_sketch` into one union
+    cardinality estimate — one row ``(n_groups, k_used, est_distinct)``
+    — without touching the original data: explode the stored hash
+    arrays, dedupe (the same value hashes identically in every group),
+    re-take the k smallest, and read the estimator
+    ``(k−1)·2³² div h_k`` (exact count when fewer than k survive).
+    The cross-shard "distinct users this quarter" query answered from
+    per-day sketch rows.
+
+    Scale shape: the exploded input is ≤ |groups|·k rows by
+    construction — sketch-sized, not data-sized.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from pyspark.sql import Window
+
+    n_groups = sketches.select(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"))
+    uh = sketches.select(F.explode("hs").alias("h")).distinct()
+    w = Window.orderBy("h")  # <= |groups|*k rows: a sketch-sized sort
+    topk = (
+        uh.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_used"),
+            F.max("h").cast("bigint").alias("h_k"),
+        )
+    )
+    return topk.crossJoin(F.broadcast(n_groups)).select(
+        "n_groups", "k_used",
+        F.when(
+            F.col("k_used") < k, F.col("k_used")
+        ).otherwise(
+            F.expr(f"(({k} - 1) * {_H_SPACE}) div h_k")
+        ).cast("bigint").alias("est_distinct"),
+    )
