@@ -111,3 +111,59 @@ class TestEquiDepthProperties:
         for b, c, lo, hi in got:
             assert c == sum(counts[v] for v in counts if lo <= v <= hi)
         assert set(per_bucket) <= set(range(n))
+
+
+class TestRetentionProperties:
+    events = st.lists(
+        st.tuples(st.integers(min_value=1, max_value=8),   # user
+                  st.integers(min_value=0, max_value=10)), # day
+        min_size=1, max_size=40,
+    )
+
+    @SETTINGS
+    @given(rows=events)
+    def test_triangle_invariants(self, spark, rows):
+        """k=0 cells equal cohort sizes; n_active never exceeds the
+        cohort; per-cohort total active-days equal the distinct
+        (user, day) count."""
+        import datetime as dt
+
+        from uckg_spark.operators.funnel import retention_cohorts
+
+        df = spark.createDataFrame(
+            [(u, dt.datetime(2024, 1, 1 + d, 12)) for u, d in rows],
+            "user_id long, ts timestamp_ntz")
+        got = [(r["cohort_day"], r["k"], r["n_active"], r["cohort_n"])
+               for r in retention_cohorts(df, "user_id", "ts").collect()]
+        by_cohort = {}
+        for cd, k, n, cn in got:
+            assert n <= cn
+            if k == 0:
+                assert n == cn
+            by_cohort[cd] = by_cohort.get(cd, 0) + n
+        assert sum(by_cohort.values()) == len({(u, d) for u, d in rows})
+
+
+class TestTokenCooccurProperties:
+    docs = st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]),
+                 min_size=0, max_size=10),
+        min_size=1, max_size=8,
+    )
+
+    @SETTINGS
+    @given(docs=docs, w=st.sampled_from([1, 2, 4]))
+    def test_pair_mass_identity(self, spark, docs, w):
+        """Σ n_pair must equal the exact window-pair count
+        Σ_docs Σ_i min(w, n−1−i) — no pair lost or invented."""
+        from uckg_spark.operators.cooccur import token_cooccur
+
+        df = spark.createDataFrame(
+            [(i, " ".join(d)) for i, d in enumerate(docs)],
+            "doc_id long, text string")
+        got = token_cooccur(df, window=w).collect()
+        total = sum(r["n_pair"] for r in got)
+        want = sum(
+            min(w, len(d) - 1 - i)
+            for d in docs for i in range(max(len(d) - 1, 0)))
+        assert total == want
