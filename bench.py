@@ -129,7 +129,11 @@ def main() -> None:
              "similarity_join", "kg_pagerank_seeded",
              "containment_pairs", "winnow_fingerprint", "salted_join",
              "kg_link_predict", "heavy_hitters", "kge_negatives",
-             "bloom_semi", "weighted_quantile", "kg_hits"}
+             "bloom_semi", "weighted_quantile", "kg_hits",
+             # resume-4: late-round keys whose measured steady walls
+             # crossed the same >=~1.5 s criterion
+             "kg_struct_pairs", "incremental_pairs", "token_cooccur",
+             "pair_audit"}
 
     def timed(name: str, run) -> None:
         walls = []
