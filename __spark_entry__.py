@@ -1369,6 +1369,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _kg_edges(spark, sf), num_hashes=4, max_group_size=8)
     q["kg_struct_pairs"] = q_kg_struct_pairs
 
+    def q_rdf_roundtrip(spark, sf):
+        # SURVEY §2.11 R3 made real: a mixed literal/IRI/datatyped
+        # triple set serialized to N-Triples text and parsed back,
+        # output carrying BOTH the carrier line and the parsed columns
+        # so one row checks the wire format AND the parser. Both
+        # directions are row maps (codegen string exprs, zero
+        # shuffles) — the property that lets a 10^12-triple corpus
+        # export/import at full cluster width.
+        from uckg_spark.sources.rdfio import from_ntriples, to_ntriples
+
+        d = _t(spark, sf, "documents")
+        doc = F.concat(F.lit("uckg:doc/"), F.col("doc_id").cast("string"))
+        t = (
+            d.select(
+                doc.alias("subj"), F.lit("uckg:text").alias("pred"),
+                F.col("text").alias("obj"),
+                F.lit(True).alias("obj_is_literal"),
+                F.lit("xsd:string").alias("obj_datatype"))
+            .unionByName(d.select(
+                doc.alias("subj"), F.lit("uckg:n_chars").alias("pred"),
+                F.col("n_chars").cast("string").alias("obj"),
+                F.lit(True).alias("obj_is_literal"),
+                F.lit("xsd:integer").alias("obj_datatype")))
+            .unionByName(d.select(
+                doc.alias("subj"), F.lit("uckg:source").alias("pred"),
+                F.concat(F.lit("uckg:source/"), F.col("source")).alias("obj"),
+                F.lit(False).alias("obj_is_literal"),
+                F.lit("").alias("obj_datatype")))
+        )
+        return from_ntriples(to_ntriples(t), keep_line=True)
+    q["rdf_roundtrip"] = q_rdf_roundtrip
+
     def q_spike_days(spark, sf):
         # anomaly composition: day-over-day deltas (gap-aware) gated by
         # the robust MAD outlier test per event type — "which days
@@ -3941,6 +3973,40 @@ def oracle_sql() -> dict[str, str]:
         SELECT dev.id, dev.grp, dev.v, dev.dev, madt.mad,
                (dev.dev > 4 * madt.mad) AS is_outlier
         FROM dev JOIN madt USING (grp)
+    """
+
+    # rdf round-trip twin: the round-trip is the IDENTITY on the parsed
+    # columns, so the twin constructs the raw triple set directly plus
+    # the expected carrier line via concatenation with the N-Triples
+    # escape chain (backslash first; standard-SQL literals, so '\' is
+    # one backslash in DuckDB)
+    o["rdf_roundtrip"] = """
+        WITH t AS (
+            SELECT 'uckg:doc/' || doc_id AS subj, 'uckg:text' AS pred,
+                   text AS obj, TRUE AS obj_is_literal,
+                   'xsd:string' AS obj_datatype
+            FROM documents
+            UNION ALL
+            SELECT 'uckg:doc/' || doc_id, 'uckg:n_chars',
+                   n_chars::VARCHAR, TRUE, 'xsd:integer' FROM documents
+            UNION ALL
+            SELECT 'uckg:doc/' || doc_id, 'uckg:source',
+                   'uckg:source/' || source, FALSE, '' FROM documents
+        ), esc AS (
+            SELECT *,
+                   replace(replace(replace(replace(replace(obj,
+                       '\\', '\\\\'), '"', '\\"'), chr(10), '\\n'),
+                       chr(13), '\\r'), chr(9), '\\t') AS eobj
+            FROM t
+        )
+        SELECT '<' || subj || '> <' || pred || '> ' ||
+               CASE WHEN obj_is_literal THEN
+                   '"' || eobj || '"' ||
+                   CASE WHEN obj_datatype <> ''
+                        THEN '^^<' || obj_datatype || '>' ELSE '' END
+               ELSE '<' || obj || '>' END || ' .' AS line,
+               subj, pred, obj, obj_is_literal, obj_datatype
+        FROM esc
     """
 
     # struct-pairs twin: same sketch grouping (2..8 members), same

@@ -108,7 +108,7 @@ def main() -> None:
         "period_over_period", "confusion", "kg_hits", "mad_outliers",
         "kg_struct_groups", "grouped_corr", "source_overlap",
         "kg_struct_pairs", "spike_days", "contingency", "retention",
-        "token_cooccur", "pair_audit", "kmv_union",
+        "token_cooccur", "pair_audit", "kmv_union", "rdf_roundtrip",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical
