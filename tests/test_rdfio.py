@@ -76,6 +76,30 @@ def test_pipeline_triples_roundtrip(spark, fixture_pages, kg_dims):
         map(tuple, back.collect()))
 
 
+def test_comment_and_blank_lines_skipped(spark):
+    """Real N-Triples dumps interleave comments and blank lines; the
+    reader drops them instead of parsing garbage rows."""
+    lines = spark.createDataFrame(
+        [("# a comment",), ("",), ("   ",), ('<s> <p> "v" .',),
+         ("  # indented comment",)], "line string")
+    got = [tuple(r) for r in from_ntriples(lines).collect()]
+    assert got == [("s", "p", "v", True, "")]
+
+
+def test_disk_roundtrip(spark, tmp_path):
+    """The full export/import path: to_ntriples → write.text →
+    spark.read.text → from_ntriples is the identity — the distributed
+    S9-sink shape (any partitioning, any reader parallelism)."""
+    df = spark.createDataFrame(ADVERSARIAL, SCHEMA)
+    out = str(tmp_path / "nt")
+    to_ntriples(df).repartition(3).write.text(out)
+    back = from_ntriples(spark.read.text(out).withColumnRenamed(
+        "value", "line"))
+    want = sorted((s, p, o, lit, dt if (lit and dt) else "")
+                  for s, p, o, lit, dt in ADVERSARIAL)
+    assert sorted(map(tuple, back.collect())) == want
+
+
 # printable-ish text plus the escape-relevant characters, biased so
 # quotes/backslashes/control chars appear often
 _BODY = st.text(

@@ -111,7 +111,13 @@ def from_ntriples(
     absent datatypes come back as the NULL-free '' sentinel
     (``regexp_extract``'s no-match value). Row map, zero shuffles.
     ``keep_line=True`` prepends the carrier line to the output (the
-    wire-format-plus-parse shape the driver row checks)."""
+    wire-format-plus-parse shape the driver row checks).
+
+    Blank lines and ``#`` comment lines — legal in N-Triples files and
+    routine in real dumps — are dropped (a filter on the raw line, so
+    it pushes into the scan), not parsed into garbage rows."""
+    lines = lines.filter(
+        ~F.col(col).rlike(r"^\s*(#.*)?$"))
     term = F.regexp_extract(F.col(col), _LINE_RE, 3)
     is_lit = F.startswith(term, F.lit('"'))
     body = F.regexp_extract(term, _LIT_RE, 1)
