@@ -557,6 +557,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     q["extract_features"] = q_extract_features
 
+    def q_resize_images(spark, sf):
+        # the 'resize' leg of the multimodal plumbing: Arrow-batched
+        # thumbnail resample to 4x4 RGB. Driver payloads are text (not
+        # PNG) so every row takes the deterministic digest-cycled
+        # fallback — the SQL-twin-able path, same convention as
+        # extract_features; the REAL decode+exact-box-resample path is
+        # pinned by tests/test_scale_operators.py on hand-built PNGs.
+        from uckg_spark.operators.multimodal import resize_images
+
+        docs = _t(spark, sf, "documents")
+        media = docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+        thumbs = resize_images(media, out_h=4, out_w=4)
+        return thumbs.select(
+            "media_id", "kind", "src_w", "src_h",
+            F.size("pixels").alias("n_px"),
+            F.round(F.get("pixels", 0) * 255).cast("int").alias("p0_byte"),
+            "decoded",
+        )
+    q["resize_images"] = q_resize_images
+
     def q_sessionize(spark, sf):
         # gap-based sessionization (30-min inactivity): classic stateful
         # windowing expressed with lag + cumulative sum
@@ -2459,6 +2483,20 @@ def oracle_sql() -> dict[str, str]:
                (CASE kind WHEN 'image' THEN 8 WHEN 'audio' THEN 4
                 ELSE 6 END) AS feat_dim
         FROM m
+    """
+
+    # resize twin: text payloads are never PNGs, so every row is the
+    # fallback — p0 is digest byte 0 (pixels cycle the 32 digest bytes),
+    # shape constants are 4*4*3 px and -1/-1 source-dim sentinels
+    o["resize_images"] = """
+        SELECT doc_id AS media_id,
+               'image' AS kind,
+               -1 AS src_w,
+               -1 AS src_h,
+               48 AS n_px,
+               ('0x' || substr(sha256(text), 1, 2))::INT AS p0_byte,
+               FALSE AS decoded
+        FROM documents
     """
 
     o["sessionize"] = """

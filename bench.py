@@ -109,6 +109,7 @@ def main() -> None:
         "kg_struct_groups", "grouped_corr", "source_overlap",
         "kg_struct_pairs", "spike_days", "contingency", "retention",
         "token_cooccur", "pair_audit", "kmv_union", "rdf_roundtrip",
+        "resize_images",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical

@@ -603,6 +603,73 @@ class TestMultimodal:
         for ch in range(4):
             assert abs(feat[2 + ch] - 200 / 255.0) < 1e-6
 
+    def test_box_resize_divisible_exact(self):
+        """4x4 grey → 2x2: every output value is exactly the mean of its
+        2x2 block (grey replicated to RGB)."""
+        from uckg_spark.operators.multimodal import box_resize
+
+        px = bytes([
+            0, 10, 100, 110,
+            20, 30, 120, 130,
+            200, 210, 40, 50,
+            220, 230, 60, 70,
+        ])
+        got = box_resize(px, 4, 4, 1, 2, 2)
+        blocks = [(0 + 10 + 20 + 30) / 4, (100 + 110 + 120 + 130) / 4,
+                  (200 + 210 + 220 + 230) / 4, (40 + 50 + 60 + 70) / 4]
+        want = [b / 255.0 for b in blocks for _ in range(3)]
+        assert got == want  # EXACT, not approx
+
+    def test_box_resize_fractional_weights(self):
+        """3x3 → 2x2: non-integer scale — the integer overlap weights
+        are [[4,2],[2,1]]/9 for the top-left cell (hand-computed)."""
+        from uckg_spark.operators.multimodal import box_resize
+
+        p = [7, 50, 3,
+             90, 11, 5,
+             2, 8, 255]
+        got = box_resize(bytes(p), 3, 3, 1, 2, 2)
+        tl = (4 * p[0] + 2 * p[1] + 2 * p[3] + 1 * p[4]) / 9 / 255.0
+        br = (1 * p[4] + 2 * p[5] + 2 * p[7] + 4 * p[8]) / 9 / 255.0
+        assert got[0] == tl and got[9] == br
+        # conservation: weighted total equals the plain pixel mean
+        mean = sum(p) / 9 / 255.0
+        assert abs(sum(got[::3]) / 4 - mean) < 1e-12
+
+    def test_box_resize_rgba_drops_alpha(self):
+        from uckg_spark.operators.multimodal import box_resize
+
+        px = bytes([10, 20, 30, 99] * 4)  # 2x2 RGBA, alpha 99
+        got = box_resize(px, 2, 2, 4, 1, 1)
+        assert got == [10 / 255.0, 20 / 255.0, 30 / 255.0]
+
+    def test_resize_images_spark_path(self, spark):
+        """resize_images end-to-end: a real PNG decodes (flag True,
+        true source dims, exact block means); junk falls back to the
+        digest-cycled fake of the SAME shape (flag False, -1 dims)."""
+        import hashlib
+
+        from uckg_spark.operators import multimodal
+
+        rows = [bytes([y * 40 + x * 10 for x in range(4) for _ in range(3)])
+                for y in range(4)]  # 4x4 RGB gradient
+        png = self._png(4, 4, rows, color=2)
+        junk = b"\xffnot-a-png" * 4
+        media = spark.createDataFrame(
+            [(1, "image", "image/png", bytearray(png), {}),
+             (2, "image", "application/junk", bytearray(junk), {})],
+            multimodal.MEDIA_SCHEMA)
+        out = {r["media_id"]: r
+               for r in multimodal.resize_images(media, 2, 2).collect()}
+        real, fake = out[1], out[2]
+        assert (real["decoded"], real["src_w"], real["src_h"]) == (True, 4, 4)
+        assert len(real["pixels"]) == 12 == len(fake["pixels"])
+        # top-left cell mean of the gradient: rows 0-1, cols 0-1 → R mean
+        assert real["pixels"][0] == (0 + 10 + 40 + 50) / 4 / 255.0
+        d = hashlib.sha256(junk).digest()
+        assert (fake["decoded"], fake["src_w"]) == (False, -1)
+        assert fake["pixels"] == [d[i % 32] / 255.0 for i in range(12)]
+
 
 class TestWinnowing:
     @staticmethod

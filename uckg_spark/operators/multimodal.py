@@ -49,12 +49,15 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes) -> dict | None:
+def decode_png(payload: bytes, want_pixels: bool = False) -> dict | None:
     """REAL pure-stdlib PNG decode (zlib inflate + scanline unfilter) —
     no codec library needed. Supports the common web shapes: 8-bit
     greyscale / RGB / RGBA, non-interlaced. Returns
     {width, height, channels, means: [per-channel pixel mean 0-1]} or
-    None when the payload is not a decodable PNG (caller falls back)."""
+    None when the payload is not a decodable PNG (caller falls back).
+    ``want_pixels=True`` adds ``pixels``: the full unfiltered buffer as
+    row-major channel-interleaved bytes (what :func:`box_resize`
+    consumes)."""
     import struct
     import zlib
 
@@ -84,6 +87,7 @@ def decode_png(payload: bytes) -> dict | None:
         if len(raw) != height * (stride + 1):
             return None
         sums = [0] * n_chan
+        buf = bytearray() if want_pixels else None
         prev = bytearray(stride)
         for y in range(height):
             off = y * (stride + 1)
@@ -102,12 +106,17 @@ def decode_png(payload: bytes) -> dict | None:
                     line[x] = (line[x] + _paeth(a, b, c)) & 0xFF
             for x in range(stride):
                 sums[x % n_chan] += line[x]
+            if buf is not None:
+                buf += line
             prev = line
         n_px = width * height
-        return {
+        out = {
             "width": width, "height": height, "channels": n_chan,
             "means": [s / (255.0 * n_px) for s in sums],
         }
+        if buf is not None:
+            out["pixels"] = bytes(buf)
+        return out
     except Exception:
         return None  # corrupt payload — not an image we can decode
 
@@ -380,6 +389,117 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(
         batches, schema=FEATURE_SCHEMA
     )
+
+
+def box_resize(
+    pixels: bytes, width: int, height: int, channels: int,
+    out_w: int, out_h: int,
+) -> list[float]:
+    """EXACT area-average (box) resample to ``out_h × out_w``, RGB.
+
+    Integer-exact weighting for ANY scale ratio: scale the y axis by
+    ``out_h`` and the x axis by ``out_w`` so every source-pixel /
+    output-cell overlap is an integer (`min((y+1)·oh, (j+1)·H) −
+    max(y·oh, j·H)`); each cell's total weight is then exactly ``H·W``,
+    so one float division per output value at the end — deterministic
+    across platforms, no accumulated rounding. Greyscale is replicated
+    to RGB, alpha is dropped. Returns ``out_h·out_w·3`` floats in 0-1,
+    row-major, channel-interleaved."""
+    if width <= 0 or height <= 0 or out_w <= 0 or out_h <= 0:
+        raise ValueError("dimensions must be positive")
+
+    def spans(n_in: int, n_out: int) -> list[list[tuple[int, int]]]:
+        # per output index: the (source index, integer overlap) pairs
+        out = []
+        for j in range(n_out):
+            lo, hi = j * n_in, (j + 1) * n_in  # cell bounds × n_out scale
+            first, last = lo // n_out, (hi - 1) // n_out
+            out.append([
+                (y, min(hi, (y + 1) * n_out) - max(lo, y * n_out))
+                for y in range(first, last + 1)
+            ])
+        return out
+
+    ys, xs = spans(height, out_h), spans(width, out_w)
+    rgb = (0, 1, 2) if channels >= 3 else (0, 0, 0)
+    den = float(height * width) * 255.0
+    vals: list[float] = []
+    for yspan in ys:
+        for xspan in xs:
+            acc = [0, 0, 0]
+            for y, wy in yspan:
+                row_off = y * width * channels
+                for x, wx in xspan:
+                    off = row_off + x * channels
+                    w = wy * wx
+                    for c in range(3):
+                        acc[c] += w * pixels[off + rgb[c]]
+            vals.extend(a / den for a in acc)
+    return vals
+
+
+RESIZE_SCHEMA = Ty.StructType([
+    Ty.StructField("media_id", Ty.LongType(), False),
+    Ty.StructField("kind", Ty.StringType(), False),
+    Ty.StructField("src_w", Ty.IntegerType(), False),
+    Ty.StructField("src_h", Ty.IntegerType(), False),
+    Ty.StructField("pixels", Ty.ArrayType(Ty.DoubleType()), False),
+    Ty.StructField("decoded", Ty.BooleanType(), False),
+])
+
+
+def _resize_payload(
+    payload: bytes, out_h: int, out_w: int
+) -> tuple[int, int, list[float], bool]:
+    """PNG payloads get the REAL decode + exact box resample; anything
+    else gets a deterministic sha256-derived fake of the SAME shape
+    (``out_h·out_w·3`` floats, digest bytes cycled) so the Spark schema
+    and batch shape are payload-independent — the extract_features
+    convention. ``src_w/src_h`` are ``-1`` sentinels on the fallback
+    (driver rows ship NULL-free columns)."""
+    dec = decode_png(payload, want_pixels=True)
+    if dec is not None:
+        return (
+            dec["width"], dec["height"],
+            box_resize(dec["pixels"], dec["width"], dec["height"],
+                       dec["channels"], out_w, out_h),
+            True,
+        )
+    d = hashlib.sha256(payload).digest()
+    return (-1, -1,
+            [d[i % 32] / 255.0 for i in range(out_h * out_w * 3)], False)
+
+
+def resize_images(
+    media: DataFrame, out_h: int = 8, out_w: int = 8
+) -> DataFrame:
+    """Arrow-batched thumbnail resize over binary payloads — the
+    'resize' leg of the multimodal plumbing (decode / feature-extract /
+    resize / frame-sample). Same scale shape as
+    :func:`extract_features`: the payload never crosses a shuffle, the
+    output is a fixed ``out_h·out_w·3`` vector per row, and swapping
+    the pure-stdlib PNG path for PIL/ffmpeg changes no Spark code."""
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for mid, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if payload is None:
+                    rows.append((int(mid), kind, -1, -1, [], False))
+                    continue
+                w, h, px, real = _resize_payload(
+                    bytes(payload), out_h, out_w)
+                rows.append((int(mid), kind, w, h, px, real))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "src_w", "src_h",
+                         "pixels", "decoded"])
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        batches, schema=RESIZE_SCHEMA)
 
 
 def synthetic_media(spark, n: int = 50, seed: int = 42) -> DataFrame:
