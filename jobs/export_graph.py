@@ -49,8 +49,10 @@ def triple_view(
     from uckg_spark.sources.catalog import GraphCatalog
 
     cat = GraphCatalog(graph_root)
-    edges = cat.read_table(spark, "edges", edges_snapshot_id)
-    nodes = cat.read_table(spark, "nodes", nodes_snapshot_id)
+    # the layout-aware readers (NOT read_table): after appends these
+    # tables span several snapshot dirs, each its own partitioned root
+    edges = cat.read_edges(spark, snapshot_id=edges_snapshot_id)
+    nodes = cat.read_nodes(spark, snapshot_id=nodes_snapshot_id)
 
     iri = edges.select(
         "subj", "pred", "obj",

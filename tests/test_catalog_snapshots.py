@@ -50,6 +50,28 @@ def test_append_snapshot_unions_parent(spark, tmp_path):
     assert cat.snapshot("edges", s2)["rows_written"] == 3
 
 
+def test_empty_append_commits_without_data_dir(spark, tmp_path):
+    """An EMPTY append still commits a snapshot (exactly-once
+    foreachBatch rides its batch id in props even for empty
+    micro-batches) but adds NO data dir to the manifest: a 0-row
+    partitioned write leaves a dir with no partition subdirectories,
+    which would poison every later per-dir read."""
+    cat = GraphCatalog(str(tmp_path / "g"))
+    s1 = cat.write_edges(_edges(spark, 4, "a"), n_tasks=2)
+    s2 = cat.write_edges(
+        _edges(spark, 4, "b").filter(F.lit(False)), n_tasks=2,
+        mode="append")
+    assert s2 != s1  # the commit happened
+    snap = cat.latest_snapshot("edges")
+    assert snap["snapshot_id"] == s2
+    assert snap["rows_written"] == 0
+    assert snap["dirs"] == cat.snapshot("edges", s1)["dirs"]
+    # reads across the chain still work, before and after a real append
+    assert cat.read_edges(spark).count() == 4
+    cat.write_edges(_edges(spark, 3, "c"), n_tasks=2, mode="append")
+    assert cat.read_edges(spark).count() == 7
+
+
 def test_orphan_dir_invisible_and_expired(spark, tmp_path):
     """A writer that dies after writing data but before commit leaves an
     orphan dir no reader sees; expire_snapshots removes it."""

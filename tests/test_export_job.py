@@ -58,6 +58,45 @@ def test_export_roundtrip_and_time_travel(
     assert sorted(map(tuple, parsed_old.collect())) == view1
 
 
+def test_streaming_ntriples_ingest(spark, fixture_pages, kg_dims, tmp_path):
+    """from_ntriples is a pure row map, so it runs unchanged under
+    Structured Streaming: readStream.text over the exported dump,
+    parse per micro-batch, land in a second catalog via foreachBatch —
+    the export/import loop closed as an incremental ingest. Small
+    maxFilesPerTrigger forces multiple micro-batches so the result is
+    provably batch-slicing-independent."""
+    from uckg_spark.sources.catalog import GraphCatalog
+    from uckg_spark.sources.rdfio import from_ntriples
+
+    graph = str(tmp_path / "graph")
+    _build_graph(spark, fixture_pages, kg_dims, graph, 30)
+    nt = str(tmp_path / "nt")
+    run(spark, graph, nt, partitions=6)  # several files → several batches
+
+    dst = GraphCatalog(str(tmp_path / "graph2"))
+    parsed = from_ntriples(
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 2).load(nt)
+        .withColumnRenamed("value", "line"))
+
+    def land(batch_df, _epoch):
+        dst.write_edges(
+            batch_df.filter(~F.col("obj_is_literal"))
+            .select("subj", "pred", "obj"), n_tasks=2, mode="append")
+
+    (parsed.writeStream.foreachBatch(land)
+     .option("checkpointLocation", str(tmp_path / "ckpt"))
+     .trigger(availableNow=True).start().awaitTermination())
+
+    # read_edges yields (subj, obj, pred) — partitionBy puts pred last
+    got = sorted(map(tuple, dst.read_edges(spark)
+                     .select("subj", "pred", "obj").collect()))
+    want = sorted(
+        (s, p, o) for s, p, o, lit, _dt in _collect_view(spark, graph)
+        if not lit)
+    assert got == want and len(got) > 0
+
+
 def test_triple_view_branch_shapes(spark, fixture_pages, kg_dims, tmp_path):
     """All three reconstruction branches are populated: URI-object
     edges, rdf:type triples from labels, literal triples from props."""

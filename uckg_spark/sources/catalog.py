@@ -176,7 +176,14 @@ class GraphCatalog:
         dirs = [rel_dir]
         total = rows_written
         if mode == "append" and parent is not None:
-            dirs = parent["dirs"] + dirs
+            # an EMPTY append still commits (exactly-once foreachBatch
+            # rides its batch id in props even for empty micro-batches)
+            # but contributes no data dir: a 0-row partitioned write
+            # leaves a dir with no partition subdirectories, and a later
+            # multi-dir read would die on CONFLICTING_DIRECTORY_STRUCTURES.
+            # The orphan dir is collected by expire_snapshots like any
+            # crashed-writer leftover.
+            dirs = parent["dirs"] + ([rel_dir] if rows_written else [])
             total += parent["rows"]
         self._commit(table, {
             "table": table, "snapshot_id": snap,
