@@ -1,0 +1,145 @@
+"""Merge-on-read delete files (Iceberg v2 equality-delete analog):
+merge_table(strategy="mor") and delete_rows commit keys-only delete
+files instead of rewriting; readers apply them sequence-aware; the
+compactors materialize the net state and free them. MoR must be
+observationally identical to COW — same reads, same time travel —
+while writing only O(|changes|) per merge."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from uckg_spark.sources.catalog import GraphCatalog
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, v string")
+
+
+def _read(spark, cat, name, snapshot_id=None):
+    return {tuple(r) for r in
+            cat.read_table(spark, name, snapshot_id=snapshot_id).collect()}
+
+
+def _edges(spark, n, tag):
+    return spark.range(n).select(
+        F.concat(F.lit(f"{tag}-s"), F.col("id")).alias("subj"),
+        F.lit("ucohasCVE_ID").alias("pred"),
+        F.concat(F.lit("o"), F.col("id")).alias("obj"),
+    )
+
+
+def test_mor_merge_matches_cow_and_writes_only_updates(spark, tmp_path):
+    cow = GraphCatalog(str(tmp_path / "cow"))
+    mor = GraphCatalog(str(tmp_path / "mor"))
+    steps = [
+        [(1, "a"), (2, "b"), (3, "c")],
+        [(2, "B"), (4, "d")],
+        [(2, "B2"), (1, "A")],  # re-upsert of already-upserted keys
+    ]
+    for rows in steps:
+        cow.merge_table(spark, "t", _df(spark, rows), ["k"])
+        mor.merge_table(spark, "t", _df(spark, rows), ["k"],
+                        strategy="mor")
+        assert _read(spark, mor, "t") == _read(spark, cow, "t")
+    assert _read(spark, mor, "t") == {
+        (1, "A"), (2, "B2"), (3, "c"), (4, "d")}
+    head = mor.latest_snapshot("t")
+    # MoR wrote only the update rows, never the table
+    assert head["rows_written"] == 2
+    assert len(head["dirs"]) == 3 and len(head["deletes"]) == 2
+    # delete files are deduped key sets
+    assert [d["rows"] for d in head["deletes"]] == [2, 2]
+
+
+def test_mor_time_travel_sees_pre_merge_state(spark, tmp_path):
+    cat = GraphCatalog(str(tmp_path / "g"))
+    s1 = cat.merge_table(spark, "t", _df(spark, [(1, "a"), (2, "b")]), ["k"])
+    s2 = cat.merge_table(spark, "t", _df(spark, [(2, "B")]), ["k"],
+                         strategy="mor")
+    assert _read(spark, cat, "t", snapshot_id=s1) == {(1, "a"), (2, "b")}
+    assert _read(spark, cat, "t", snapshot_id=s2) == {(1, "a"), (2, "B")}
+
+
+def test_delete_then_reinsert_survives(spark, tmp_path):
+    """A delete kills only LOWER-sequence rows: re-inserting the key
+    afterwards must be visible (the ordering MoR exists to get right)."""
+    cat = GraphCatalog(str(tmp_path / "g"))
+    cat.write_table("t", _df(spark, [(1, "a"), (2, "b")]))
+    cat.delete_rows("t", _df(spark, [(1, "dead")]), ["k"])
+    assert _read(spark, cat, "t") == {(2, "b")}
+    cat.write_table("t", _df(spark, [(1, "back")]), mode="append")
+    assert _read(spark, cat, "t") == {(1, "back"), (2, "b")}
+
+
+def test_delete_rows_retracts_edges_across_dirs(spark, tmp_path):
+    """Fact-table retraction: full-row equality deletes on the
+    partitioned edges table reach rows in EVERY snapshot dir, and the
+    pred partition filter still composes with the MoR anti-join."""
+    cat = GraphCatalog(str(tmp_path / "g"))
+    cat.write_edges(_edges(spark, 4, "a"), n_tasks=2)
+    cat.write_edges(_edges(spark, 3, "b"), n_tasks=2, mode="append")
+    dead = spark.createDataFrame(
+        [("a-s1", "ucohasCVE_ID", "o1"), ("b-s2", "ucohasCVE_ID", "o2")],
+        "subj string, pred string, obj string")
+    cat.delete_rows("edges", dead, ["subj", "pred", "obj"])
+    got = {r["subj"] for r in cat.read_edges(spark).collect()}
+    assert got == {"a-s0", "a-s2", "a-s3", "b-s0", "b-s1"}
+    assert cat.read_edges(spark, pred="ucohasCVE_ID").count() == 5
+    assert cat.read_edges(spark, pred="other").count() == 0
+
+
+def test_compact_materializes_and_expire_frees_delete_files(
+        spark, tmp_path):
+    cat = GraphCatalog(str(tmp_path / "g"))
+    cat.write_edges(_edges(spark, 5, "a"), n_tasks=2)
+    dead = _edges(spark, 2, "a")  # a-s0, a-s1
+    cat.delete_rows("edges", dead, ["subj", "pred", "obj"])
+    s3 = cat.compact_edges(spark, n_tasks=2)
+    head = cat.latest_snapshot("edges")
+    assert head["snapshot_id"] == s3
+    assert len(head["dirs"]) == 1 and head["deletes"] == []
+    assert head["rows"] == 3  # net count after materializing deletes
+    assert cat.read_edges(spark).count() == 3
+    # compacting an already-net head is a no-op
+    assert cat.compact_edges(spark, n_tasks=2) == s3
+    removed = cat.expire_snapshots("edges", keep_last=1)
+    assert any(r.startswith("edges/del-") for r in removed)
+    assert cat.read_edges(spark).count() == 3
+
+
+def test_compact_table_generic(spark, tmp_path):
+    cat = GraphCatalog(str(tmp_path / "g"))
+    cat.merge_table(spark, "t", _df(spark, [(1, "a"), (2, "b")]), ["k"])
+    cat.merge_table(spark, "t", _df(spark, [(2, "B"), (3, "c")]), ["k"],
+                    strategy="mor")
+    s = cat.compact_table(spark, "t", n_tasks=2)
+    head = cat.latest_snapshot("t")
+    assert head["snapshot_id"] == s
+    assert len(head["dirs"]) == 1 and head["deletes"] == []
+    assert _read(spark, cat, "t") == {(1, "a"), (2, "B"), (3, "c")}
+    assert cat.compact_table(spark, "t", n_tasks=2) == s
+
+
+def test_expired_delete_file_fails_loudly_on_time_travel(spark, tmp_path):
+    """Time travel to a snapshot whose DELETE file was expired must
+    fail at resolve time — a silent partial scan would resurrect
+    deleted rows."""
+    cat = GraphCatalog(str(tmp_path / "g"))
+    cat.write_table("t", _df(spark, [(1, "a")]))
+    s2 = cat.delete_rows("t", _df(spark, [(1, "x")]), ["k"])
+    cat.compact_table(spark, "t", n_tasks=1)
+    cat.expire_snapshots("t", keep_last=1)
+    with pytest.raises(FileNotFoundError, match="expired"):
+        cat.read_table(spark, "t", snapshot_id=s2)
+
+
+def test_mor_validations(spark, tmp_path):
+    cat = GraphCatalog(str(tmp_path / "g"))
+    with pytest.raises(FileNotFoundError):
+        cat.delete_rows("t", _df(spark, [(1, "a")]), ["k"])
+    cat.write_table("t", _df(spark, [(1, "a")]))
+    with pytest.raises(ValueError, match="key_cols"):
+        cat.delete_rows("t", _df(spark, [(1, "a")]), [])
+    with pytest.raises(ValueError, match="strategy"):
+        cat.merge_table(spark, "t", _df(spark, [(1, "a")]), ["k"],
+                        strategy="bogus")

@@ -28,6 +28,16 @@ semantics on plain parquet:
   (and orphans from crashed writers).
 - **Append + overwrite snapshots.** An append snapshot's file set is the
   parent's dirs plus the new dir; an overwrite snapshot replaces the set.
+- **Merge-on-read deletes** (Iceberg v2 equality-delete analog). Every
+  commit carries a monotonic sequence number; ``delete_rows`` and
+  ``merge_table(strategy="mor")`` commit small keys-only delete files
+  instead of rewriting the table, and readers drop data rows matched by
+  an equal-key delete row of STRICTLY GREATER sequence — O(|changes|)
+  written per fact-table merge, reads stay one anti-join against the
+  (broadcast-sized) delete set until ``compact_table``/``compact_edges``
+  materializes the net state and frees the delete files. A snapshot's
+  ``rows`` field counts data-file rows BEFORE delete application (the
+  Iceberg total-data-records summary, not the net count).
 
 Layout choices for the KG access paths:
 
@@ -40,6 +50,7 @@ Layout choices for the KG access paths:
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import random
@@ -53,6 +64,55 @@ from pyspark.sql import functions as F
 
 class CommitConflictError(RuntimeError):
     """Head moved between write start and commit (concurrent writer won)."""
+
+
+# ---- snapshot-row accessors tolerant of pre-MoR commit rows ------------
+# (rows committed before merge-on-read landed carry no seq/deletes keys;
+#  they read as "everything at sequence 0, no delete files")
+
+def _seq_of(snap: dict) -> int:
+    return snap.get("seq", 0)
+
+
+def _dir_seqs_of(snap: dict) -> list[int]:
+    return snap.get("dir_seqs") or [0] * len(snap["dirs"])
+
+
+def _deletes_of(snap: dict) -> list[dict]:
+    return snap.get("deletes") or []
+
+
+def _apply_equality_deletes(
+    spark: SparkSession, data: DataFrame, root: str,
+    deletes: list[dict],
+) -> DataFrame:
+    """Merge-on-read scan: drop every data row for which some delete
+    file holds an equal-key row with a STRICTLY GREATER sequence number
+    (Iceberg v2 equality-delete semantics — a delete applies only to
+    data committed before it, so an upsert's own rows survive its own
+    delete file and re-upserts chain correctly). ``data`` must carry a
+    ``_seq`` column; it is dropped on the way out.
+
+    One left-anti join per distinct key set (normally one). The delete
+    side is the concatenation of small keys-only parquet files —
+    dimension-merge sized — so AQE broadcasts it; the data side is
+    never shuffled. Plans with no delete files never reach here (the
+    fast path is untouched)."""
+    by_keys: dict[tuple, list[dict]] = {}
+    for d in deletes:
+        by_keys.setdefault(tuple(d["keys"]), []).append(d)
+    for keys, group in sorted(by_keys.items()):
+        dels = None
+        for d in group:
+            b = (spark.read.parquet(os.path.join(root, d["dir"]))
+                 .select(*keys)
+                 .withColumn("_dseq", F.lit(int(d["seq"]))))
+            dels = b if dels is None else dels.unionByName(b)
+        cond = functools.reduce(
+            lambda a, b: a & b, [data[k] == dels[k] for k in keys])
+        data = data.join(dels, cond & (dels["_dseq"] > data["_seq"]),
+                         "left_anti")
+    return data.drop("_seq")
 
 
 class GraphCatalog:
@@ -173,7 +233,9 @@ class GraphCatalog:
         snap = uuid.uuid4().hex[:12]
         rel_dir = os.path.join(table, f"snap-{snap}")
         rows_written = int(writer(os.path.join(self.root, rel_dir)))
-        dirs = [rel_dir]
+        seq = (_seq_of(parent) + 1) if parent else 1
+        dirs, dir_seqs = [rel_dir], [seq]
+        deletes: list[dict] = []  # overwrite clears any delete files
         total = rows_written
         if mode == "append" and parent is not None:
             # an EMPTY append still commits (exactly-once foreachBatch
@@ -183,13 +245,17 @@ class GraphCatalog:
             # multi-dir read would die on CONFLICTING_DIRECTORY_STRUCTURES.
             # The orphan dir is collected by expire_snapshots like any
             # crashed-writer leftover.
-            dirs = parent["dirs"] + ([rel_dir] if rows_written else [])
+            keep = [rel_dir] if rows_written else []
+            dirs = parent["dirs"] + keep
+            dir_seqs = _dir_seqs_of(parent) + ([seq] if keep else [])
+            deletes = _deletes_of(parent)  # appends preserve delete files
             total += parent["rows"]
         self._commit(table, {
             "table": table, "snapshot_id": snap,
             "parent_id": parent["snapshot_id"] if parent else None,
             "rows": total, "rows_written": rows_written,
-            "dirs": dirs, "ts": time.time(), "mode": mode,
+            "dirs": dirs, "dir_seqs": dir_seqs, "seq": seq,
+            "deletes": deletes, "ts": time.time(), "mode": mode,
             **({"props": props} if props else {}),
         }, expected_parent=parent["snapshot_id"] if parent else None)
         return snap
@@ -218,9 +284,65 @@ class GraphCatalog:
             name, write, mode, props=props,
             expected_parent_id=expected_parent_id)
 
+    def _write_delete_dir(self, table: str, keys: DataFrame,
+                          key_cols: list[str], n_tasks: int = 1
+                          ) -> tuple[str, int]:
+        """Write a keys-only equality-delete parquet dir (uncommitted —
+        the caller commits it; a crash here leaves an expirable orphan).
+        Keys are deduped: delete files are sets, not logs."""
+        from pyspark.sql import Observation
+
+        rel = os.path.join(table, f"del-{uuid.uuid4().hex[:12]}")
+        obs = Observation(f"del_{uuid.uuid4().hex[:8]}")
+        (
+            keys.select(*key_cols).distinct()
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .coalesce(n_tasks)
+            .write.mode("overwrite").parquet(os.path.join(self.root, rel))
+        )
+        return rel, int(obs.get["n"])
+
+    def delete_rows(self, name: str,
+                    keys: DataFrame, key_cols: list[str],
+                    props: dict | None = None) -> str:
+        """Merge-on-read DELETE: commit an equality-delete file against
+        the current head instead of rewriting the table — O(|keys|)
+        written regardless of table size, the fact-scale retraction path
+        (e.g. dropping a re-crawled page's stale triples from the edges
+        table). Readers anti-join the delete keys (sequence-aware, see
+        ``_apply_equality_deletes``); ``compact_table``/``compact_edges``
+        later materializes the net table and clears the delete files.
+
+        OCC is snapshot-pinned like ``merge_table``: the delete's
+        sequence number must order against exactly the head it read, so
+        a concurrent writer surfaces as ``CommitConflictError`` rather
+        than deleting rows it never saw. Works on any table (edges,
+        nodes, generic); key columns must exist in the table schema."""
+        if not key_cols:
+            raise ValueError("key_cols must be non-empty")
+        head = self.latest_snapshot(name)
+        if head is None:
+            raise FileNotFoundError(f"table {name!r} has no committed snapshot")
+        rel, n_keys = self._write_delete_dir(name, keys, key_cols)
+        seq = _seq_of(head) + 1
+        snap = uuid.uuid4().hex[:12]
+        self._commit(name, {
+            "table": name, "snapshot_id": snap,
+            "parent_id": head["snapshot_id"],
+            "rows": head["rows"], "rows_written": 0,
+            "dirs": head["dirs"], "dir_seqs": _dir_seqs_of(head),
+            "seq": seq,
+            "deletes": _deletes_of(head) + [
+                {"dir": rel, "seq": seq, "keys": list(key_cols),
+                 "rows": n_keys}],
+            "ts": time.time(), "mode": "delete",
+            **({"props": props} if props else {}),
+        }, expected_parent=head["snapshot_id"])
+        return snap
+
     def merge_table(self, spark: SparkSession, name: str,
                     updates: DataFrame, key_cols: list[str],
-                    n_tasks: int = 8) -> str:
+                    n_tasks: int = 8, strategy: str = "cow") -> str:
         """MERGE INTO (keyed upsert), copy-on-write: rows of ``updates``
         REPLACE current rows with the same key, new keys insert, and the
         result commits as a fresh snapshot (the old head stays
@@ -241,14 +363,25 @@ class GraphCatalog:
         with a latest-wins window first (e.g. ``scd2_history``'s collapse
         or ``sources/dims.py``'s window_dedup).
 
-        Scale shape: one anti-join shuffled on the merge key + the
-        rewrite. COW rewrites the whole table per merge — right for
-        dimension-scale tables; for fact-scale targets the refinement is
-        merge-on-read delete files, noted and not built (readers here
-        are plain parquet scans).
+        Scale shape, ``strategy="cow"`` (default): one anti-join
+        shuffled on the merge key + the rewrite. COW rewrites the whole
+        table per merge — right for dimension-scale tables, and reads
+        stay plain parquet scans.
+
+        ``strategy="mor"`` (merge-on-read, the Iceberg v2
+        equality-delete analog) is the fact-scale path: the merge
+        writes ONLY the update rows as a new data dir plus their keys
+        as a delete file — O(|updates|) written per merge regardless of
+        table size. Readers apply delete files sequence-aware (a delete
+        kills equal-key rows with strictly lower sequence, so the
+        merge's own rows survive its own delete file and re-upserts
+        chain); ``compact_table`` materializes the net table and clears
+        the delete files when read amplification accumulates.
         """
         if not key_cols:
             raise ValueError("key_cols must be non-empty")
+        if strategy not in ("cow", "mor"):
+            raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
         head = self.latest_snapshot(name)
         if head is None:
             return self.write_table(name, updates, n_tasks=n_tasks)
@@ -261,6 +394,9 @@ class GraphCatalog:
         missing = set(key_cols) - set(updates.columns)
         if missing:
             raise ValueError(f"key columns missing from updates: {missing}")
+        if strategy == "mor":
+            return self._merge_mor(name, updates.select(*current.columns),
+                                   key_cols, head, n_tasks=n_tasks)
         kept = current.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti")
         merged = kept.unionByName(updates.select(*current.columns))
@@ -268,14 +404,58 @@ class GraphCatalog:
             name, merged, n_tasks=n_tasks,
             expected_parent_id=head["snapshot_id"])
 
+    def _merge_mor(self, name: str, updates: DataFrame,
+                   key_cols: list[str], head: dict,
+                   n_tasks: int = 8) -> str:
+        """One MoR merge commit: updates land as a fresh data dir AND
+        their keys as an equality-delete file, both at the new commit's
+        sequence number — data written before the commit, so a crash
+        leaves two expirable orphans and no visible change."""
+        from pyspark.sql import Observation
+
+        snap = uuid.uuid4().hex[:12]
+        data_rel = os.path.join(name, f"snap-{snap}")
+        obs = Observation(f"mor_{uuid.uuid4().hex[:8]}")
+        (
+            updates.observe(obs, F.count(F.lit(1)).alias("n"))
+            .repartition(n_tasks)
+            .write.mode("overwrite").parquet(os.path.join(self.root, data_rel))
+        )
+        n_updates = int(obs.get["n"])
+        del_rel, n_keys = self._write_delete_dir(name, updates, key_cols)
+        seq = _seq_of(head) + 1
+        self._commit(name, {
+            "table": name, "snapshot_id": snap,
+            "parent_id": head["snapshot_id"],
+            "rows": head["rows"] + n_updates, "rows_written": n_updates,
+            "dirs": head["dirs"] + [data_rel],
+            "dir_seqs": _dir_seqs_of(head) + [seq], "seq": seq,
+            "deletes": _deletes_of(head) + [
+                {"dir": del_rel, "seq": seq, "keys": list(key_cols),
+                 "rows": n_keys}],
+            "ts": time.time(), "mode": "merge-mor",
+        }, expected_parent=head["snapshot_id"])
+        return snap
+
     def read_table(self, spark: SparkSession, name: str,
                    snapshot_id: str | None = None) -> DataFrame:
-        snap = (self.snapshot(name, snapshot_id) if snapshot_id
-                else self.latest_snapshot(name))
-        if snap is None:
-            raise FileNotFoundError(f"no snapshot for table {name!r}")
-        return spark.read.parquet(
-            *[os.path.join(self.root, d) for d in snap["dirs"]])
+        snap = self._resolve_snapshot(name, snapshot_id)
+        dirs = [os.path.join(self.root, d) for d in snap["dirs"]]
+        deletes = _deletes_of(snap)
+        if not deletes:
+            # fast path: no delete files ⇒ plain multi-path scan
+            return spark.read.parquet(*dirs)
+        # MoR scan: group data dirs by commit sequence (one scan branch
+        # per sequence, not per dir), tag each with its sequence, and
+        # anti-join the delete files
+        by_seq: dict[int, list[str]] = {}
+        for d, s in zip(dirs, _dir_seqs_of(snap)):
+            by_seq.setdefault(s, []).append(d)
+        data = None
+        for s, ds in sorted(by_seq.items()):
+            b = spark.read.parquet(*ds).withColumn("_seq", F.lit(s))
+            data = b if data is None else data.unionByName(b)
+        return _apply_equality_deletes(spark, data, self.root, deletes)
 
     def write_edges(self, edges: DataFrame, n_tasks: int = 32,
                     mode: str = "overwrite") -> str:
@@ -323,40 +503,62 @@ class GraphCatalog:
 
     # ---- reads ---------------------------------------------------------
 
-    def _resolve_dirs(self, table: str, snapshot_id: str | None) -> list[str]:
+    def _resolve_snapshot(self, table: str, snapshot_id: str | None) -> dict:
+        """Snapshot row with every referenced dir (data AND delete)
+        verified present on disk — a time-traveled read of an expired
+        snapshot fails loudly here, not with a partial scan."""
         snap = (self.snapshot(table, snapshot_id) if snapshot_id
                 else self.latest_snapshot(table))
         if snap is None:
             raise FileNotFoundError(f"table {table!r} has no committed snapshot")
-        dirs = [os.path.join(self.root, d) for d in snap["dirs"]]
-        missing = [d for d in dirs if not os.path.isdir(d)]
+        rels = list(snap["dirs"]) + [d["dir"] for d in _deletes_of(snap)]
+        missing = [d for d in (os.path.join(self.root, r) for r in rels)
+                   if not os.path.isdir(d)]
         if missing:
             raise FileNotFoundError(
                 f"snapshot {snap['snapshot_id']} of {table!r} was expired; "
                 f"missing data dirs: {missing}")
-        return dirs
+        return snap
 
-    def read_edges(self, spark: SparkSession, pred: str | None = None,
-                   snapshot_id: str | None = None) -> DataFrame:
+    def _resolve_dirs(self, table: str, snapshot_id: str | None) -> list[str]:
+        snap = self._resolve_snapshot(table, snapshot_id)
+        return [os.path.join(self.root, d) for d in snap["dirs"]]
+
+    def _read_layout_table(self, spark: SparkSession, table: str,
+                           snapshot_id: str | None) -> DataFrame:
         # one partition-discovered read per snapshot dir (each dir is its own
         # partitioned-table root; a single multi-path read would try to infer
         # one partition scheme across roots and fail), unioned lazily —
-        # Catalyst still prunes pred directories inside every branch.
-        dirs = self._resolve_dirs("edges", snapshot_id)
-        df = spark.read.parquet(dirs[0])
-        for d in dirs[1:]:
-            df = df.unionByName(spark.read.parquet(d))
+        # Catalyst still prunes partition directories inside every branch.
+        # With delete files, each branch is tagged with its commit sequence
+        # and the caller applies the anti-join AFTER any partition filter.
+        snap = self._resolve_snapshot(table, snapshot_id)
+        deletes = _deletes_of(snap)
+        df = None
+        for rel, s in zip(snap["dirs"], _dir_seqs_of(snap)):
+            b = spark.read.parquet(os.path.join(self.root, rel))
+            if deletes:
+                b = b.withColumn("_seq", F.lit(s))
+            df = b if df is None else df.unionByName(b)
+        return df, deletes
+
+    def read_edges(self, spark: SparkSession, pred: str | None = None,
+                   snapshot_id: str | None = None) -> DataFrame:
+        df, deletes = self._read_layout_table(spark, "edges", snapshot_id)
         if pred is not None:
-            # partition filter → directory pruning, no data read for other preds
+            # partition filter → directory pruning, no data read for other
+            # preds (applied before the MoR anti-join: deletes only remove
+            # rows, so filtering first is equivalent and keeps the pruning)
             df = df.filter(F.col("pred") == pred)
+        if deletes:
+            df = _apply_equality_deletes(spark, df, self.root, deletes)
         return df
 
     def read_nodes(self, spark: SparkSession,
                    snapshot_id: str | None = None) -> DataFrame:
-        dirs = self._resolve_dirs("nodes", snapshot_id)
-        df = spark.read.parquet(dirs[0])
-        for d in dirs[1:]:
-            df = df.unionByName(spark.read.parquet(d))
+        df, deletes = self._read_layout_table(spark, "nodes", snapshot_id)
+        if deletes:
+            df = _apply_equality_deletes(spark, df, self.root, deletes)
         return df
 
     # ---- maintenance ---------------------------------------------------
@@ -378,10 +580,27 @@ class GraphCatalog:
         parent = self.latest_snapshot("edges")
         if parent is None:
             raise FileNotFoundError("edges has no committed snapshot")
-        if len(parent["dirs"]) == 1:
+        if len(parent["dirs"]) == 1 and not _deletes_of(parent):
             return parent["snapshot_id"]
         return self.write_edges(
             self.read_edges(spark), n_tasks=n_tasks, mode="overwrite")
+
+    def compact_table(self, spark: SparkSession, name: str,
+                      n_tasks: int = 8) -> str:
+        """Materialize a MoR table's net state as one fresh snapshot —
+        the delete-file anti-joins run once here instead of on every
+        read, and the delete files become expirable. Same OCC as
+        ``compact_edges``: a concurrent merge/delete that lands during
+        the rewrite surfaces as ``CommitConflictError``."""
+        head = self.latest_snapshot(name)
+        if head is None:
+            raise FileNotFoundError(f"table {name!r} has no committed snapshot")
+        if len(head["dirs"]) == 1 and not _deletes_of(head):
+            return head["snapshot_id"]
+        return self.write_table(
+            name, self.read_table(spark, name,
+                                  snapshot_id=head["snapshot_id"]),
+            n_tasks=n_tasks, expected_parent_id=head["snapshot_id"])
 
     def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
         """Drop data dirs referenced only by snapshots older than the last
@@ -395,12 +614,14 @@ class GraphCatalog:
         for r in snaps:
             if r["snapshot_id"] in keep_ids:
                 live_dirs.update(r["dirs"])
+                live_dirs.update(d["dir"] for d in _deletes_of(r))
         table_root = os.path.join(self.root, table)
         removed: list[str] = []
         if os.path.isdir(table_root):
             for name in sorted(os.listdir(table_root)):
                 rel = os.path.join(table, name)
-                if name.startswith("snap-") and rel not in live_dirs:
+                if (name.startswith(("snap-", "del-"))
+                        and rel not in live_dirs):
                     shutil.rmtree(os.path.join(table_root, name))
                     removed.append(rel)
         return removed
