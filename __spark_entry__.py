@@ -1811,6 +1811,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(out)
     q["streaming_attribution"] = q_streaming_attribution
 
+    def q_catalog_mor(spark, sf):
+        """Merge-on-read catalog semantics end to end (the Iceberg v2
+        equality-delete analog, `sources/catalog.py`): base snapshot →
+        MoR upsert (k%7) → chained MoR re-upsert (k%21, must override
+        the first) → equality delete (k%13, must kill base AND upserted
+        rows) — then the net table through the real delete-file-applying
+        read path (two anti-join-ordered delete files + three data dirs
+        at distinct sequence numbers). The oracle reproduces the net
+        state with CASE/WHERE algebra, so the row checks the
+        sequence-ordering semantics, not just row plumbing. The temp
+        catalog stays on disk for the session: the result reads its
+        parquet lazily (same rule as the streaming rows' sinks)."""
+        import tempfile
+
+        from uckg_spark.sources.catalog import GraphCatalog
+
+        orders = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+
+        def fact(df, tag):
+            return df.select(
+                k.alias("k"),
+                F.concat(F.lit(tag), F.col("o_custkey")).alias("v"))
+
+        cat = GraphCatalog(tempfile.mkdtemp(prefix="uckg_mor_q_"))
+        cat.write_table("fact", fact(orders, "b:"), n_tasks=4)
+        cat.merge_table(spark, "fact",
+                        fact(orders.filter(k % 7 == 0), "u1:"),
+                        ["k"], n_tasks=2, strategy="mor")
+        cat.merge_table(spark, "fact",
+                        fact(orders.filter(k % 21 == 0), "u2:"),
+                        ["k"], n_tasks=2, strategy="mor")
+        cat.delete_rows("fact",
+                        orders.filter(k % 13 == 0).select(k.alias("k")),
+                        ["k"])
+        return cat.read_table(spark, "fact")
+    q["catalog_mor"] = q_catalog_mor
+
     return q
 
 
@@ -4579,6 +4617,18 @@ def oracle_sql() -> dict[str, str]:
 
     o["streaming_first_seen"] = """
         SELECT DISTINCT user_id FROM events
+    """
+
+    # merge-on-read net state: base, overridden by u1 (k%7), overridden
+    # by u2 (k%21 — higher sequence wins), minus the k%13 delete which
+    # applies to every lower-sequence row (base and upserts alike)
+    o["catalog_mor"] = """
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 21 = 0 THEN 'u2:' || o_custkey
+                    WHEN o_orderkey % 7  = 0 THEN 'u1:' || o_custkey
+                    ELSE 'b:' || o_custkey END AS v
+        FROM orders
+        WHERE o_orderkey % 13 <> 0
     """
 
     return o
