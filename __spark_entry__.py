@@ -1849,6 +1849,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return cat.read_table(spark, "fact")
     q["catalog_mor"] = q_catalog_mor
 
+    def q_catalog_changelog(spark, sf):
+        """Changelog scan (`read_changes`, the Iceberg
+        create_changelog_view analog): stage base → MoR upsert (k%7) →
+        equality delete (k%13), then read the row-level changes since
+        the base snapshot — inserts from exactly the data dirs
+        committed in the range, deletes as keys-only rows. This is what
+        an incremental downstream consumer reads instead of re-scanning
+        the table; cost is O(|changes|). NULL-free per the driver-row
+        convention: a delete row's undefined v is '' in both engines."""
+        import tempfile
+
+        from uckg_spark.sources.catalog import GraphCatalog
+
+        orders = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+
+        def fact(df, tag):
+            return df.select(
+                k.alias("k"),
+                F.concat(F.lit(tag), F.col("o_custkey")).alias("v"))
+
+        cat = GraphCatalog(tempfile.mkdtemp(prefix="uckg_cdc_q_"))
+        s1 = cat.write_table("fact", fact(orders, "b:"), n_tasks=4)
+        cat.merge_table(spark, "fact",
+                        fact(orders.filter(k % 7 == 0), "u:"),
+                        ["k"], n_tasks=2, strategy="mor")
+        cat.delete_rows("fact",
+                        orders.filter(k % 13 == 0).select(k.alias("k")),
+                        ["k"])
+        return (cat.read_changes(spark, "fact", s1)
+                .withColumn("v", F.coalesce("v", F.lit(""))))
+    q["catalog_changelog"] = q_catalog_changelog
+
     return q
 
 
@@ -4629,6 +4662,22 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'b:' || o_custkey END AS v
         FROM orders
         WHERE o_orderkey % 13 <> 0
+    """
+
+    # changelog since the base snapshot: the MoR merge contributes its
+    # update rows as inserts AND its keys as an (inert-on-new-keys)
+    # equality-delete file at the same sequence; the delete commit
+    # contributes keys-only delete rows one sequence later
+    o["catalog_changelog"] = """
+        SELECT o_orderkey AS k, 'u:' || o_custkey AS v,
+               'insert' AS _change_type, 2::BIGINT AS _commit_seq
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, '', 'delete', 2::BIGINT
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, '', 'delete', 3::BIGINT
+        FROM orders WHERE o_orderkey % 13 = 0
     """
 
     return o

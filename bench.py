@@ -110,8 +110,8 @@ def main() -> None:
         "kg_struct_pairs", "spike_days", "contingency", "retention",
         "token_cooccur", "pair_audit", "kmv_union", "rdf_roundtrip",
         "resize_images",
-        # round-4 resume-5 addition
-        "catalog_mor",
+        # round-4 resume-5 additions
+        "catalog_mor", "catalog_changelog",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical
@@ -137,9 +137,9 @@ def main() -> None:
              # crossed the same >=~1.5 s criterion
              "kg_struct_pairs", "incremental_pairs", "token_cooccur",
              "pair_audit",
-             # resume-5: catalog_mor stages a temp catalog (4 write
-             # commits) before the MoR read — write-dominated, >=1.5 s
-             "catalog_mor"}
+             # resume-5: the catalog rows stage a temp catalog (3-4
+             # write commits) before the read — write-dominated, >=1.5 s
+             "catalog_mor", "catalog_changelog"}
 
     def timed(name: str, run) -> None:
         walls = []

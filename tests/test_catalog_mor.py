@@ -143,3 +143,64 @@ def test_mor_validations(spark, tmp_path):
     with pytest.raises(ValueError, match="strategy"):
         cat.merge_table(spark, "t", _df(spark, [(1, "a")]), ["k"],
                         strategy="bogus")
+
+
+# ---- changelog scans (read_changes) ------------------------------------
+
+def _changes(spark, cat, name, frm, to=None):
+    return {tuple(r) for r in
+            cat.read_changes(spark, name, frm, to).collect()}
+
+
+def test_changelog_since_creation_is_all_inserts(spark, tmp_path):
+    cat = GraphCatalog(str(tmp_path / "g"))
+    cat.write_table("t", _df(spark, [(1, "a"), (2, "b")]))
+    got = _changes(spark, cat, "t", None)
+    assert got == {(1, "a", "insert", 1), (2, "b", "insert", 1)}
+
+
+def test_changelog_emits_range_inserts_and_deletes(spark, tmp_path):
+    """Inserts come from exactly the data dirs committed in the range,
+    deletes as keys-only rows (non-key columns NULL); replaying the
+    changelog in _commit_seq order over the range-start state must
+    reproduce the head table — the incremental-consumer contract."""
+    cat = GraphCatalog(str(tmp_path / "g"))
+    s1 = cat.write_table("t", _df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    cat.merge_table(spark, "t", _df(spark, [(2, "B"), (4, "d")]), ["k"],
+                    strategy="mor")
+    cat.delete_rows("t", _df(spark, [(3, "x"), (4, "x")]), ["k"])
+    got = _changes(spark, cat, "t", s1)
+    assert got == {
+        (2, "B", "insert", 2), (4, "d", "insert", 2),
+        # the merge's own equality-delete file covers EVERY update key —
+        # a delete of a not-yet-existing key (4) is emitted and inert
+        (2, None, "delete", 2), (4, None, "delete", 2),
+        (3, None, "delete", 3), (4, None, "delete", 3),
+    }
+    # replay: start state + ordered changes == head read
+    state = {(1, "a"), (2, "b"), (3, "c")}
+    for k, v, kind, _seq in sorted(got, key=lambda r: (r[3], r[2] != "delete")):
+        if kind == "delete":
+            state = {(sk, sv) for sk, sv in state if sk != k}
+        else:
+            state.add((k, v))
+    assert state == _read(spark, cat, "t")
+
+
+def test_changelog_rejects_mid_history_overwrite(spark, tmp_path):
+    cat = GraphCatalog(str(tmp_path / "g"))
+    s1 = cat.write_table("t", _df(spark, [(1, "a")]))
+    # COW merge rewrites the file set — row-level delta unrecoverable
+    cat.merge_table(spark, "t", _df(spark, [(1, "A")]), ["k"])
+    with pytest.raises(ValueError, match="overwrite"):
+        cat.read_changes(spark, "t", s1)
+
+
+def test_changelog_bad_range_and_empty_range(spark, tmp_path):
+    cat = GraphCatalog(str(tmp_path / "g"))
+    s1 = cat.write_table("t", _df(spark, [(1, "a")]))
+    with pytest.raises(KeyError, match="ancestor"):
+        cat.read_changes(spark, "t", "nonexistent-snap")
+    empty = cat.read_changes(spark, "t", s1, s1)
+    assert empty.count() == 0
+    assert empty.columns == ["k", "v", "_change_type", "_commit_seq"]
