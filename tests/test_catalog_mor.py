@@ -204,3 +204,43 @@ def test_changelog_bad_range_and_empty_range(spark, tmp_path):
     empty = cat.read_changes(spark, "t", s1, s1)
     assert empty.count() == 0
     assert empty.columns == ["k", "v", "_change_type", "_commit_seq"]
+
+
+def test_changelog_crosses_compaction(spark, tmp_path):
+    """Compaction commits are net-content no-ops flagged props.replace:
+    the changelog skips them (Iceberg skips replace commits the same
+    way), so an incremental consumer's range can cross maintenance.
+    Deltas are per-commit, so the pre-compaction merge's changes are
+    still emitted from its own (not-yet-expired) dirs."""
+    cat = GraphCatalog(str(tmp_path / "g"))
+    s1 = cat.write_table("t", _df(spark, [(1, "a"), (2, "b"), (3, "c")]))
+    cat.merge_table(spark, "t", _df(spark, [(2, "B"), (4, "d")]), ["k"],
+                    strategy="mor")
+    cat.compact_table(spark, "t", n_tasks=1)
+    cat.delete_rows("t", _df(spark, [(3, "x")]), ["k"])
+    got = _changes(spark, cat, "t", s1)
+    assert got == {
+        (2, "B", "insert", 2), (4, "d", "insert", 2),
+        (2, None, "delete", 2), (4, None, "delete", 2),
+        (3, None, "delete", 4),
+    }
+    # ordered replay over the range-start state reproduces the head
+    state = {(1, "a"), (2, "b"), (3, "c")}
+    for k, v, kind, _seq in sorted(
+            got, key=lambda r: (r[3], r[2] != "delete")):
+        if kind == "delete":
+            state = {(sk, sv) for sk, sv in state if sk != k}
+        else:
+            state.add((k, v))
+    assert state == _read(spark, cat, "t")
+
+
+def test_changelog_fails_loudly_when_range_dirs_expired(spark, tmp_path):
+    cat = GraphCatalog(str(tmp_path / "g"))
+    s1 = cat.write_table("t", _df(spark, [(1, "a")]))
+    cat.merge_table(spark, "t", _df(spark, [(1, "A")]), ["k"],
+                    strategy="mor")
+    cat.compact_table(spark, "t", n_tasks=1)
+    cat.expire_snapshots("t", keep_last=1)
+    with pytest.raises(FileNotFoundError, match="expired"):
+        cat.read_changes(spark, "t", s1).collect()

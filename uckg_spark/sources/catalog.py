@@ -458,7 +458,8 @@ class GraphCatalog:
         return _apply_equality_deletes(spark, data, self.root, deletes)
 
     def write_edges(self, edges: DataFrame, n_tasks: int = 32,
-                    mode: str = "overwrite") -> str:
+                    mode: str = "overwrite",
+                    props: dict | None = None) -> str:
         """Edges partitioned by pred for directory-pruned scans.
 
         Shuffle on (pred, subj) across ``n_tasks`` — NOT ``repartition("pred")``,
@@ -482,10 +483,11 @@ class GraphCatalog:
             )
             return int(obs.get["n"])
 
-        return self._write_snapshot("edges", write, mode)
+        return self._write_snapshot("edges", write, mode, props=props)
 
     def write_nodes(self, nodes: DataFrame, n_buckets: int = 16,
-                    mode: str = "overwrite") -> str:
+                    mode: str = "overwrite",
+                    props: dict | None = None) -> str:
         from pyspark.sql import Observation
 
         def write(path: str) -> int:
@@ -499,7 +501,7 @@ class GraphCatalog:
             )
             return int(obs.get["n"])
 
-        return self._write_snapshot("nodes", write, mode)
+        return self._write_snapshot("nodes", write, mode, props=props)
 
     # ---- reads ---------------------------------------------------------
 
@@ -573,16 +575,22 @@ class GraphCatalog:
 
         This is what an incremental downstream consumer reads instead of
         re-scanning the table: appends and MoR merges surface as inserts
-        from exactly the data dirs committed in the range, deletes and
-        merge retractions as keys-only delete rows (non-key columns
-        NULL, as in Iceberg's changelog for equality deletes). Cost is
-        O(|changes|) — the pre-existing table is never scanned.
+        from exactly the data dirs each commit in the range added,
+        deletes and merge retractions as keys-only delete rows (non-key
+        columns NULL, as in Iceberg's changelog for equality deletes).
+        Cost is O(|changes|) — the pre-existing table is never scanned.
 
-        Overwrite commits inside the range are rejected: an overwrite
-        replaces the file set wholesale, so its row-level delta is not
-        recoverable from the manifests (Iceberg's changelog errors the
-        same way); compact after the consumer catches up, or between
-        consumers."""
+        The delta is computed PER COMMIT against its parent (not from
+        the head's cumulative file set), so compaction commits —
+        ``compact_table``/``compact_edges`` rewrites flagged
+        ``props.replace`` — contribute NO changelog rows (net content
+        unchanged; Iceberg's changelog skips replace commits the same
+        way) and a consumer's range can cross maintenance safely, as
+        long as the pre-compaction dirs haven't been expired yet (an
+        expired mid-range dir fails loudly). A genuine data OVERWRITE
+        in the range is rejected: it replaces the file set wholesale,
+        so its row-level delta is not recoverable from manifests. A
+        creation overwrite is its own delta."""
         to_snap = self._resolve_snapshot(name, to_snapshot_id)
         lineage: list[dict] = []  # commits in (from, to], oldest first
         snap: dict | None = to_snap
@@ -598,41 +606,54 @@ class GraphCatalog:
                     f"{from_snapshot_id!r} is not an ancestor of "
                     f"{to_snap['snapshot_id']!r} in table {name!r}")
         lineage.reverse()
-        base_seq = _seq_of(snap) if snap is not None else -1
-        # a CREATION overwrite's delta is exactly its file set; only an
-        # overwrite of existing data loses row-level recoverability
-        bad = [r["snapshot_id"] for r in lineage
-               if r["mode"] == "overwrite" and r.get("parent_id")]
-        if bad:
-            raise ValueError(
-                f"changelog range for {name!r} crosses overwrite "
-                f"commit(s) {bad}: row-level changes across an overwrite "
-                f"are not recoverable from manifests")
-        # dirs/deletes are cumulative in commit rows; "committed in the
-        # range" = sequence strictly above the range-start commit's
         head_df = self.read_table(spark, name,
                                   snapshot_id=to_snap["snapshot_id"])
         cols, dtypes = head_df.columns, dict(head_df.dtypes)
+
+        def _scan(rel: str) -> DataFrame:
+            path = os.path.join(self.root, rel)
+            if not os.path.isdir(path):
+                raise FileNotFoundError(
+                    f"changelog dir {rel!r} of table {name!r} was "
+                    f"expired; compact-then-expire outpaced this consumer")
+            return spark.read.parquet(path)
+
         out = None
-        for rel, s in zip(to_snap["dirs"], _dir_seqs_of(to_snap)):
-            if s <= base_seq:
-                continue
-            b = (spark.read.parquet(os.path.join(self.root, rel))
-                 .select(*cols)
-                 .withColumn("_change_type", F.lit("insert"))
-                 .withColumn("_commit_seq", F.lit(int(s)).cast("long")))
-            out = b if out is None else out.unionByName(b)
-        for d in _deletes_of(to_snap):
-            if d["seq"] <= base_seq:
-                continue
-            b = spark.read.parquet(os.path.join(self.root, d["dir"]))
-            for c in cols:
-                if c not in d["keys"]:
-                    b = b.withColumn(c, F.lit(None).cast(dtypes[c]))
-            b = (b.select(*cols)
-                 .withColumn("_change_type", F.lit("delete"))
-                 .withColumn("_commit_seq", F.lit(int(d["seq"])).cast("long")))
-            out = b if out is None else out.unionByName(b)
+        parent = snap  # the range-start commit (None = table creation)
+        for r in lineage:
+            is_replace = bool((r.get("props") or {}).get("replace"))
+            if r["mode"] == "overwrite" and r.get("parent_id") \
+                    and not is_replace:
+                raise ValueError(
+                    f"changelog range for {name!r} crosses overwrite "
+                    f"commit {r['snapshot_id']}: row-level changes "
+                    f"across an overwrite are not recoverable from "
+                    f"manifests")
+            parent_dirs = set(parent["dirs"]) if parent else set()
+            parent_dels = ({d["dir"] for d in _deletes_of(parent)}
+                           if parent else set())
+            parent = r
+            if is_replace:
+                continue  # net content unchanged — no changelog rows
+            seq = F.lit(int(_seq_of(r))).cast("long")
+            for rel in r["dirs"]:
+                if rel in parent_dirs:
+                    continue
+                b = (_scan(rel).select(*cols)
+                     .withColumn("_change_type", F.lit("insert"))
+                     .withColumn("_commit_seq", seq))
+                out = b if out is None else out.unionByName(b)
+            for d in _deletes_of(r):
+                if d["dir"] in parent_dels:
+                    continue
+                b = _scan(d["dir"])
+                for c in cols:
+                    if c not in d["keys"]:
+                        b = b.withColumn(c, F.lit(None).cast(dtypes[c]))
+                b = (b.select(*cols)
+                     .withColumn("_change_type", F.lit("delete"))
+                     .withColumn("_commit_seq", seq))
+                out = b if out is None else out.unionByName(b)
         if out is None:
             # empty range: zero-row frame with the changelog schema
             out = (head_df.filter(F.lit(False))
@@ -662,7 +683,8 @@ class GraphCatalog:
         if len(parent["dirs"]) == 1 and not _deletes_of(parent):
             return parent["snapshot_id"]
         return self.write_edges(
-            self.read_edges(spark), n_tasks=n_tasks, mode="overwrite")
+            self.read_edges(spark), n_tasks=n_tasks, mode="overwrite",
+            props={"replace": True})
 
     def compact_table(self, spark: SparkSession, name: str,
                       n_tasks: int = 8) -> str:
@@ -679,7 +701,8 @@ class GraphCatalog:
         return self.write_table(
             name, self.read_table(spark, name,
                                   snapshot_id=head["snapshot_id"]),
-            n_tasks=n_tasks, expected_parent_id=head["snapshot_id"])
+            n_tasks=n_tasks, expected_parent_id=head["snapshot_id"],
+            props={"replace": True})
 
     def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
         """Drop data dirs referenced only by snapshots older than the last
