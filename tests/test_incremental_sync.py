@@ -1,0 +1,125 @@
+"""plans/incremental.py: the KG stays equal to a full rebuild over the
+LIVE pages while extraction runs only on changed pages — inserts,
+re-crawls (MoR upserts), and deletions all flow from the pages table's
+changelog into mention-store updates and edge-delta commits."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from uckg_spark.plans.incremental import last_synced, sync_kg
+from uckg_spark.plans.kg_pipeline import build_triples, materialize_graph
+from uckg_spark.sources.catalog import GraphCatalog
+from uckg_spark.sources.pages import pages_df
+
+
+def _rebuild(spark, pages, kg_dims):
+    """Gold standard: batch pipeline over the live corpus."""
+    triples = build_triples(spark, pages_df(spark, pages), kg_dims)
+    nodes, edges = materialize_graph(triples)
+    return (
+        {tuple(r) for r in edges.collect()},
+        {(r["uri"], tuple(r["labels"])) for r in nodes.collect()},
+    )
+
+
+def _graph_state(spark, cat):
+    edges = {tuple(r) for r in
+             cat.read_edges(spark).select("subj", "pred", "obj").collect()}
+    nodes = {(r["uri"], tuple(r["labels"]))
+             for r in cat.read_nodes(spark).collect()}
+    return edges, nodes
+
+
+@pytest.fixture(scope="module")
+def synced(spark, fixture_pages, kg_dims, tmp_path_factory):
+    """Drive two syncs: v1 = pages[:20]; v2 = re-crawl page 0 with page
+    35's html (mention set changes), delete page 1, insert pages 20:30.
+    Returns everything the assertions need."""
+    root = tmp_path_factory.mktemp("sync")
+    pages_cat = GraphCatalog(str(root / "pages"))
+    graph_cat = GraphCatalog(str(root / "graph"))
+
+    # a page whose CVE id no other fixture page mentions: deleting it
+    # MUST retract its R1 triples (last-support disappearance)
+    uniq = dict(
+        fixture_pages[0],
+        url="https://unique.test/only-here",
+        html=b"<html><body>An advisory for CVE-1999-9997 alone."
+             b"</body></html>")
+    v1 = fixture_pages[:20] + [uniq]
+    pages_cat.write_table("pages", pages_df(spark, v1), n_tasks=2)
+    s1 = sync_kg(spark, pages_cat, graph_cat, kg_dims, n_tasks=2)
+    state1 = _graph_state(spark, graph_cat)
+
+    recrawled = dict(v1[0], html=fixture_pages[35]["html"])
+    pages_cat.merge_table(
+        spark, "pages",
+        pages_df(spark, [recrawled] + fixture_pages[20:30]),
+        ["url"], n_tasks=2, strategy="mor")
+    pages_cat.delete_rows(
+        "pages",
+        spark.createDataFrame([(v1[1]["url"],), (uniq["url"],)],
+                              "url string"),
+        ["url"])
+    s2 = sync_kg(spark, pages_cat, graph_cat, kg_dims, n_tasks=2)
+
+    live = [recrawled] + v1[2:20] + fixture_pages[20:30]
+    return {
+        "pages_cat": pages_cat, "graph_cat": graph_cat,
+        "v1": v1, "live": live, "s1": s1, "s2": s2, "state1": state1,
+    }
+
+
+def test_first_sync_equals_batch_build(spark, fixture_pages, kg_dims, synced):
+    assert synced["s1"]["status"] == "synced"
+    gold = _rebuild(spark, synced["v1"], kg_dims)
+    assert synced["state1"] == gold
+
+
+def test_incremental_sync_equals_full_rebuild(spark, kg_dims, synced):
+    """THE invariant: after upsert + delete + insert, the incremental
+    graph equals a from-scratch batch build over the live corpus."""
+    assert synced["s2"]["status"] == "synced"
+    gold_edges, gold_nodes = _rebuild(spark, synced["live"], kg_dims)
+    got_edges, got_nodes = _graph_state(spark, synced["graph_cat"])
+    assert got_edges == gold_edges
+    assert got_nodes == gold_nodes
+    # the second sync genuinely moved the graph in both directions
+    assert synced["s2"]["changed_urls"] == 13  # 1 recrawl + 2 del + 10 new
+    assert synced["s2"]["edges_added"] > 0
+    assert synced["s2"]["edges_retracted"] > 0
+
+
+def test_sync_is_noop_when_pages_unchanged(spark, kg_dims, synced):
+    again = sync_kg(spark, synced["pages_cat"], synced["graph_cat"],
+                    kg_dims, n_tasks=2)
+    assert again["status"] == "up_to_date"
+    assert last_synced(synced["graph_cat"]) == again["pages_snapshot_id"]
+
+
+def test_mention_store_tracks_live_pages(spark, kg_dims, synced):
+    """The incrementally-maintained mention store equals a fresh scan of
+    the live corpus (set-wise): deleted urls gone, re-crawled url's
+    mentions replaced."""
+    from uckg_spark.operators.mentions import scan_pages
+
+    store = {tuple(r) for r in synced["graph_cat"]
+             .read_table(spark, "mentions").collect()}
+    gold = {tuple(r) for r in scan_pages(
+        spark, pages_df(spark, synced["live"]),
+        kg_dims.alias_rows).collect()}
+    assert store == gold
+    dead_url = synced["v1"][1]["url"]
+    assert all(u != dead_url for u, *_ in store)
+
+
+def test_edges_history_time_travels(spark, synced):
+    """The delta commits keep history: the edges snapshot log contains
+    a head matching sync 2 and an ancestor state matching sync 1."""
+    cat = synced["graph_cat"]
+    snaps = cat.snapshots("edges")
+    assert len(snaps) >= 2
+    first = {tuple(r) for r in
+             cat.read_edges(spark, snapshot_id=snaps[0]["snapshot_id"])
+             .select("subj", "pred", "obj").collect()}
+    assert first == synced["state1"][0]

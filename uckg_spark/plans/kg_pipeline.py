@@ -99,8 +99,15 @@ def linked_mentions(
     spark: SparkSession, pages: DataFrame, dims: KgDims,
     mention_partitions: int | None = None,
     defer_barrier: bool = False,
+    raw_mentions: DataFrame | None = None,
 ) -> "MentionTables":
     """Stages 1–3: extract, detect, link.
+
+    ``raw_mentions``: a precomputed mention stream (url, kind, token,
+    canonical_id) — e.g. the incrementally-maintained mention store of
+    ``plans/incremental.py`` — replayed through the exact same linking
+    derivation instead of re-scanning pages; ``pages`` is ignored. The
+    scan is the corpus-sized cost, the linking is mention-sized.
 
     SHUFFLE BUDGET: the mention stream is persisted once; every per-kind
     table below is a narrow filter + broadcast join (zero exchanges). The
@@ -122,7 +129,8 @@ def linked_mentions(
     storms — was actually caused by Python-parallelized dim RDDs and is
     fixed at the source in ``KgDims``.)
     """
-    mentions = scan_pages(spark, pages, dims.alias_rows)
+    mentions = (raw_mentions if raw_mentions is not None
+                else scan_pages(spark, pages, dims.alias_rows))
     # the mention table is ~1000× smaller than pages; re-bucketing it to a
     # size-appropriate partition count before caching caps the task count
     # of every downstream branch (task dispatch is the driver's serial
