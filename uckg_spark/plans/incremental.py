@@ -102,7 +102,10 @@ def sync_kg(
     m = linked_mentions(spark, None, dims,
                         mention_partitions=mention_partitions,
                         raw_mentions=store)
-    triples = build_triples(spark, None, dims, mentions=m)
+    # persist the triple set: edges delta (two anti-join actions + two
+    # write commits) AND the nodes rebuild all consume it — unpersisted,
+    # each action re-runs the whole emission DAG
+    triples = build_triples(spark, None, dims, mentions=m).persist()
     nodes, edges = materialize_graph(triples)
 
     # -- edge delta: append additions, MoR-retract disappearances ------
@@ -128,6 +131,14 @@ def sync_kg(
             df.unpersist()
 
     graph_cat.write_nodes(nodes, n_buckets=n_tasks)
+
+    # linked_mentions persists the mention stream + per-kind caches per
+    # call; a long-lived sync driver must release them or repeated syncs
+    # accumulate cache blocks
+    triples.unpersist()
+    m["mentions"].unpersist()
+    for k in ("cve", "cwe", "capec", "cpe"):
+        m[k].unpersist()
 
     # -- record the synced pages snapshot (1-row versioned state) ------
     graph_cat.write_table(
