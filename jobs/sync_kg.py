@@ -23,6 +23,34 @@ import sys
 sys.path.insert(0, ".")
 
 
+def run(spark, pages_catalog: str, graph: str, pages_table: str = "pages",
+        n_tasks: int = 32, mention_partitions: int | None = None,
+        compact_after: int = 0, dims=None) -> dict:
+    from uckg_spark.plans.incremental import sync_kg
+    from uckg_spark.plans.kg_pipeline import KgDims
+    from uckg_spark.sources.catalog import GraphCatalog
+
+    graph_cat = GraphCatalog(graph)
+    summary = sync_kg(
+        spark, GraphCatalog(pages_catalog), graph_cat,
+        dims if dims is not None else KgDims(spark),
+        pages_table=pages_table,
+        n_tasks=n_tasks, mention_partitions=mention_partitions,
+    )
+    if compact_after > 0 and summary["status"] == "synced":
+        for table, compact in (
+            ("edges", lambda: graph_cat.compact_edges(
+                spark, n_tasks=n_tasks)),
+            ("mentions", lambda: graph_cat.compact_table(
+                spark, "mentions", n_tasks=n_tasks)),
+        ):
+            head = graph_cat.latest_snapshot(table)
+            if head and len(head["dirs"]) > compact_after:
+                compact()
+                summary[f"compacted_{table}"] = True
+    return summary
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages-catalog", required=True,
@@ -36,30 +64,14 @@ def main() -> None:
                          "more than this many dirs (0 = never)")
     args = ap.parse_args()
 
-    from uckg_spark.plans.incremental import sync_kg
-    from uckg_spark.plans.kg_pipeline import KgDims
     from uckg_spark.session import build_session
-    from uckg_spark.sources.catalog import GraphCatalog
 
     spark = build_session(app_name="uckg-sync-kg")
-    graph_cat = GraphCatalog(args.graph)
-    summary = sync_kg(
-        spark, GraphCatalog(args.pages_catalog), graph_cat,
-        KgDims(spark), pages_table=args.pages_table,
-        n_tasks=args.n_tasks, mention_partitions=args.mention_partitions,
-    )
-    if args.compact_after > 0 and summary["status"] == "synced":
-        for table, compact in (
-            ("edges", lambda: graph_cat.compact_edges(
-                spark, n_tasks=args.n_tasks)),
-            ("mentions", lambda: graph_cat.compact_table(
-                spark, "mentions", n_tasks=args.n_tasks)),
-        ):
-            head = graph_cat.latest_snapshot(table)
-            if head and len(head["dirs"]) > args.compact_after:
-                compact()
-                summary[f"compacted_{table}"] = True
-    print(json.dumps(summary))
+    print(json.dumps(run(
+        spark, args.pages_catalog, args.graph,
+        pages_table=args.pages_table, n_tasks=args.n_tasks,
+        mention_partitions=args.mention_partitions,
+        compact_after=args.compact_after)))
 
 
 if __name__ == "__main__":

@@ -123,3 +123,43 @@ def test_edges_history_time_travels(spark, synced):
              cat.read_edges(spark, snapshot_id=snaps[0]["snapshot_id"])
              .select("subj", "pred", "obj").collect()}
     assert first == synced["state1"][0]
+
+
+def test_sync_job_compaction_maintenance(
+        spark, fixture_pages, kg_dims, tmp_path):
+    """jobs/sync_kg.run: after enough delta syncs the edges head spans
+    several dirs; --compact-after triggers the rewrite and the graph is
+    unchanged (still equal to the batch rebuild over live pages)."""
+    from jobs.sync_kg import run
+
+    pages_cat = GraphCatalog(str(tmp_path / "pages"))
+    graph = str(tmp_path / "graph")
+    pages_cat.write_table(
+        "pages", pages_df(spark, fixture_pages[:10]), n_tasks=2)
+    run(spark, str(tmp_path / "pages"), graph, n_tasks=2, dims=kg_dims)
+    # two delta batches with genuinely new mentions → appended edge dirs
+    for lo, hi in ((10, 16), (16, 22)):
+        pages_cat.write_table(
+            "pages", pages_df(spark, fixture_pages[lo:hi]),
+            n_tasks=2, mode="append")
+        s = run(spark, str(tmp_path / "pages"), graph, n_tasks=2,
+                dims=kg_dims)
+        assert s["status"] == "synced"
+    cat = GraphCatalog(graph)
+    assert len(cat.latest_snapshot("edges")["dirs"]) > 1
+    # a no-change sync with compaction enabled: up_to_date, no compaction
+    s = run(spark, str(tmp_path / "pages"), graph, n_tasks=2,
+            dims=kg_dims, compact_after=1)
+    assert s["status"] == "up_to_date" and "compacted_edges" not in s
+    # a real sync with compaction enabled compacts both tables
+    pages_cat.write_table(
+        "pages", pages_df(spark, fixture_pages[22:25]),
+        n_tasks=2, mode="append")
+    s = run(spark, str(tmp_path / "pages"), graph, n_tasks=2,
+            dims=kg_dims, compact_after=1)
+    assert s.get("compacted_edges") and s.get("compacted_mentions")
+    assert len(cat.latest_snapshot("edges")["dirs"]) == 1
+    assert cat.latest_snapshot("edges")["deletes"] == []
+    gold_edges, gold_nodes = _rebuild(spark, fixture_pages[:25], kg_dims)
+    got_edges, got_nodes = _graph_state(spark, cat)
+    assert got_edges == gold_edges and got_nodes == gold_nodes
