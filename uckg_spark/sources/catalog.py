@@ -38,6 +38,14 @@ semantics on plain parquet:
   materializes the net state and frees the delete files. A snapshot's
   ``rows`` field counts data-file rows BEFORE delete application (the
   Iceberg total-data-records summary, not the net count).
+- **Add-column schema evolution** (generic tables). Every ``write_table``
+  commit records its schema; appends may add new columns or omit
+  existing ones — the commit records the union schema, readers conform
+  every data dir to it (columns a dir predates read as typed NULLs),
+  and a dtype change is rejected BEFORE the write job runs. Tables that
+  were only ever written under one schema keep the plain multi-path
+  scan. The layout tables (edges/nodes) have fixed schemas by contract
+  and do not evolve.
 
 Layout choices for the KG access paths:
 
@@ -80,6 +88,59 @@ def _dir_seqs_of(snap: dict) -> list[int]:
 
 def _deletes_of(snap: dict) -> list[dict]:
     return snap.get("deletes") or []
+
+
+def _schema_of(snap: dict) -> list[list[str]] | None:
+    """[[name, dtype], ...] recorded at commit, or None for layout
+    tables and pre-evolution commits (schema then comes from footers)."""
+    return snap.get("schema")
+
+
+def _evolve_schema(parent: dict | None,
+                   new: list[list[str]]) -> tuple[list[list[str]], bool]:
+    """Union an append's schema into the parent's (Iceberg add-column
+    evolution): new columns append in writer order, existing columns
+    must keep their dtype (a type change is a different column — reject,
+    don't corrupt), columns the writer omitted stay (read as NULL for
+    the new dir). Returns (union schema, uniform) where uniform means
+    every data dir so far was written under the identical schema — the
+    reader's license to skip schema conforming."""
+    old = _schema_of(parent) if parent else None
+    if old is None:
+        return new, True
+    old_types = dict(map(tuple, old))
+    conflicts = [
+        (c, old_types[c], t) for c, t in new
+        if c in old_types and old_types[c] != t
+    ]
+    if conflicts:
+        raise ValueError(
+            "schema evolution rejects dtype changes: "
+            + "; ".join(f"{c!r} {a} -> {b}" for c, a, b in conflicts))
+    union = [list(p) for p in old] + [
+        [c, t] for c, t in new if c not in old_types]
+    uniform = (bool(parent.get("uniform_schema", True))
+               and [list(p) for p in new] == [list(p) for p in old])
+    return union, uniform
+
+
+def _carry_schema(parent: dict) -> dict:
+    """Schema keys a metadata-only commit (delete, MoR merge) inherits
+    unchanged from its parent."""
+    if _schema_of(parent) is None:
+        return {}
+    return {"schema": _schema_of(parent),
+            "uniform_schema": bool(parent.get("uniform_schema", True))}
+
+
+def _conform(df: DataFrame, schema: list[list[str]]) -> DataFrame:
+    """Project a data-dir scan onto the table's union schema: columns
+    the dir predates read as typed NULLs, order normalized."""
+    have = set(df.columns)
+    for c, t in schema:
+        if c not in have:
+            df = df.withColumn(c, F.lit(None).cast(t))
+    return df.select(*[c for c, _t in schema])
 
 
 def _apply_equality_deletes(
@@ -210,7 +271,8 @@ class GraphCatalog:
 
     def _write_snapshot(self, table: str, writer, mode: str,
                         props: dict | None = None,
-                        expected_parent_id=_UNPINNED) -> str:
+                        expected_parent_id=_UNPINNED,
+                        schema: list[list[str]] | None = None) -> str:
         """Write a fresh immutable ``snap-<id>`` dir, then commit it as the
         new head. ``writer(path) -> rows_written`` runs the Spark job; the
         commit happens only after the data is fully on disk, so a crashed
@@ -230,6 +292,12 @@ class GraphCatalog:
             # when the head moved
             parent = (self.snapshot(table, expected_parent_id)
                       if expected_parent_id is not None else None)
+        if schema is not None and mode == "append":
+            # validate BEFORE the write: a dtype conflict must not cost
+            # a corpus-sized job first
+            evolved, uniform = _evolve_schema(parent, schema)
+        else:
+            evolved, uniform = schema, True
         snap = uuid.uuid4().hex[:12]
         rel_dir = os.path.join(table, f"snap-{snap}")
         rows_written = int(writer(os.path.join(self.root, rel_dir)))
@@ -250,12 +318,18 @@ class GraphCatalog:
             dir_seqs = _dir_seqs_of(parent) + ([seq] if keep else [])
             deletes = _deletes_of(parent)  # appends preserve delete files
             total += parent["rows"]
+            if schema is not None and not keep:
+                # a dropped 0-row dir declares no schema: inherit
+                evolved = _schema_of(parent)
+                uniform = bool(parent.get("uniform_schema", True))
         self._commit(table, {
             "table": table, "snapshot_id": snap,
             "parent_id": parent["snapshot_id"] if parent else None,
             "rows": total, "rows_written": rows_written,
             "dirs": dirs, "dir_seqs": dir_seqs, "seq": seq,
             "deletes": deletes, "ts": time.time(), "mode": mode,
+            **({"schema": evolved, "uniform_schema": uniform}
+               if evolved is not None else {}),
             **({"props": props} if props else {}),
         }, expected_parent=parent["snapshot_id"] if parent else None)
         return snap
@@ -282,7 +356,8 @@ class GraphCatalog:
 
         return self._write_snapshot(
             name, write, mode, props=props,
-            expected_parent_id=expected_parent_id)
+            expected_parent_id=expected_parent_id,
+            schema=[[c, t] for c, t in df.dtypes])
 
     def _write_delete_dir(self, table: str, keys: DataFrame,
                           key_cols: list[str], n_tasks: int = 1
@@ -336,6 +411,7 @@ class GraphCatalog:
                 {"dir": rel, "seq": seq, "keys": list(key_cols),
                  "rows": n_keys}],
             "ts": time.time(), "mode": "delete",
+            **_carry_schema(head),
             **({"props": props} if props else {}),
         }, expected_parent=head["snapshot_id"])
         return snap
@@ -434,6 +510,7 @@ class GraphCatalog:
                 {"dir": del_rel, "seq": seq, "keys": list(key_cols),
                  "rows": n_keys}],
             "ts": time.time(), "mode": "merge-mor",
+            **_carry_schema(head),
         }, expected_parent=head["snapshot_id"])
         return snap
 
@@ -442,9 +519,18 @@ class GraphCatalog:
         snap = self._resolve_snapshot(name, snapshot_id)
         dirs = [os.path.join(self.root, d) for d in snap["dirs"]]
         deletes = _deletes_of(snap)
+        schema = _schema_of(snap)
+        uniform = bool(snap.get("uniform_schema", True))
         if not deletes:
-            # fast path: no delete files ⇒ plain multi-path scan
-            return spark.read.parquet(*dirs)
+            if uniform or schema is None:
+                # fast path: no delete files, one schema ⇒ plain scan
+                return spark.read.parquet(*dirs)
+            # add-column evolution: merge footers across schema versions,
+            # then normalize to the recorded union schema (columns a dir
+            # predates read as typed NULLs)
+            return _conform(
+                spark.read.option("mergeSchema", "true").parquet(*dirs),
+                schema)
         # MoR scan: group data dirs by commit sequence (one scan branch
         # per sequence, not per dir), tag each with its sequence, and
         # anti-join the delete files
@@ -453,7 +539,10 @@ class GraphCatalog:
             by_seq.setdefault(s, []).append(d)
         data = None
         for s, ds in sorted(by_seq.items()):
-            b = spark.read.parquet(*ds).withColumn("_seq", F.lit(s))
+            b = spark.read.parquet(*ds)
+            if schema is not None and not uniform:
+                b = _conform(b, schema)
+            b = b.withColumn("_seq", F.lit(s))
             data = b if data is None else data.unionByName(b)
         return _apply_equality_deletes(spark, data, self.root, deletes)
 
@@ -639,7 +728,9 @@ class GraphCatalog:
             for rel in r["dirs"]:
                 if rel in parent_dirs:
                     continue
-                b = (_scan(rel).select(*cols)
+                # conform to the head schema: a dir that predates an
+                # added column reads it as typed NULL
+                b = (_conform(_scan(rel), [list(p) for p in head_df.dtypes])
                      .withColumn("_change_type", F.lit("insert"))
                      .withColumn("_commit_seq", seq))
                 out = b if out is None else out.unionByName(b)
