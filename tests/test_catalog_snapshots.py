@@ -211,3 +211,32 @@ def test_compaction_rewrites_head_to_one_dir(spark, tmp_path):
     assert {tuple(r) for r in cat.read_edges(spark).collect()} == before
     with pytest.raises(FileNotFoundError):
         cat.read_edges(spark, snapshot_id=s3)
+
+
+def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
+    """Iceberg-tag semantics: a named ref protects its snapshot's data
+    dirs from expire_snapshots; dropping the tag releases them."""
+    cat = GraphCatalog(str(tmp_path / "g"))
+    s1 = cat.write_edges(_edges(spark, 4, "v1"), n_tasks=2)
+    assert cat.tag("edges", "train-v1") == s1
+    s2 = cat.write_edges(_edges(spark, 6, "v2"), n_tasks=2)
+    assert cat.tags("edges") == {"train-v1": s1}
+    # expiry keeps the tagged snapshot even though only the head would
+    # otherwise survive keep_last=1
+    assert cat.expire_snapshots("edges", keep_last=1) == []
+    got = cat.read_edges(
+        spark, snapshot_id=cat.resolve_tag("edges", "train-v1"))
+    assert got.count() == 4
+    # re-tag moves the name; the old pin is released and expires
+    assert cat.tag("edges", "train-v1") == s2
+    removed = cat.expire_snapshots("edges", keep_last=1)
+    assert len(removed) == 1
+    with pytest.raises(FileNotFoundError):
+        cat.read_edges(spark, snapshot_id=s1)
+    # drop: name stops resolving, pin released
+    cat.drop_tag("edges", "train-v1")
+    assert cat.tags("edges") == {}
+    with pytest.raises(KeyError):
+        cat.resolve_tag("edges", "train-v1")
+    with pytest.raises(KeyError):
+        cat.drop_tag("edges", "train-v1")

@@ -652,6 +652,57 @@ class GraphCatalog:
             df = _apply_equality_deletes(spark, df, self.root, deletes)
         return df
 
+    # ---- named refs (tags) ----------------------------------------------
+
+    def tag(self, table: str, name: str,
+            snapshot_id: str | None = None) -> str:
+        """Pin a snapshot under a name (Iceberg tag): readable via
+        ``resolve_tag`` and PROTECTED from ``expire_snapshots`` — the
+        audit/rollback pin ("the graph we trained v3 on"). Tags ride the
+        same versioned-CAS metadata as table heads, so tagging is atomic
+        and concurrent tags never clobber each other. Re-tagging an
+        existing name moves it (latest commit wins). Returns the pinned
+        snapshot id."""
+        snap = (self.snapshot(table, snapshot_id) if snapshot_id
+                else self.latest_snapshot(table))
+        if snap is None:
+            raise FileNotFoundError(
+                f"table {table!r} has no committed snapshot")
+        # tags live in the heads map under a reserved key prefix — one
+        # CAS namespace, no second metadata mechanism to crash between
+        self._commit(f"tag:{table}:{name}", {
+            "table": f"tag:{table}:{name}", "snapshot_id":
+                snap["snapshot_id"], "parent_id": None,
+            "rows": snap["rows"], "rows_written": 0, "dirs": [],
+            "seq": _seq_of(snap), "ts": time.time(), "mode": "tag",
+        }, expected_parent=self._head().get(f"tag:{table}:{name}"))
+        return snap["snapshot_id"]
+
+    def tags(self, table: str) -> dict[str, str]:
+        """{tag name: snapshot id} for a table."""
+        prefix = f"tag:{table}:"
+        return {k[len(prefix):]: v for k, v in self._head().items()
+                if k.startswith(prefix) and v}  # dropped tags head None
+
+    def resolve_tag(self, table: str, name: str) -> str:
+        try:
+            return self.tags(table)[name]
+        except KeyError:
+            raise KeyError(f"no tag {name!r} on table {table!r}") from None
+
+    def drop_tag(self, table: str, name: str) -> None:
+        """Remove a tag (its snapshot becomes expirable again). Dropping
+        commits a tombstone so the head map stops resolving the name."""
+        key = f"tag:{table}:{name}"
+        current = self._head().get(key)
+        if current is None:
+            raise KeyError(f"no tag {name!r} on table {table!r}")
+        self._commit(key, {
+            "table": key, "snapshot_id": None, "parent_id": current,
+            "rows": 0, "rows_written": 0, "dirs": [],
+            "ts": time.time(), "mode": "drop-tag",
+        }, expected_parent=current)
+
     def read_changes(self, spark: SparkSession, name: str,
                      from_snapshot_id: str | None,
                      to_snapshot_id: str | None = None) -> DataFrame:
@@ -803,6 +854,7 @@ class GraphCatalog:
         head = self._head().get(table)
         keep_rows = snaps[-keep_last:] if keep_last > 0 else []
         keep_ids = {r["snapshot_id"] for r in keep_rows} | ({head} if head else set())
+        keep_ids |= set(self.tags(table).values())  # tags pin snapshots
         live_dirs: set[str] = set()
         for r in snaps:
             if r["snapshot_id"] in keep_ids:
