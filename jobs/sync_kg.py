@@ -45,7 +45,13 @@ def run(spark, pages_catalog: str, graph: str, pages_table: str = "pages",
                 spark, "mentions", n_tasks=n_tasks)),
         ):
             head = graph_cat.latest_snapshot(table)
-            if head and len(head["dirs"]) > compact_after:
+            # count delete files too: retraction-heavy sync sequences
+            # add no data dirs, but every delete file is one more
+            # anti-join on every read — exactly the amplification this
+            # flag exists to bound
+            frag = (len(head["dirs"]) + len(head.get("deletes") or [])
+                    if head else 0)
+            if head and frag > compact_after:
                 compact()
                 summary[f"compacted_{table}"] = True
     return summary

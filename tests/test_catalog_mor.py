@@ -244,3 +244,39 @@ def test_changelog_fails_loudly_when_range_dirs_expired(spark, tmp_path):
     cat.expire_snapshots("t", keep_last=1)
     with pytest.raises(FileNotFoundError, match="expired"):
         cat.read_changes(spark, "t", s1).collect()
+
+
+def test_delete_rows_rejects_unknown_key_column(spark, tmp_path):
+    """A delete file keyed on a column the table lacks would commit fine
+    and then poison every read's anti-join — rejected pre-write."""
+    cat = GraphCatalog(str(tmp_path / "g"))
+    cat.write_table("t", _df(spark, [(1, "a")]))
+    n_before = len(cat.snapshots("t"))
+    with pytest.raises(ValueError, match="not in table"):
+        cat.delete_rows("t", spark.createDataFrame([(1,)], "K long"), ["K"])
+    assert len(cat.snapshots("t")) == n_before
+    assert _read(spark, cat, "t") == {(1, "a")}
+    # layout table (no recorded schema): validated via a footer read
+    cat.write_edges(_edges(spark, 3, "a"), n_tasks=2)
+    with pytest.raises(ValueError, match="not in table"):
+        cat.delete_rows("edges",
+                        spark.createDataFrame([("x",)], "nope string"),
+                        ["nope"])
+
+
+def test_changelog_reads_multi_dir_edges(spark, tmp_path):
+    """read_changes on the partitioned edges table whose head spans
+    several snapshot dirs (each its own partitionBy root) — the plain
+    multi-path head read would die with CONFLICTING_DIRECTORY_STRUCTURES."""
+    cat = GraphCatalog(str(tmp_path / "g"))
+    s1 = cat.write_edges(_edges(spark, 3, "a"), n_tasks=2)
+    cat.write_edges(_edges(spark, 2, "b"), n_tasks=2, mode="append")
+    cat.write_edges(_edges(spark, 2, "c"), n_tasks=2, mode="append")
+    got = {tuple(r) for r in cat.read_changes(spark, "edges", s1)
+           .select("subj", "pred", "obj", "_change_type").collect()}
+    assert got == {
+        ("b-s0", "ucohasCVE_ID", "o0", "insert"),
+        ("b-s1", "ucohasCVE_ID", "o1", "insert"),
+        ("c-s0", "ucohasCVE_ID", "o0", "insert"),
+        ("c-s1", "ucohasCVE_ID", "o1", "insert"),
+    }

@@ -163,3 +163,49 @@ def test_sync_job_compaction_maintenance(
     gold_edges, gold_nodes = _rebuild(spark, fixture_pages[:25], kg_dims)
     got_edges, got_nodes = _graph_state(spark, cat)
     assert got_edges == gold_edges and got_nodes == gold_nodes
+
+
+def test_sync_collapses_multi_commit_ranges(
+        spark, fixture_pages, kg_dims, tmp_path):
+    """A changelog range can touch the same url in several commits —
+    re-crawled twice between syncs, insert-then-delete, or a FIRST sync
+    over a pages catalog with history (read_changes replays every
+    version). The sync must net-collapse per url or stale page versions
+    contaminate the mention store."""
+    pages_cat = GraphCatalog(str(tmp_path / "pages"))
+    graph_cat = GraphCatalog(str(tmp_path / "graph"))
+    p = fixture_pages
+
+    # history BEFORE the first sync: v0 of pages 0-9, then p0 re-crawled,
+    # then p1 deleted — the first sync sees all of it in one range
+    pages_cat.write_table("pages", pages_df(spark, p[:10]), n_tasks=2)
+    p0_new = dict(p[0], html=p[30]["html"])
+    pages_cat.merge_table(spark, "pages", pages_df(spark, [p0_new]),
+                          ["url"], n_tasks=2, strategy="mor")
+    pages_cat.delete_rows(
+        "pages", spark.createDataFrame([(p[1]["url"],)], "url string"),
+        ["url"])
+    sync_kg(spark, pages_cat, graph_cat, kg_dims, n_tasks=2)
+    live = [p0_new] + p[2:10]
+    assert _graph_state(spark, graph_cat) == _rebuild(spark, live, kg_dims)
+
+    # one range, same url twice + insert-then-delete of a new url
+    p2_a = dict(p[2], html=p[31]["html"])
+    p2_b = dict(p[2], html=p[32]["html"])  # final version
+    pages_cat.merge_table(spark, "pages", pages_df(spark, [p2_a]),
+                          ["url"], n_tasks=2, strategy="mor")
+    pages_cat.merge_table(spark, "pages", pages_df(spark, [p2_b]),
+                          ["url"], n_tasks=2, strategy="mor")
+    pages_cat.write_table("pages", pages_df(spark, [p[40]]),
+                          n_tasks=2, mode="append")
+    pages_cat.delete_rows(
+        "pages", spark.createDataFrame([(p[40]["url"],)], "url string"),
+        ["url"])
+    s = sync_kg(spark, pages_cat, graph_cat, kg_dims, n_tasks=2)
+    assert s["status"] == "synced"
+    live = [p0_new, p2_b] + p[3:10]
+    assert _graph_state(spark, graph_cat) == _rebuild(spark, live, kg_dims)
+    # the intermediate version's mentions must NOT be in the store
+    store_urls = {r["url"] for r in graph_cat
+                  .read_table(spark, "mentions").collect()}
+    assert p[40]["url"] not in store_urls

@@ -82,7 +82,22 @@ def sync_kg(
     changes = pages_cat.read_changes(
         spark, pages_table, synced, head["snapshot_id"])
     touched = changes.select("url").distinct().persist()
-    inserted = (changes.filter(F.col("_change_type") == "insert")
+    # COLLAPSE the changelog to net-per-url state before scanning: a
+    # range can touch the same url in several commits (re-crawled twice
+    # between syncs, insert-then-delete, or a first sync over a pages
+    # catalog with history — read_changes replays every version). The
+    # latest _commit_seq wins per url; within one commit an insert
+    # outranks the delete from the same MoR merge (its own rows survive
+    # its own delete file); a url whose winning row is a delete is dead.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(
+        F.col("_commit_seq").desc(),
+        (F.col("_change_type") == "insert").cast("int").desc())
+    inserted = (changes
+                .withColumn("_rn", F.row_number().over(w))
+                .filter((F.col("_rn") == 1)
+                        & (F.col("_change_type") == "insert"))
                 .select("url", "html"))
 
     # -- mention store: delete touched urls, append the fresh scan -----

@@ -398,6 +398,22 @@ class GraphCatalog:
         head = self.latest_snapshot(name)
         if head is None:
             raise FileNotFoundError(f"table {name!r} has no committed snapshot")
+        # validate the key columns against the TABLE before writing: a
+        # delete file keyed on a column the table lacks would commit
+        # fine and then poison every subsequent read's anti-join
+        schema = _schema_of(head)
+        if schema is not None:
+            table_cols = [c for c, _t in schema]
+        elif head["dirs"]:  # layout/legacy table: one footer read
+            table_cols = keys.sparkSession.read.parquet(
+                os.path.join(self.root, head["dirs"][0])).columns
+        else:  # degenerate empty table: nothing a bad key could poison
+            table_cols = list(keys.columns)
+        missing = [c for c in key_cols if c not in table_cols]
+        if missing:
+            raise ValueError(
+                f"delete key columns {missing} not in table {name!r} "
+                f"columns {table_cols}")
         rel, n_keys = self._write_delete_dir(name, keys, key_cols)
         seq = _seq_of(head) + 1
         snap = uuid.uuid4().hex[:12]
@@ -498,7 +514,13 @@ class GraphCatalog:
             .write.mode("overwrite").parquet(os.path.join(self.root, data_rel))
         )
         n_updates = int(obs.get["n"])
-        del_rel, n_keys = self._write_delete_dir(name, updates, key_cols)
+        # derive the delete keys from the JUST-WRITTEN dir, not the
+        # caller's plan: an unpersisted fact-scale updates DAG would
+        # otherwise execute end-to-end a second time; this is a local,
+        # column-pruned parquet read instead
+        written = updates.sparkSession.read.parquet(
+            os.path.join(self.root, data_rel))
+        del_rel, n_keys = self._write_delete_dir(name, written, key_cols)
         seq = _seq_of(head) + 1
         self._commit(name, {
             "table": name, "snapshot_id": snap,
@@ -611,12 +633,9 @@ class GraphCatalog:
                 f"missing data dirs: {missing}")
         return snap
 
-    def _resolve_dirs(self, table: str, snapshot_id: str | None) -> list[str]:
-        snap = self._resolve_snapshot(table, snapshot_id)
-        return [os.path.join(self.root, d) for d in snap["dirs"]]
-
     def _read_layout_table(self, spark: SparkSession, table: str,
-                           snapshot_id: str | None) -> DataFrame:
+                           snapshot_id: str | None
+                           ) -> tuple[DataFrame, list[dict]]:
         # one partition-discovered read per snapshot dir (each dir is its own
         # partitioned-table root; a single multi-path read would try to infer
         # one partition scheme across roots and fail), unioned lazily —
@@ -710,8 +729,12 @@ class GraphCatalog:
         row-level changes committed AFTER ``from_snapshot_id`` up to and
         including ``to_snapshot_id`` (default: current head), as the
         table's columns plus ``_change_type`` ('insert' | 'delete') and
-        ``_commit_seq``. ``from_snapshot_id=None`` means "since table
-        creation" (every live row is an insert).
+        ``_commit_seq``. ``from_snapshot_id=None`` replays the FULL
+        commit history — superseded row versions and delete rows
+        included, exactly as a consumer that had subscribed from table
+        creation would have seen them. A consumer that wants net live
+        state should either read the table, or collapse the changelog
+        per key by ``_commit_seq`` (see ``plans/incremental.py``).
 
         This is what an incremental downstream consumer reads instead of
         re-scanning the table: appends and MoR merges surface as inserts
@@ -732,6 +755,10 @@ class GraphCatalog:
         so its row-level delta is not recoverable from manifests. A
         creation overwrite is its own delta."""
         to_snap = self._resolve_snapshot(name, to_snapshot_id)
+        # one pass over the snapshot log, indexed by id — the per-step
+        # self.snapshot() alternative re-parses EVERY version file per
+        # ancestry hop (O(range x total-commits) metadata I/O)
+        log = {r["snapshot_id"]: r for r in self.snapshots(name)}
         lineage: list[dict] = []  # commits in (from, to], oldest first
         snap: dict | None = to_snap
         while snap is not None:
@@ -739,15 +766,25 @@ class GraphCatalog:
                 break
             lineage.append(snap)
             parent = snap.get("parent_id")
-            snap = self.snapshot(name, parent) if parent else None
+            snap = log[parent] if parent else None
         else:
             if from_snapshot_id is not None:
                 raise KeyError(
                     f"{from_snapshot_id!r} is not an ancestor of "
                     f"{to_snap['snapshot_id']!r} in table {name!r}")
         lineage.reverse()
-        head_df = self.read_table(spark, name,
-                                  snapshot_id=to_snap["snapshot_id"])
+        # head schema via the LAYOUT-AWARE reader for edges/nodes: their
+        # multi-dir heads are several partitioned roots, which the plain
+        # multi-path read rejects (CONFLICTING_DIRECTORY_STRUCTURES)
+        if name == "edges":
+            head_df = self.read_edges(
+                spark, snapshot_id=to_snap["snapshot_id"])
+        elif name == "nodes":
+            head_df = self.read_nodes(
+                spark, snapshot_id=to_snap["snapshot_id"])
+        else:
+            head_df = self.read_table(
+                spark, name, snapshot_id=to_snap["snapshot_id"])
         cols, dtypes = head_df.columns, dict(head_df.dtypes)
 
         def _scan(rel: str) -> DataFrame:
