@@ -1882,6 +1882,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("v", F.coalesce("v", F.lit(""))))
     q["catalog_changelog"] = q_catalog_changelog
 
+    def q_catalog_evolution(spark, sf):
+        """Add-column schema evolution through the catalog read path:
+        base snapshot (k, v), then an append that ADDS a column — the
+        reader conforms both dirs to the union schema, so pre-evolution
+        rows surface the new column as NULL (−1 sentinel per the
+        NULL-free driver-row convention)."""
+        import tempfile
+
+        from uckg_spark.sources.catalog import GraphCatalog
+
+        orders = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        cat = GraphCatalog(tempfile.mkdtemp(prefix="uckg_evo_q_"))
+        cat.write_table(
+            "fact",
+            orders.filter(k % 2 == 0).select(
+                k.alias("k"),
+                F.concat(F.lit("v:"), F.col("o_custkey")).alias("v")),
+            n_tasks=4)
+        cat.write_table(
+            "fact",
+            orders.filter(k % 2 == 1).select(
+                k.alias("k"),
+                F.concat(F.lit("v:"), F.col("o_custkey")).alias("v"),
+                F.col("o_custkey").alias("extra")),
+            n_tasks=4, mode="append")
+        return (cat.read_table(spark, "fact")
+                .withColumn("extra", F.coalesce("extra", F.lit(-1))))
+    q["catalog_evolution"] = q_catalog_evolution
+
     return q
 
 
@@ -4678,6 +4708,15 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT o_orderkey, '', 'delete', 3::BIGINT
         FROM orders WHERE o_orderkey % 13 = 0
+    """
+
+    # schema evolution: even keys predate the added column (sentinel -1),
+    # odd keys carry it
+    o["catalog_evolution"] = """
+        SELECT o_orderkey AS k, 'v:' || o_custkey AS v,
+               CASE WHEN o_orderkey % 2 = 1 THEN o_custkey
+                    ELSE -1 END::BIGINT AS extra
+        FROM orders
     """
 
     return o
