@@ -97,11 +97,13 @@ def similarity_join(
             f"threshold must be in (0, 1]: {threshold_num}/{threshold_den}")
     num, den = threshold_num, threshold_den
     ordered = _ordered_sets(df, text_col, id_col, shingle_n)
-    # prefix length n - ceil(num*n/den) + 1, ceil as (x + den - 1) div den
+    # prefix length n - ceil(num*n/den) + 1, ceil as (x + den - 1) div den;
+    # posexplode keeps each prefix token's 1-based POSITION in the doc's
+    # rare-first order for the PPJoin position filter below
     prefix = ordered.select(
         "id",
         "n",
-        F.explode(
+        F.posexplode(
             F.slice(
                 "toks",
                 1,
@@ -114,8 +116,8 @@ def similarity_join(
                     ).cast("int"),
                 ),
             )
-        ).alias("token"),
-    )
+        ).alias("pos0", "token"),
+    ).select("id", "n", (F.col("pos0") + 1).alias("pos"), "token")
     cands = (
         prefix.alias("l")
         .join(prefix.alias("r"), "token")
@@ -124,6 +126,20 @@ def similarity_join(
             # size-compatibility: num*|a| <= den*|b| AND num*|b| <= den*|a|
             & (F.lit(num) * F.col("l.n") <= F.lit(den) * F.col("r.n"))
             & (F.lit(num) * F.col("r.n") <= F.lit(den) * F.col("l.n"))
+            # PPJoin position filter (exact, no recall loss): a shared
+            # token at 1-based positions (i, j) bounds the overlap at
+            # 1 + min(n_a - i, n_b - j); Jaccard >= num/den needs
+            # overlap >= num*(n_a+n_b)/(num+den), integer-crossed as
+            # (num+den)*bound >= num*(n_a+n_b). Candidates whose ONLY
+            # shared prefix tokens sit too deep can never verify —
+            # killed here, before the distinct and the array intersects.
+            & (
+                F.lit(num + den)
+                * (F.lit(1)
+                   + F.least(F.col("l.n") - F.col("l.pos"),
+                             F.col("r.n") - F.col("r.pos")))
+                >= F.lit(num) * (F.col("l.n") + F.col("r.n"))
+            )
         )
         .select(F.col("l.id").alias("doc_a"), F.col("r.id").alias("doc_b"))
         .distinct()
@@ -203,7 +219,7 @@ def containment_join(
     prefix = ordered.select(
         "id",
         "n",
-        F.explode(
+        F.posexplode(
             F.slice(
                 "toks",
                 1,
@@ -216,10 +232,11 @@ def containment_join(
                     ).cast("int"),
                 ),
             )
-        ).alias("token"),
-    )
+        ).alias("pos0", "token"),
+    ).select("id", "n", (F.col("pos0") + 1).alias("pos"), "token")
     posting = ordered.select(
-        "id", "n", F.explode("toks").alias("token"))
+        "id", "n", F.posexplode("toks").alias("pos0", "token")
+    ).select("id", "n", (F.col("pos0") + 1).alias("pos"), "token")
     cands = (
         prefix.alias("l")
         .join(posting.alias("r"), "token")
@@ -227,6 +244,20 @@ def containment_join(
             (F.col("l.id") != F.col("r.id"))
             # |src∩dst| <= n_dst, so containment needs num*n_src <= den*n_dst
             & (F.lit(num) * F.col("l.n") <= F.lit(den) * F.col("r.n"))
+            # asymmetric position filter (exact): the smallest common
+            # element at positions (i, j) bounds the overlap at
+            # min(n_src - i, n_dst - j) + 1, and containment needs
+            # overlap >= ceil(num*n_src/den) — integer-crossed. That
+            # occurrence is always joined (src prefix holds it by the
+            # prefix theorem; dst side is the full posting), so killing
+            # too-deep occurrences loses no qualifying pair.
+            & (
+                F.lit(den)
+                * (F.lit(1)
+                   + F.least(F.col("l.n") - F.col("l.pos"),
+                             F.col("r.n") - F.col("r.pos")))
+                >= F.lit(num) * F.col("l.n")
+            )
         )
         .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"))
         .distinct()
