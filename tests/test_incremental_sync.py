@@ -209,3 +209,64 @@ def test_sync_collapses_multi_commit_ranges(
     store_urls = {r["url"] for r in graph_cat
                   .read_table(spark, "mentions").collect()}
     assert p[40]["url"] not in store_urls
+
+
+def test_streaming_ingest_feeds_incremental_sync(
+        spark, fixture_pages, kg_dims, tmp_path):
+    """The full loop: crawl stream → pages catalog (exactly-once MoR
+    upserts per micro-batch, re-crawls superseding) → sync_kg — the
+    graph equals a batch rebuild over exactly the LIVE page versions,
+    regardless of micro-batch slicing."""
+    import os
+    import time as _time
+
+    from uckg_spark.sources.pages import PAGES_SCHEMA
+    from uckg_spark.streaming.pages_stream import (
+        pages_ingest_sink, run_pages_ingest)
+    from uckg_spark.sources.catalog import GraphCatalog
+
+    p = fixture_pages
+    p0_v2 = dict(p[0], html=p[30]["html"])  # re-crawl in a LATER file
+    src = tmp_path / "crawl"
+    src.mkdir()
+    import glob
+    import shutil
+
+    for i, (name, rows) in enumerate((
+            ("f1", p[:8]), ("f2", [p0_v2] + p[8:12]), ("f3", p[12:16]))):
+        stage = str(tmp_path / f"stage_{name}")
+        pages_df(spark, rows).coalesce(1).write.mode(
+            "overwrite").parquet(stage)
+        # FileStreamSource sources FILES: lift the single part file out
+        # of the directory Spark wrote, with mtimes forcing batch order
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        dst = str(src / f"{name}.parquet")
+        shutil.copy(part, dst)
+        t = _time.time() - 100 + i * 10
+        os.utime(dst, (t, t))
+
+    pages_root = str(tmp_path / "pages_cat")
+    stream = (spark.readStream.schema(PAGES_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    run_pages_ingest(spark, stream, pages_root,
+                     str(tmp_path / "ckpt"))
+
+    pages_cat = GraphCatalog(pages_root)
+    live = [p0_v2] + p[1:16]
+    got_pages = {(r["url"], bytes(r["html"])) for r in
+                 pages_cat.read_table(spark, "pages")
+                 .select("url", "html").collect()}
+    assert got_pages == {(r["url"], bytes(r["html"])) for r in
+                         map(dict, live)}
+
+    # replaying an already-committed batch id is a no-op
+    n_snaps = len(pages_cat.snapshots("pages"))
+    last_id = (pages_cat.latest_snapshot("pages")["props"]
+               ["last_batch_id"])
+    sink = pages_ingest_sink(spark, pages_cat)
+    sink(pages_df(spark, p[:4]), last_id)
+    assert len(pages_cat.snapshots("pages")) == n_snaps
+
+    graph_cat = GraphCatalog(str(tmp_path / "graph"))
+    sync_kg(spark, pages_cat, graph_cat, kg_dims, n_tasks=2)
+    assert _graph_state(spark, graph_cat) == _rebuild(spark, live, kg_dims)

@@ -434,7 +434,8 @@ class GraphCatalog:
 
     def merge_table(self, spark: SparkSession, name: str,
                     updates: DataFrame, key_cols: list[str],
-                    n_tasks: int = 8, strategy: str = "cow") -> str:
+                    n_tasks: int = 8, strategy: str = "cow",
+                    props: dict | None = None) -> str:
         """MERGE INTO (keyed upsert), copy-on-write: rows of ``updates``
         REPLACE current rows with the same key, new keys insert, and the
         result commits as a fresh snapshot (the old head stays
@@ -476,7 +477,8 @@ class GraphCatalog:
             raise ValueError(f"strategy must be cow|mor, got {strategy!r}")
         head = self.latest_snapshot(name)
         if head is None:
-            return self.write_table(name, updates, n_tasks=n_tasks)
+            return self.write_table(name, updates, n_tasks=n_tasks,
+                                    props=props)
         current = self.read_table(spark, name,
                                   snapshot_id=head["snapshot_id"])
         if sorted(current.columns) != sorted(updates.columns):
@@ -488,17 +490,18 @@ class GraphCatalog:
             raise ValueError(f"key columns missing from updates: {missing}")
         if strategy == "mor":
             return self._merge_mor(name, updates.select(*current.columns),
-                                   key_cols, head, n_tasks=n_tasks)
+                                   key_cols, head, n_tasks=n_tasks,
+                                   props=props)
         kept = current.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti")
         merged = kept.unionByName(updates.select(*current.columns))
         return self.write_table(
             name, merged, n_tasks=n_tasks,
-            expected_parent_id=head["snapshot_id"])
+            expected_parent_id=head["snapshot_id"], props=props)
 
     def _merge_mor(self, name: str, updates: DataFrame,
                    key_cols: list[str], head: dict,
-                   n_tasks: int = 8) -> str:
+                   n_tasks: int = 8, props: dict | None = None) -> str:
         """One MoR merge commit: updates land as a fresh data dir AND
         their keys as an equality-delete file, both at the new commit's
         sequence number — data written before the commit, so a crash
@@ -533,6 +536,7 @@ class GraphCatalog:
                  "rows": n_keys}],
             "ts": time.time(), "mode": "merge-mor",
             **_carry_schema(head),
+            **({"props": props} if props else {}),
         }, expected_parent=head["snapshot_id"])
         return snap
 

@@ -458,3 +458,65 @@ def run_dedup_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def pages_ingest_sink(spark, cat, pages_table: str = "pages"):
+    """foreachBatch body for ``run_pages_ingest`` (factored so tests can
+    drive replays directly): land one crawl micro-batch in the pages
+    catalog as a url-keyed merge-on-read upsert — re-crawled urls
+    supersede their old version (one delete-file + one data-dir commit,
+    O(|batch|) written), new urls insert. Within-batch duplicate urls
+    collapse latest-``warc_ts``-wins before the merge (MoR's
+    duplicate-key contract). Exactly-once: the producing ``batch_id``
+    rides the commit props; a replayed batch whose id already marks the
+    head is skipped — the upsert commit is ATOMIC (data + delete file in
+    one CAS), so a crash mid-batch leaves only expirable orphans and the
+    replay lands the whole batch once.
+
+    This is the front door of the incremental loop: crawl stream →
+    pages catalog (this sink) → ``plans.incremental.sync_kg`` reads the
+    pages changelog and maintains the KG."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def sink(batch_df, batch_id: int) -> None:
+        head = cat.latest_snapshot(pages_table)
+        if head is not None and (head.get("props") or {}).get(
+                "last_batch_id") == batch_id:
+            return  # full replay of a committed batch
+        w = Window.partitionBy("url").orderBy(
+            F.col("warc_ts").desc_nulls_last())
+        batch = (batch_df.withColumn("_rn", F.row_number().over(w))
+                 .filter(F.col("_rn") == 1).drop("_rn"))
+        props = {"last_batch_id": batch_id}
+        if head is None:
+            cat.write_table(pages_table, batch, props=props)
+        else:
+            cat.merge_table(spark, pages_table, batch, ["url"],
+                            strategy="mor", props=props)
+
+    return sink
+
+
+def run_pages_ingest(
+    spark: SparkSession,
+    stream: DataFrame,
+    pages_catalog_root: str,
+    checkpoint: str,
+    pages_table: str = "pages",
+) -> None:
+    """Streaming crawl ingest into the pages catalog: every micro-batch
+    is an exactly-once url-keyed MoR upsert (``pages_ingest_sink``), so
+    the catalog's changelog records per-crawl inserts and re-crawl
+    retractions for ``sync_kg`` to consume."""
+    from ..sources.catalog import GraphCatalog
+
+    q = (
+        stream.writeStream.foreachBatch(
+            pages_ingest_sink(spark, GraphCatalog(pages_catalog_root),
+                              pages_table=pages_table))
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
