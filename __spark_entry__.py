@@ -1912,6 +1912,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .withColumn("extra", F.coalesce("extra", F.lit(-1))))
     q["catalog_evolution"] = q_catalog_evolution
 
+    def q_catalog_tag(spark, sf):
+        """Named refs: tag snapshot v1 ("train-v1"), overwrite the
+        table with v2, expire old snapshots — the tag PINS v1's data
+        through expiry and the read resolves the name back to exactly
+        the v1 row set (the audit/rollback pin: reproduce the table a
+        model was trained on)."""
+        import tempfile
+
+        from uckg_spark.sources.catalog import GraphCatalog
+
+        orders = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+        cat = GraphCatalog(tempfile.mkdtemp(prefix="uckg_tag_q_"))
+        cat.write_table(
+            "fact",
+            orders.filter(k % 3 == 0).select(
+                k.alias("k"),
+                F.concat(F.lit("v1:"), F.col("o_custkey")).alias("v")),
+            n_tasks=4)
+        cat.tag("fact", "train-v1")
+        cat.write_table(
+            "fact",
+            orders.select(
+                k.alias("k"),
+                F.concat(F.lit("v2:"), F.col("o_custkey")).alias("v")),
+            n_tasks=4)
+        cat.expire_snapshots("fact", keep_last=1)
+        return cat.read_table(
+            spark, "fact",
+            snapshot_id=cat.resolve_tag("fact", "train-v1"))
+    q["catalog_tag"] = q_catalog_tag
+
     return q
 
 
@@ -4717,6 +4749,12 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN o_orderkey % 2 = 1 THEN o_custkey
                     ELSE -1 END::BIGINT AS extra
         FROM orders
+    """
+
+    # the tag resolves to v1's row set even after the overwrite + expiry
+    o["catalog_tag"] = """
+        SELECT o_orderkey AS k, 'v1:' || o_custkey AS v
+        FROM orders WHERE o_orderkey % 3 = 0
     """
 
     return o

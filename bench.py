@@ -112,6 +112,7 @@ def main() -> None:
         "resize_images",
         # round-4 resume-5 additions
         "catalog_mor", "catalog_changelog", "catalog_evolution",
+        "catalog_tag",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical
@@ -139,7 +140,8 @@ def main() -> None:
              "pair_audit",
              # resume-5: the catalog rows stage a temp catalog (3-4
              # write commits) before the read — write-dominated, >=1.5 s
-             "catalog_mor", "catalog_changelog", "catalog_evolution"}
+             "catalog_mor", "catalog_changelog", "catalog_evolution",
+             "catalog_tag"}
 
     def timed(name: str, run) -> None:
         walls = []
