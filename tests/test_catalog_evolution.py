@@ -77,3 +77,30 @@ def test_evolution_composes_with_mor_and_changelog(spark, tmp_path):
     head = cat.latest_snapshot("t")
     assert head["uniform_schema"] and len(head["dirs"]) == 1
     assert _read(spark, cat, "t") == (cols, rows)
+
+
+def test_add_column_onto_legacy_schemaless_table(spark, tmp_path):
+    """A parent with data dirs but NO recorded schema (pre-evolution
+    commit rows) must NOT be treated as uniform: an add-column append
+    onto it has to take the mergeSchema+_conform read path, else the
+    new column resolves from an arbitrary footer and silently reads
+    NULL (or vanishes) nondeterministically."""
+    cat = GraphCatalog(str(tmp_path / "g"))
+
+    def write_v1(path):
+        spark.createDataFrame([(1, "a")], "k long, v string") \
+            .coalesce(1).write.mode("overwrite").parquet(path)
+        return 1
+
+    # simulate a legacy commit row: data dir present, no schema key
+    cat._write_snapshot("t", write_v1, "overwrite", schema=None)
+    assert "schema" not in cat.latest_snapshot("t")
+    cat.write_table(
+        "t",
+        spark.createDataFrame([(2, "b", 9)], "k long, v string, w long"),
+        mode="append")
+    head = cat.latest_snapshot("t")
+    assert head["uniform_schema"] is False  # legacy dirs force _conform
+    cols, rows = _read(spark, cat, "t")
+    assert cols == ["k", "v", "w"]
+    assert rows == {(1, "a", None), (2, "b", 9)}

@@ -145,6 +145,24 @@ def test_mor_validations(spark, tmp_path):
                         strategy="bogus")
 
 
+def test_merge_rejects_dtype_mismatch_before_commit(spark, tmp_path):
+    """A MoR merge whose updates carry a same-named, incompatibly-typed
+    column used to COMMIT fine and then break every subsequent read at
+    plan build (unionByName across sequence branches) — the table was
+    unreadable until overwritten. Both strategies must fail before
+    writing anything."""
+    cat = GraphCatalog(str(tmp_path / "g"))
+    cat.write_table("t", _df(spark, [(1, "a")]))
+    bad = spark.createDataFrame([(1, 7)], "k long, v long")  # v: str→long
+    for strategy in ("mor", "cow"):
+        with pytest.raises(ValueError, match="dtype"):
+            cat.merge_table(spark, "t", bad, ["k"], strategy=strategy)
+    assert len(cat.snapshots("t")) == 1  # nothing committed
+    # and the table still reads
+    assert {tuple(r) for r in
+            cat.read_table(spark, "t").collect()} == {(1, "a")}
+
+
 # ---- changelog scans (read_changes) ------------------------------------
 
 def _changes(spark, cat, name, frm, to=None):

@@ -74,7 +74,10 @@ def test_empty_append_commits_without_data_dir(spark, tmp_path):
 
 def test_orphan_dir_invisible_and_expired(spark, tmp_path):
     """A writer that dies after writing data but before commit leaves an
-    orphan dir no reader sees; expire_snapshots removes it."""
+    orphan dir no reader sees; expire_snapshots removes it — but only
+    once it outlives the orphan grace period, because a never-committed
+    dir is indistinguishable from an in-flight writer's pre-commit dir
+    (delete_rows/_merge_mor write data BEFORE the commit CAS)."""
     cat = GraphCatalog(str(tmp_path / "g"))
     s1 = cat.write_edges(_edges(spark, 5, "v1"), n_tasks=2)
     # simulate a crashed writer: data on disk, never committed
@@ -82,7 +85,12 @@ def test_orphan_dir_invisible_and_expired(spark, tmp_path):
     _edges(spark, 99, "crash").write.parquet(str(orphan))
     assert cat.read_edges(spark).count() == 5  # head unaffected
     assert cat.latest_snapshot("edges")["snapshot_id"] == s1
-    removed = cat.expire_snapshots("edges", keep_last=1)
+    # default grace: the fresh dir could be an in-flight writer — kept
+    assert cat.expire_snapshots("edges", keep_last=1) == []
+    assert orphan.is_dir()
+    # past the grace window it is a true orphan and goes
+    removed = cat.expire_snapshots("edges", keep_last=1,
+                                   orphan_grace_sec=0)
     assert os.path.join("edges", "snap-deadbeefcafe") in removed
     assert cat.read_edges(spark).count() == 5  # head survives expiry
 

@@ -270,3 +270,35 @@ def test_streaming_ingest_feeds_incremental_sync(
     graph_cat = GraphCatalog(str(tmp_path / "graph"))
     sync_kg(spark, pages_cat, graph_cat, kg_dims, n_tasks=2)
     assert _graph_state(spark, graph_cat) == _rebuild(spark, live, kg_dims)
+
+
+def test_ingest_replay_survives_interleaved_maintenance(
+        spark, fixture_pages, tmp_path):
+    """Exactly-once must hold even when another commit lands between a
+    batch's commit and its post-crash replay: a compact_table on pages
+    moves the head PAST the batch-id marker, and a head-only replay
+    check would apply the batch twice (duplicate changelog entries, a
+    spurious upsert commit). The marker scan must still skip it."""
+    from uckg_spark.streaming.pages_stream import pages_ingest_sink
+
+    p = fixture_pages
+    pages_cat = GraphCatalog(str(tmp_path / "pages_cat"))
+    sink = pages_ingest_sink(spark, pages_cat)
+    sink(pages_df(spark, p[:6]), 0)
+    sink(pages_df(spark, p[6:10]), 1)
+    # interleaved maintenance: compaction commits a NEW head whose props
+    # carry no batch marker
+    pages_cat.compact_table(spark, "pages", n_tasks=2)
+    assert "last_batch_id" not in (
+        pages_cat.latest_snapshot("pages").get("props") or {})
+    n_snaps = len(pages_cat.snapshots("pages"))
+    before = {(r["url"], bytes(r["html"])) for r in
+              pages_cat.read_table(spark, "pages")
+              .select("url", "html").collect()}
+    # crash-replay of batch 1 AFTER the compaction: must be a no-op
+    sink(pages_df(spark, p[6:10]), 1)
+    assert len(pages_cat.snapshots("pages")) == n_snaps
+    got = {(r["url"], bytes(r["html"])) for r in
+           pages_cat.read_table(spark, "pages")
+           .select("url", "html").collect()}
+    assert got == before

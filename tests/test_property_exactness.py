@@ -32,9 +32,12 @@ class TestQuantileProperties:
                for r in quantiles_disc(df, "v", "grp", (p,)).collect()}
         for g in {g for g, _ in rows}:
             vals = sorted(v for gg, v in rows if gg == g)
-            # PERCENTILE_DISC: smallest v whose cume_dist >= p
+            # PERCENTILE_DISC: smallest v whose cume_dist >= p.
+            # Fraction(str(p)), not Fraction(p): Fraction(0.9) embeds the
+            # binary float (8106479329266893/9007199254740992 > 9/10) and
+            # demands the wrong value exactly on cume_dist == p boundaries.
             want = next(v for i, v in enumerate(vals)
-                        if Fraction(i + 1, len(vals)) >= Fraction(p))
+                        if Fraction(i + 1, len(vals)) >= Fraction(str(p)))
             assert got[g] == want, (g, vals, p)
 
 

@@ -107,7 +107,13 @@ def _evolve_schema(parent: dict | None,
     reader's license to skip schema conforming."""
     old = _schema_of(parent) if parent else None
     if old is None:
-        return new, True
+        # A parent with data dirs but NO recorded schema is a legacy
+        # (pre-evolution) table: its footers may not carry the appended
+        # columns, so the read must take the mergeSchema+_conform path —
+        # claiming uniform=True here made a later add-column append read
+        # the new column from an arbitrary footer (silently NULL/absent).
+        legacy_dirs = bool(parent and parent.get("dirs"))
+        return new, not legacy_dirs
     old_types = dict(map(tuple, old))
     conflicts = [
         (c, old_types[c], t) for c, t in new
@@ -488,6 +494,20 @@ class GraphCatalog:
         missing = set(key_cols) - set(updates.columns)
         if missing:
             raise ValueError(f"key columns missing from updates: {missing}")
+        # dtypes must match too, not just names: a MoR merge with a
+        # same-named, incompatibly-typed column would COMMIT fine and
+        # then break every subsequent read at plan build (unionByName
+        # across sequence branches) — fail before writing instead, the
+        # way the COW path happens to.
+        cur_types, upd_types = dict(current.dtypes), dict(updates.dtypes)
+        type_conflicts = [
+            (c, cur_types[c], upd_types[c]) for c in cur_types
+            if cur_types[c] != upd_types[c]
+        ]
+        if type_conflicts:
+            raise ValueError(
+                "merge rejects dtype changes: " + "; ".join(
+                    f"{c!r} {a} -> {b}" for c, a, b in type_conflicts))
         if strategy == "mor":
             return self._merge_mor(name, updates.select(*current.columns),
                                    key_cols, head, n_tasks=n_tasks,
@@ -887,10 +907,18 @@ class GraphCatalog:
             n_tasks=n_tasks, expected_parent_id=head["snapshot_id"],
             props={"replace": True})
 
-    def expire_snapshots(self, table: str, keep_last: int = 1) -> list[str]:
+    def expire_snapshots(self, table: str, keep_last: int = 1,
+                         orphan_grace_sec: float = 3600.0) -> list[str]:
         """Drop data dirs referenced only by snapshots older than the last
         ``keep_last``, plus orphan dirs from crashed (uncommitted) writers.
-        The head snapshot is always retained. Returns removed dir names."""
+        The head snapshot is always retained. Returns removed dir names.
+
+        An unreferenced dir is treated as an orphan only when its mtime
+        is older than ``orphan_grace_sec`` (Iceberg remove_orphan_files'
+        ``older_than``): in-flight writers (delete_rows/_merge_mor)
+        write their dirs BEFORE the commit CAS, so an age-blind expire
+        racing such a writer would delete data its imminent commit
+        references. Pass 0 only when no writer can be concurrent."""
         snaps = self.snapshots(table)
         head = self._head().get(table)
         keep_rows = snaps[-keep_last:] if keep_last > 0 else []
@@ -901,13 +929,30 @@ class GraphCatalog:
             if r["snapshot_id"] in keep_ids:
                 live_dirs.update(r["dirs"])
                 live_dirs.update(d["dir"] for d in _deletes_of(r))
+        # Dirs referenced by ANY committed snapshot (expired or not) are
+        # never in-flight; only never-committed dirs need the age gate.
+        committed_dirs: set[str] = set()
+        for r in snaps:
+            committed_dirs.update(r["dirs"])
+            committed_dirs.update(d["dir"] for d in _deletes_of(r))
         table_root = os.path.join(self.root, table)
+        now = time.time()
         removed: list[str] = []
         if os.path.isdir(table_root):
             for name in sorted(os.listdir(table_root)):
                 rel = os.path.join(table, name)
-                if (name.startswith(("snap-", "del-"))
-                        and rel not in live_dirs):
-                    shutil.rmtree(os.path.join(table_root, name))
-                    removed.append(rel)
+                if (not name.startswith(("snap-", "del-"))
+                        or rel in live_dirs):
+                    continue
+                if rel not in committed_dirs:
+                    try:
+                        age = now - os.path.getmtime(
+                            os.path.join(table_root, name))
+                    except OSError:
+                        continue  # dir vanished (concurrent expire)
+                    if age < orphan_grace_sec:
+                        continue  # possibly an in-flight writer's dir
+                shutil.rmtree(os.path.join(table_root, name),
+                              ignore_errors=True)
+                removed.append(rel)
         return removed

@@ -245,10 +245,9 @@ def counts_sink(spark, cat, key_col: str, table: str = "counts"):
     from pyspark.sql import functions as F
 
     def sink(batch_df, batch_id: int) -> None:
-        head = cat.latest_snapshot(table)
-        if head is not None and head.get("props", {}).get(
-                "last_batch_id") == batch_id:
+        if _batch_already_applied(cat, table, batch_id):
             return  # replay of the already-committed batch: exactly-once
+        head = cat.latest_snapshot(table)
         delta = batch_df.groupBy(key_col).agg(
             F.count(F.lit(1)).cast("bigint").alias("n"))
         if head is not None:
@@ -355,6 +354,26 @@ def run_incremental_kg(
     q.awaitTermination()
 
 
+def _batch_already_applied(cat, table: str, batch_id: int) -> bool:
+    """True iff some committed snapshot of ``table`` carries a
+    ``last_batch_id`` marker >= ``batch_id``.
+
+    Head-only inspection is NOT enough: any other commit landing between
+    a batch's commit and its post-crash replay (a ``compact_table``
+    maintenance pass, a manual merge) moves the head past the marker and
+    a head-only check would re-apply the batch. Scanning newest→oldest
+    and stopping at the first marker-bearing commit is correct because
+    foreachBatch epoch ids are monotone per checkpoint — the newest
+    marker is the largest ever applied — and cheap because snapshot rows
+    are driver-side metadata (the scan usually stops within a few
+    non-marker maintenance commits)."""
+    for snap in reversed(cat.snapshots(table)):
+        marker = (snap.get("props") or {}).get("last_batch_id")
+        if marker is not None:
+            return int(marker) >= int(batch_id)
+    return False
+
+
 def dedup_ingest_sink(spark, cat, num_hashes: int = 4, bands: int = 2,
                       n: int = 3, index_table: str = "lsh_index",
                       pairs_table: str = "dup_pairs"):
@@ -391,10 +410,9 @@ def dedup_ingest_sink(spark, cat, num_hashes: int = 4, bands: int = 2,
     )
 
     def sink(batch_df, batch_id: int) -> None:
-        idx_head = cat.latest_snapshot(index_table)
-        if idx_head is not None and idx_head.get("props", {}).get(
-                "last_batch_id") == batch_id:
+        if _batch_already_applied(cat, index_table, batch_id):
             return  # full replay of a committed batch
+        idx_head = cat.latest_snapshot(index_table)
         batch_df = batch_df.persist()
         try:
             if idx_head is None:
@@ -468,10 +486,13 @@ def pages_ingest_sink(spark, cat, pages_table: str = "pages"):
     O(|batch|) written), new urls insert. Within-batch duplicate urls
     collapse latest-``warc_ts``-wins before the merge (MoR's
     duplicate-key contract). Exactly-once: the producing ``batch_id``
-    rides the commit props; a replayed batch whose id already marks the
-    head is skipped — the upsert commit is ATOMIC (data + delete file in
-    one CAS), so a crash mid-batch leaves only expirable orphans and the
-    replay lands the whole batch once.
+    rides the commit props; a replayed batch whose id any committed
+    snapshot already marks is skipped (``_batch_already_applied`` — the
+    marker scan survives interleaved maintenance commits like
+    ``compact_table`` that a head-only check would not). The upsert
+    commit is ATOMIC (data + delete file in one CAS), so a crash
+    mid-batch leaves only expirable orphans and the replay lands the
+    whole batch once.
 
     This is the front door of the incremental loop: crawl stream →
     pages catalog (this sink) → ``plans.incremental.sync_kg`` reads the
@@ -480,10 +501,10 @@ def pages_ingest_sink(spark, cat, pages_table: str = "pages"):
     from pyspark.sql import functions as F
 
     def sink(batch_df, batch_id: int) -> None:
+        if _batch_already_applied(cat, pages_table, batch_id):
+            return  # replay of a committed batch — even if maintenance
+            # commits (compact_table) moved the head past the marker
         head = cat.latest_snapshot(pages_table)
-        if head is not None and (head.get("props") or {}).get(
-                "last_batch_id") == batch_id:
-            return  # full replay of a committed batch
         w = Window.partitionBy("url").orderBy(
             F.col("warc_ts").desc_nulls_last())
         batch = (batch_df.withColumn("_rn", F.row_number().over(w))
