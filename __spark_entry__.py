@@ -360,7 +360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_cosine_topk"] = q_ann_cosine_topk
 
     def q_ann_ivf_topk(spark, sf):
-        """IVF ANN: 16 deterministic coarse seeds refined by ONE
+        """IVF ANN: 16 deterministic HASH-STRATIFIED coarse seeds
+        (min-(h32(id), id) rows — content-blind, so id-order skew can't
+        collapse the seed spread the way first-n-ids did) refined by ONE
         deterministic k-means pass (fixed-point sums — order-independent,
         so the oracle reproduces the refined centroids bit-for-bit),
         probe the 4 nearest cells, exact cosine top-10 inside them.
@@ -370,12 +372,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         statistics, and the sample cuts the extra refinement scan 4× —
         measured, refinement had doubled this query's wall time."""
         from uckg_spark.operators.similarity import (
-            ivf_centroids, ivf_refine_centroids, ivf_topk)
+            ivf_centroids_hashed, ivf_refine_centroids, ivf_topk)
 
         emb = _t(spark, sf, "embeddings")
         qrow = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
         cents = ivf_refine_centroids(
-            emb, ivf_centroids(emb, 16), iters=1, sample_mod=IVF_SAMPLE_MOD)
+            emb, ivf_centroids_hashed(emb, 16), iters=1,
+            sample_mod=IVF_SAMPLE_MOD)
         return ivf_topk(emb, [float(x) for x in qrow],
                         n_probe=4, k=10, centroids=cents)
     q["ann_ivf_topk"] = q_ann_ivf_topk
@@ -1293,6 +1296,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return label_spread(_t(spark, sf, "embeddings"), k=5, mask_mod=5)
     q["label_spread"] = q_label_spread
 
+    def q_label_spread_bucketed(spark, sf):
+        """The scale path for label_spread: IVF-bucketed candidates
+        (16 hash-stratified cells, 4-probe queries, candidates meet in
+        a cell-id-shuffled join) feeding the same majority-vote tail —
+        NO corpus-proportional driver collect anywhere."""
+        from uckg_spark.operators.similarity import label_spread_bucketed
+
+        return label_spread_bucketed(
+            _t(spark, sf, "embeddings"), k=5, mask_mod=5,
+            n_centroids=16, n_probe=4)
+    q["label_spread_bucketed"] = q_label_spread_bucketed
+
     def q_auc(spark, sf):
         # exact rational ROC-AUC (Mann-Whitney, average-rank ties) of
         # doc length as an is-English classifier — no floats anywhere
@@ -2185,10 +2200,15 @@ def oracle_sql() -> dict[str, str]:
     ivf_refined_list = ", ".join(
         f"(cl.s{d}::DOUBLE / cl.n) / 1048576.0" for d in range(EMB_DIM)
     )
+    # hash-stratified seed pick: the 16 rows minimizing (h32(id), id) —
+    # mirrors ivf_centroids_hashed exactly
+    ivf_seed_cte = f"""cent0 AS (
+            SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
+            FROM embeddings
+            ORDER BY {_h32_sql('vec_id::VARCHAR')}, vec_id LIMIT 16)"""
     o["ann_ivf_topk"] = f"""
         WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
-        cent0 AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
-                  FROM embeddings ORDER BY vec_id LIMIT 16),
+        {ivf_seed_cte},
         -- ONE deterministic k-means pass (mirrors ivf_refine_centroids):
         -- assign to seed cells, per-cell mean via FIXED-POINT sums
         -- (floor(x*2^20) as bigint — order-independent, so both engines
@@ -4451,6 +4471,76 @@ def oracle_sql() -> dict[str, str]:
                          / (sqrt(list_dot_product(u.v, u.v))
                             * sqrt(list_dot_product(l.v, l.v))), 6) AS cs
             FROM unl u, lab l
+        ), top AS (
+            SELECT qid, label FROM (
+                SELECT qid, label,
+                       row_number() OVER (PARTITION BY qid
+                           ORDER BY cs DESC, nid) AS rn
+                FROM sims) WHERE rn <= 5
+        ), votes AS (
+            SELECT qid, label, count(*)::BIGINT AS votes
+            FROM top GROUP BY qid, label
+        )
+        SELECT w.qid AS vec_id, u.label::BIGINT AS true_label,
+               w.label::BIGINT AS pred_label, w.votes
+        FROM (SELECT qid, label, votes,
+                     row_number() OVER (PARTITION BY qid
+                         ORDER BY votes DESC, label) AS wr
+              FROM votes) w
+        JOIN unl u ON u.vec_id = w.qid
+        WHERE w.wr = 1
+    """
+
+    # bucketed twin: identical vote tail, but candidates come from the
+    # IVF cells (labeled rows assigned to 1 cell, queries probing 4) —
+    # the same hash-stratified seed rule and dot/|c| assignment ranking
+    # as the ann_ivf_topk twin, unrefined (refine_iters=0)
+    o["label_spread_bucketed"] = f"""
+        WITH {ivf_seed_cte},
+        -- each side normalized ONCE (unit vectors), so per-pair cosine
+        -- is a single sequential dot — mirrors the Spark operator's
+        -- normalize-then-dot tree exactly (same IEEE op order)
+        unl AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_transform(
+                       embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                      embedding::DOUBLE[]))
+                   ) AS u, label
+            FROM embeddings WHERE vec_id % 5 = 0
+        ), lab AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   list_transform(
+                       embedding::DOUBLE[],
+                       x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+                                                      embedding::DOUBLE[]))
+                   ) AS u, label
+            FROM embeddings WHERE vec_id % 5 <> 0
+        ), lab_assign AS (
+            SELECT vec_id, c_id AS cell FROM (
+                SELECT l.vec_id, c.c_id,
+                       row_number() OVER (PARTITION BY l.vec_id
+                           ORDER BY list_dot_product(l.v, c.cv)
+                                    / sqrt(list_dot_product(c.cv, c.cv))
+                                    DESC, c.c_id) AS rn
+                FROM lab l, cent0 c)
+            WHERE rn = 1
+        ), unl_probe AS (
+            SELECT vec_id, c_id AS cell FROM (
+                SELECT u.vec_id, c.c_id,
+                       row_number() OVER (PARTITION BY u.vec_id
+                           ORDER BY list_dot_product(u.v, c.cv)
+                                    / sqrt(list_dot_product(c.cv, c.cv))
+                                    DESC, c.c_id) AS rn
+                FROM unl u, cent0 c)
+            WHERE rn <= 4
+        ), sims AS (
+            SELECT u.vec_id AS qid, l.vec_id AS nid, l.label,
+                   round(list_dot_product(u.u, l.u), 6) AS cs
+            FROM unl_probe p
+            JOIN lab_assign a USING (cell)
+            JOIN unl u ON u.vec_id = p.vec_id
+            JOIN lab l ON l.vec_id = a.vec_id
         ), top AS (
             SELECT qid, label FROM (
                 SELECT qid, label,

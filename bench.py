@@ -113,6 +113,8 @@ def main() -> None:
         # round-4 resume-5 additions
         "catalog_mor", "catalog_changelog", "catalog_evolution",
         "catalog_tag",
+        # round-5 additions
+        "label_spread_bucketed",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical
@@ -141,7 +143,9 @@ def main() -> None:
              # resume-5: the catalog rows stage a temp catalog (3-4
              # write commits) before the read — write-dominated, >=1.5 s
              "catalog_mor", "catalog_changelog", "catalog_evolution",
-             "catalog_tag"}
+             "catalog_tag",
+             # round-5 keys with >=1.5 s steady walls
+             "label_spread_bucketed"}
 
     def timed(name: str, run) -> None:
         walls = []

@@ -59,3 +59,60 @@ def test_label_spread_recovers_separable_clusters(spark):
     for vid in held_out:
         t, p, v = got[vid]
         assert p == t and v == 5
+
+
+def _clusters_df(spark):
+    rows = []
+    for c, base in enumerate((0.0, 2.1, 4.2)):
+        for i in range(12):
+            a = base + 0.02 * i
+            rows.append((c * 12 + i, [math.cos(a), math.sin(a)], c))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"), rows
+
+
+def test_label_spread_bucketed_matches_exact_on_separable(spark):
+    """The scale path (IVF-bucketed candidates, no driver collect of the
+    query side) must agree with the exact form on separable clusters:
+    same held-out key set, identical predicted labels."""
+    from uckg_spark.operators.similarity import label_spread_bucketed
+
+    df, rows = _clusters_df(spark)
+    exact = {r["vec_id"]: r["pred_label"]
+             for r in label_spread(df, k=5, mask_mod=6).collect()}
+    bucketed = {r["vec_id"]: r["pred_label"]
+                for r in label_spread_bucketed(
+                    df, k=5, mask_mod=6, n_centroids=6, n_probe=3).collect()}
+    assert sorted(bucketed) == sorted(exact)
+    agree = sum(bucketed[k] == exact[k] for k in exact) / len(exact)
+    assert agree == 1.0
+
+
+def test_label_spread_bucketed_agreement_bound_on_skewed_ids(spark):
+    """Id-skewed fixture (all of cluster A packed into the low ids that
+    first-n seeding would pick): bucketed predictions still agree with
+    the exact form on >= 90% of held-out points, and every prediction
+    set covers the same held-out keys."""
+    import random
+
+    from uckg_spark.operators.similarity import label_spread_bucketed
+
+    rng = random.Random(11)
+
+    def jitter(base, amp=0.05):
+        return [x + rng.uniform(-amp, amp) for x in base]
+
+    a, b, c = [1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]
+    rows = [(i, jitter(a), 0) for i in range(10)]
+    rows += [(i, jitter(b), 1) for i in range(10, 42)]
+    rows += [(i, jitter(c), 2) for i in range(42, 66)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    exact = {r["vec_id"]: r["pred_label"]
+             for r in label_spread(df, k=5, mask_mod=5).collect()}
+    bucketed = {r["vec_id"]: r["pred_label"]
+                for r in label_spread_bucketed(
+                    df, k=5, mask_mod=5, n_centroids=8, n_probe=3).collect()}
+    assert sorted(bucketed) == sorted(exact)
+    agree = sum(bucketed[k] == exact[k] for k in exact) / len(exact)
+    assert agree >= 0.9

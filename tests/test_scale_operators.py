@@ -239,6 +239,46 @@ class TestSimilarity:
         assert recall(similarity.ivf_refine_centroids(
             emb, seeds, iters=2)) == 1.0
 
+    def test_hashed_seeds_beat_first_n_on_id_skew(self, spark):
+        """ivf_centroids_hashed picks seeds by (h32(id), id) — content-
+        blind, so an id ordering that packs one cluster into the low ids
+        (crawl-order skew) cannot collapse the seed spread. On the same
+        skewed fixture where first-n-ids seeds all land in cluster A
+        (recall 0.7 unrefined), hashed seeds hit full recall BEFORE
+        refinement, and refinement does not degrade them."""
+        import random
+
+        rng = random.Random(7)
+
+        def jitter(base, amp=0.05):
+            return [x + rng.uniform(-amp, amp) for x in base]
+
+        a, b, c = [1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]
+        rows = [(i, jitter(a)) for i in range(8)]         # low ids: ALL in A
+        rows += [(i, jitter(b)) for i in range(8, 40)]
+        rows += [(i, jitter(c)) for i in range(40, 64)]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = [0.0, 0.7, 0.7, 0.0]  # between B and C: truth spans both
+        truth = {r["vec_id"] for r in
+                 similarity.brute_force_topk(emb, q, k=10).collect()}
+
+        def recall(cents):
+            got = {r["vec_id"] for r in similarity.ivf_topk(
+                emb, q, n_probe=2, k=10, centroids=cents).collect()}
+            return len(got & truth) / 10
+
+        hashed = similarity.ivf_centroids_hashed(emb, 8)
+        # the seed RULE mirrors the oracle: min-8 by (h32(str(id)), id)
+        want_ids = sorted(
+            i for i, _ in rows if i in
+            {i2 for i2 in sorted((i3 for i3, _ in rows),
+                                 key=lambda x: (h32_py(str(x)), x))[:8]})
+        assert [cid for cid, _ in hashed] == want_ids
+        assert recall(similarity.ivf_centroids(emb, 8)) <= 0.8  # first-n
+        assert recall(hashed) == 1.0
+        assert recall(similarity.ivf_refine_centroids(
+            emb, hashed, iters=1)) == 1.0
+
     def test_knn_join_pandas(self, spark):
         vecs = [(i, [float((i + j) % 5 + 1) for j in range(4)]) for i in range(30)]
         df = spark.createDataFrame(vecs, ["vec_id", "embedding"])

@@ -286,6 +286,27 @@ def ivf_centroids(
     return [(int(r[0]), [float(x) for x in r[1]]) for r in rows]
 
 
+def ivf_centroids_hashed(
+    embeddings: DataFrame, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Hash-stratified deterministic seeds: the ``n_centroids`` rows
+    minimizing (h32(id), id) — a fixed pseudo-random sample of the id
+    space. First-n-ids seeding (``ivf_centroids``) degrades when id
+    order correlates with content (e.g. crawl order clusters near-dup
+    pages at low ids): all seeds land in one region and refinement
+    starts from collapsed cells. The hash order is content-blind,
+    engine-portable (``('0x'||substr(md5(id::VARCHAR),1,8))::BIGINT``
+    in an oracle), and still a bounded n-row collect. Seeds keep their
+    original ids as cell ids — ties and probe order stay deterministic."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(h32(F.col(id_col).cast("string")), id_col)
+        .limit(n_centroids).collect()
+    )
+    return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
+
+
 def ivf_refine_centroids(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -348,11 +369,13 @@ def ivf_refine_centroids(
     return centroids
 
 
-def ivf_assign_col(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Nearest-centroid id (cosine, ties to the smaller id) as pure column
-    algebra: the centroid matrix rides into the plan as literals (no join,
-    no shuffle — each row's assignment is embarrassingly parallel), sorted
-    via array_sort over struct(-score, cid).
+def _ivf_scored_cells(vec: Column,
+                      centroids: list[tuple[int, list[float]]]) -> Column:
+    """Centroid ids sorted nearest-first for one row (cosine, ties to
+    the smaller id) as pure column algebra: the centroid matrix rides
+    into the plan as literals (no join, no shuffle — each row's scoring
+    is embarrassingly parallel), sorted via array_sort over
+    struct(-score, cid).
 
     ONE fold over the vector carrying all n_centroids running dot products
     as the accumulator (the round-3 shape ran one independent fold per
@@ -392,7 +415,28 @@ def ivf_assign_col(vec: Column, centroids: list[tuple[int, list[float]]]) -> Col
         dots, meta,
         lambda d, m: F.struct((-(d / m["nm"])).alias("nc"), m["cid"].alias("cid")),
     )
-    return F.array_sort(scored)[0]["cid"]
+    return F.array_sort(scored)
+
+
+def ivf_assign_col(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid id for one row — see ``_ivf_scored_cells`` for
+    the fused-fold execution shape and the cross-engine determinism
+    argument."""
+    return _ivf_scored_cells(vec, centroids)[0]["cid"]
+
+
+def ivf_probe_cells_col(vec: Column,
+                        centroids: list[tuple[int, list[float]]],
+                        n_probe: int) -> Column:
+    """The ``n_probe`` nearest centroid ids for one row as an
+    array<bigint> — the multi-probe half of an IVF SEARCH (a stored row
+    lives in exactly one cell; a query inspects several). Same fused
+    fold and literal centroid matrix as ``ivf_assign_col``, so probe
+    order is bit-identical to assignment order."""
+    return F.transform(
+        F.slice(_ivf_scored_cells(vec, centroids), 1, n_probe),
+        lambda s: s["cid"],
+    )
 
 
 def ivf_topk(
@@ -528,16 +572,25 @@ def label_spread(
     Execution reuses ``knn_join_pandas`` — broadcast query matrix,
     partition-local numpy top-k, window merge — so the labeled corpus
     never shuffles for the search. The query side is COLLECTED
-    (bounded by the mask for this exact baseline); at corpus scale the
-    swap is the bucketed candidate families (``lsh_bucketed_pairs`` /
-    ``ivf_topk_col``) feeding the same vote tail, trading exactness for
-    a bounded candidate set — same trade as the dedup family.
+    (bounded by the mask for this exact baseline); at corpus scale use
+    ``label_spread_bucketed`` — IVF-bucketed candidates feeding the same
+    vote tail with no corpus-proportional collect, trading cell-boundary
+    recall for a bounded candidate set — same trade as the dedup family.
     """
     unl = embeddings.filter(F.col(id_col) % mask_mod == 0)
     lab = embeddings.filter(F.col(id_col) % mask_mod != 0)
     queries = [(r[0], list(r[1])) for r in
                unl.select(id_col, vec_col).collect()]
-    nn = knn_join_pandas(lab, queries, k=k, id_col=id_col, vec_col=vec_col)
+    return _label_spread_tail(
+        knn_join_pandas(lab, queries, k=k, id_col=id_col, vec_col=vec_col),
+        lab, unl, id_col, label_col)
+
+
+def _label_spread_tail(nn: DataFrame, lab: DataFrame, unl: DataFrame,
+                       id_col: str, label_col: str) -> DataFrame:
+    """Shared vote tail: (query_id, neighbor id) pairs → majority label
+    per query (votes desc, label asc), held-out true label joined back.
+    Both the exact and the bucketed candidate generators feed this."""
     votes = (
         nn.join(lab.select(id_col, label_col), id_col)
         .groupBy("query_id", label_col)
@@ -558,3 +611,86 @@ def label_spread(
             "votes",
         )
     )
+
+
+def label_spread_bucketed(
+    embeddings: DataFrame,
+    k: int = 5,
+    mask_mod: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    refine_iters: int = 0,
+    sample_mod: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """``label_spread`` with NO corpus-proportional driver collect — the
+    scale path. The exact form collects every unlabeled vector to the
+    driver (1/mask_mod of the corpus: fine as a baseline, fatal at
+    10^12 docs); here candidate generation is IVF-bucketed instead:
+
+    1. coarse quantizer: ``n_centroids`` hash-stratified seed rows
+       (bounded collect) + optional deterministic k-means refinement —
+       the ``ann_ivf_topk`` machinery;
+    2. every LABELED row is assigned to its one nearest cell, every
+       UNLABELED row probes its ``n_probe`` nearest cells (both pure
+       column algebra, no shuffle);
+    3. candidates meet in a join SHUFFLED ON THE CELL ID — per-cell
+       work is |cell|·|probes into it|, never all-pairs, and the only
+       shuffle key is the bounded cell id;
+    4. exact cosine (sequential-fold column algebra, rounded to 6 — the
+       cross-engine rank key) + per-query top-k window + the shared
+       majority-vote tail (``_label_spread_tail``).
+
+    Trades recall at cell boundaries (a true neighbor whose cell the
+    query didn't probe is missed — dial ``n_probe`` up) for bounded,
+    fully distributed work; precision is exact since every candidate is
+    cosine-verified. Same output schema as ``label_spread``, so the two
+    diff directly (pinned by pytest on a skewed fixture)."""
+    cent = ivf_centroids_hashed(embeddings, n_centroids, id_col, vec_col)
+    if refine_iters:
+        cent = ivf_refine_centroids(
+            embeddings, cent, iters=refine_iters, vec_col=vec_col,
+            id_col=id_col, sample_mod=sample_mod)
+    vec_d = F.col(vec_col).cast("array<double>")
+    # normalize each side ONCE before the join: per-pair cosine is then a
+    # single fold (dot of unit vectors) instead of three — the candidate
+    # set is |cell|·|probes into it| pairs, so per-pair folds dominate
+    # the wall (measured 6.6 s → with this, the norms cost O(rows), not
+    # O(pairs)). The oracle mirrors the same normalize-then-dot tree.
+    # The norm is LET-BOUND through a one-element outer transform (the
+    # dedup.py shingle pattern): a bare norm(vec_d) inside the lambda
+    # body would re-fold the whole vector PER ELEMENT.
+    unit = F.transform(
+        F.array(norm(vec_d)),
+        lambda nm: F.transform(vec_d, lambda x: x / nm),
+    )[0]
+    unl = embeddings.filter(F.col(id_col) % mask_mod == 0)
+    lab = embeddings.filter(F.col(id_col) % mask_mod != 0)
+    lab_cells = lab.select(
+        F.col(id_col).alias("_nid"),
+        unit.alias("_nv"),
+        ivf_assign_col(vec_d, cent).alias("_cell"),
+    )
+    unl_cells = unl.select(
+        F.col(id_col).alias("query_id"),
+        unit.alias("_qv"),
+        F.explode(ivf_probe_cells_col(vec_d, cent, n_probe)).alias("_cell"),
+    )
+    # a labeled row lives in exactly ONE cell and a query probes n_probe
+    # DISTINCT cells, so (query_id, _nid) pairs are join-unique — no
+    # dedup needed before the top-k window
+    nn = (
+        unl_cells.join(lab_cells, "_cell")
+        .select(
+            "query_id",
+            F.col("_nid").alias(id_col),
+            F.round(dot(F.col("_qv"), F.col("_nv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col))
+    topk = (nn.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k).drop("_rn", "cos_sim"))
+    return _label_spread_tail(topk, lab, unl, id_col, label_col)
