@@ -1959,6 +1959,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             snapshot_id=cat.resolve_tag("fact", "train-v1"))
     q["catalog_tag"] = q_catalog_tag
 
+    def q_catalog_prune(spark, sf):
+        """File-level stats pruning (Iceberg manifest-pruning analog):
+        commits record per-data-file footer min/max; a selective key
+        range resolves to a SUBSET of files before Spark plans the
+        scan. The row filter is re-applied on top (pruning may skip
+        work, never rows), so the result equals the plain filtered
+        table — which is exactly what the oracle runs. The plan-level
+        check (fewer files opened) is pinned by pytest; the driver row
+        proves no-rows-lost/none-invented under pruning across an
+        append + MoR-merge history."""
+        import tempfile
+
+        from uckg_spark.sources.catalog import GraphCatalog
+
+        orders = _t(spark, sf, "orders")
+        k = F.col("o_orderkey")
+
+        def fact(df, tag):
+            return df.select(
+                k.alias("k"),
+                F.concat(F.lit(tag), F.col("o_custkey")).alias("v"))
+
+        cat = GraphCatalog(tempfile.mkdtemp(prefix="uckg_prune_q_"))
+        # range-disjoint files: sort by k so footer min/max actually cut
+        lo_half = fact(orders.filter(k % 2 == 0), "b:") \
+            .repartitionByRange(4, "k")
+
+        def write(path):
+            from pyspark.sql import Observation
+            obs = Observation()
+            lo_half.observe(obs, F.count(F.lit(1)).alias("n")) \
+                .write.mode("overwrite").parquet(path)
+            return int(obs.get["n"])
+
+        cat._write_snapshot(
+            "fact", write, "overwrite",
+            schema=[[c, t] for c, t in lo_half.dtypes])
+        cat.write_table("fact", fact(orders.filter(k % 2 == 1), "a:"),
+                        n_tasks=4, mode="append")
+        cat.merge_table(spark, "fact",
+                        fact(orders.filter(k % 7 == 0), "u:"),
+                        ["k"], n_tasks=2, strategy="mor")
+        hi = 2000
+        return (cat.read_table(spark, "fact", prune={"k": (None, hi)})
+                .filter(F.col("k") <= hi))
+    q["catalog_prune"] = q_catalog_prune
+
     return q
 
 
@@ -4814,6 +4861,18 @@ def oracle_sql() -> dict[str, str]:
                     ELSE 'b:' || o_custkey END AS v
         FROM orders
         WHERE o_orderkey % 13 <> 0
+    """
+
+    # pruned scan twin: pruning may only SKIP FILES, never change the
+    # row set, so the oracle is the plain MoR-merged table under the
+    # same key range (base even='b:', appended odd='a:', k%7 upserted)
+    o["catalog_prune"] = """
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 7 = 0 THEN 'u:' || o_custkey
+                    WHEN o_orderkey % 2 = 0 THEN 'b:' || o_custkey
+                    ELSE 'a:' || o_custkey END AS v
+        FROM orders
+        WHERE o_orderkey <= 2000
     """
 
     # changelog since the base snapshot: the MoR merge contributes its

@@ -114,7 +114,7 @@ def main() -> None:
         "catalog_mor", "catalog_changelog", "catalog_evolution",
         "catalog_tag",
         # round-5 additions
-        "label_spread_bucketed",
+        "label_spread_bucketed", "catalog_prune",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical
@@ -145,7 +145,7 @@ def main() -> None:
              "catalog_mor", "catalog_changelog", "catalog_evolution",
              "catalog_tag",
              # round-5 keys with >=1.5 s steady walls
-             "label_spread_bucketed"}
+             "label_spread_bucketed", "catalog_prune"}
 
     def timed(name: str, run) -> None:
         walls = []

@@ -248,3 +248,77 @@ def test_tags_pin_snapshots_through_expiry(spark, tmp_path):
         cat.resolve_tag("edges", "train-v1")
     with pytest.raises(KeyError):
         cat.drop_tag("edges", "train-v1")
+
+
+def test_file_stats_prune_selective_scan(spark, tmp_path):
+    """Iceberg manifest-pruning analog: commits record per-data-file
+    column min/max from the parquet footers; a selective predicate
+    resolves to FEWER files (counted via scan_files) and the pruned
+    read still returns exactly the matching rows after the caller's
+    row filter. Pruning must be conservative: it may skip work, never
+    rows."""
+    cat = GraphCatalog(str(tmp_path / "g"))
+    # 4 tasks over a k-sorted frame ⇒ disjoint per-file k ranges
+    df = spark.createDataFrame(
+        [(i, f"v{i:04d}") for i in range(400)], "k long, v string"
+    ).repartitionByRange(4, "k")
+
+    def write(path):
+        df.write.mode("overwrite").parquet(path)
+        return 400
+
+    cat._write_snapshot("t", write, "overwrite",
+                        schema=[["k", "bigint"], ["v", "string"]])
+    head = cat.latest_snapshot("t")
+    rel = head["dirs"][0]
+    stats = head["file_stats"][rel]
+    assert len(stats) == 4  # one entry per part file
+    assert all({"k", "v"} <= set(s) for s in stats.values())
+
+    full = cat.scan_files("t")
+    assert sum(len(v) for v in full.values()) == 1  # whole-dir sentinel
+    pruned = cat.scan_files("t", prune={"k": (390, None)})
+    assert sum(len(v) for v in pruned.values()) == 1  # 1 of 4 files
+    got = (cat.read_table(spark, "t", prune={"k": (390, None)})
+           .filter("k >= 390"))
+    assert sorted(r["k"] for r in got.collect()) == list(range(390, 400))
+    # string-stats pruning works the same way
+    pv = cat.scan_files("t", prune={"v": ("v0000", "v0050")})
+    assert sum(len(v) for v in pv.values()) == 1
+    # a range spanning every file prunes nothing
+    assert sum(len(v) for v in
+               cat.scan_files("t", prune={"k": (0, 399)}).values()) == 4
+    # all-pruned: typed empty frame, not an error
+    empty = cat.read_table(spark, "t", prune={"k": (1000, None)})
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
+def test_file_stats_prune_composes_with_append_and_mor(spark, tmp_path):
+    """Stats accumulate across appends and survive metadata-carrying
+    commits (MoR merge); reads under prune still see MoR semantics."""
+    cat = GraphCatalog(str(tmp_path / "g"))
+    lo = spark.createDataFrame(
+        [(i, f"a{i}") for i in range(100)], "k long, v string")
+    hi = spark.createDataFrame(
+        [(i, f"b{i}") for i in range(1000, 1100)], "k long, v string")
+    cat.write_table("t", lo, n_tasks=2)
+    cat.write_table("t", hi, n_tasks=2, mode="append")
+    # upsert one low key via MoR: its new data file has k=5 only
+    cat.merge_table(spark, "t",
+                    spark.createDataFrame([(5, "UPD")], "k long, v string"),
+                    ["k"], strategy="mor")
+    head = cat.latest_snapshot("t")
+    assert len(head["file_stats"]) == 3  # both appends + the MoR dir
+    # high-range prune: the low append's files AND the MoR update file
+    # drop; only the hi dir's files survive
+    files = cat.scan_files("t", prune={"k": (1000, None)})
+    n_by_dir = {d: len(v) for d, v in files.items()}
+    assert sum(n_by_dir.values()) == 2  # hi dir's 2 part files only
+    got = (cat.read_table(spark, "t", prune={"k": (1000, None)})
+           .filter("k >= 1000"))
+    assert got.count() == 100
+    # low-range prune still sees the MoR result (UPD wins over a5)
+    low = {r["k"]: r["v"] for r in
+           cat.read_table(spark, "t", prune={"k": (0, 10)})
+           .filter("k <= 10").collect()}
+    assert low[5] == "UPD" and low[4] == "a4"

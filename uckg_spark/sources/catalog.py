@@ -139,6 +139,89 @@ def _carry_schema(parent: dict) -> dict:
             "uniform_schema": bool(parent.get("uniform_schema", True))}
 
 
+def _stats_of(snap: dict) -> dict:
+    """{dir_rel: {file_rel: {col: [min, max]}}} recorded at commit, or
+    {} for pre-stats commit rows (reads then skip pruning for those
+    dirs — conservative)."""
+    return snap.get("file_stats") or {}
+
+
+def _collect_file_stats(abs_dir: str) -> dict:
+    """Per-data-file column min/max from the parquet FOOTERS of the
+    just-written dir — the Iceberg manifest-stats analog, gathered
+    without scanning any data pages (footer metadata only, so the cost
+    per commit is O(files), not O(rows)).
+
+    Only numeric and string leaf columns get stats (timestamps/binary/
+    nested are skipped — a missing column is simply never pruned on,
+    which is the safe direction). Files inside partition subdirectories
+    (``key=value`` path segments) are skipped too: reading individual
+    leaf files would lose the partition column, so partitioned layouts
+    keep whole-dir scans (they already prune by directory)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for fname in sorted(os.listdir(abs_dir)):
+        if not fname.endswith(".parquet"):
+            continue  # partition subdirs ("pred=...") never match: those
+            # layouts keep whole-dir scans (already directory-pruned)
+        fpath = os.path.join(abs_dir, fname)
+        if not os.path.isfile(fpath):
+            continue
+        try:
+            md = pq.ParquetFile(fpath).metadata
+        except Exception:
+            continue  # unreadable footer: no stats, file is never pruned
+        cols: dict[str, list] = {}
+        ok: set[str] = set()
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                st = col.statistics
+                if (st is None or not st.has_min_max
+                        or not isinstance(st.min, (int, float, str))
+                        or isinstance(st.min, bool)):
+                    cols.pop(name, None)
+                    ok.discard(name)
+                    continue
+                if rg == 0:
+                    cols[name] = [st.min, st.max]
+                    ok.add(name)
+                elif name in ok:
+                    cols[name][0] = min(cols[name][0], st.min)
+                    cols[name][1] = max(cols[name][1], st.max)
+        # a column must have stats in EVERY row group to be prunable
+        cols = {c: v for c, v in cols.items() if c in ok}
+        if md.num_rows == 0:
+            out[fname] = {}  # provably empty: prunable under ANY predicate
+        elif cols:
+            out[fname] = cols
+    return out
+
+
+def _file_survives(stats: dict | None, prune: dict) -> bool:
+    """Conservative range check: a file is pruned only when its recorded
+    [min, max] for some predicate column provably misses (lo, hi).
+    Missing stats (no footer stats, pre-stats commit, evolved column
+    the file predates) keep the file; a recorded EMPTY stats dict means
+    the file has zero rows and never survives a pruned scan."""
+    if stats is None:
+        return True
+    if not stats:
+        return False  # recorded as 0-row at commit time
+    for col, (lo, hi) in prune.items():
+        rng = stats.get(col)
+        if rng is None:
+            continue
+        mn, mx = rng
+        if lo is not None and type(lo) is type(mx) and mx < lo:
+            return False
+        if hi is not None and type(hi) is type(mn) and mn > hi:
+            return False
+    return True
+
+
 def _conform(df: DataFrame, schema: list[list[str]]) -> DataFrame:
     """Project a data-dir scan onto the table's union schema: columns
     the dir predates read as typed NULLs, order normalized."""
@@ -307,8 +390,10 @@ class GraphCatalog:
         snap = uuid.uuid4().hex[:12]
         rel_dir = os.path.join(table, f"snap-{snap}")
         rows_written = int(writer(os.path.join(self.root, rel_dir)))
+        new_stats = _collect_file_stats(os.path.join(self.root, rel_dir))
         seq = (_seq_of(parent) + 1) if parent else 1
         dirs, dir_seqs = [rel_dir], [seq]
+        file_stats = {rel_dir: new_stats} if new_stats else {}
         deletes: list[dict] = []  # overwrite clears any delete files
         total = rows_written
         if mode == "append" and parent is not None:
@@ -323,6 +408,9 @@ class GraphCatalog:
             dirs = parent["dirs"] + keep
             dir_seqs = _dir_seqs_of(parent) + ([seq] if keep else [])
             deletes = _deletes_of(parent)  # appends preserve delete files
+            file_stats = {**_stats_of(parent),
+                          **({rel_dir: new_stats}
+                             if keep and new_stats else {})}
             total += parent["rows"]
             if schema is not None and not keep:
                 # a dropped 0-row dir declares no schema: inherit
@@ -334,6 +422,7 @@ class GraphCatalog:
             "rows": total, "rows_written": rows_written,
             "dirs": dirs, "dir_seqs": dir_seqs, "seq": seq,
             "deletes": deletes, "ts": time.time(), "mode": mode,
+            **({"file_stats": file_stats} if file_stats else {}),
             **({"schema": evolved, "uniform_schema": uniform}
                if evolved is not None else {}),
             **({"props": props} if props else {}),
@@ -433,6 +522,7 @@ class GraphCatalog:
                 {"dir": rel, "seq": seq, "keys": list(key_cols),
                  "rows": n_keys}],
             "ts": time.time(), "mode": "delete",
+            **({"file_stats": _stats_of(head)} if _stats_of(head) else {}),
             **_carry_schema(head),
             **({"props": props} if props else {}),
         }, expected_parent=head["snapshot_id"])
@@ -545,6 +635,10 @@ class GraphCatalog:
             os.path.join(self.root, data_rel))
         del_rel, n_keys = self._write_delete_dir(name, written, key_cols)
         seq = _seq_of(head) + 1
+        mor_stats = dict(_stats_of(head))
+        new_stats = _collect_file_stats(os.path.join(self.root, data_rel))
+        if new_stats:
+            mor_stats[data_rel] = new_stats
         self._commit(name, {
             "table": name, "snapshot_id": snap,
             "parent_id": head["snapshot_id"],
@@ -555,41 +649,113 @@ class GraphCatalog:
                 {"dir": del_rel, "seq": seq, "keys": list(key_cols),
                  "rows": n_keys}],
             "ts": time.time(), "mode": "merge-mor",
+            **({"file_stats": mor_stats} if mor_stats else {}),
             **_carry_schema(head),
             **({"props": props} if props else {}),
         }, expected_parent=head["snapshot_id"])
         return snap
 
-    def read_table(self, spark: SparkSession, name: str,
-                   snapshot_id: str | None = None) -> DataFrame:
+    def scan_files(self, name: str, snapshot_id: str | None = None,
+                   prune: dict | None = None) -> dict[str, list[str]]:
+        """The file set a read of this snapshot resolves to, per data
+        dir, AFTER stats pruning — the Iceberg manifest-plan analog,
+        computed driver-side from the commit-recorded footer stats
+        without touching any data file.
+
+        ``prune`` maps column → inclusive ``(lo, hi)`` range (either
+        bound None for open). A file drops only when its recorded
+        [min, max] for some predicate column provably misses the range;
+        files/dirs without stats (pre-stats commits, partitioned
+        layouts, evolved columns the file predates) always survive —
+        pruning can skip work, never rows. A dir with no surviving
+        files maps to []. With no ``prune``, every dir maps to its
+        whole-dir sentinel [dir_path] (scans stay directory-granular)."""
         snap = self._resolve_snapshot(name, snapshot_id)
-        dirs = [os.path.join(self.root, d) for d in snap["dirs"]]
+        all_stats = _stats_of(snap)
+        out: dict[str, list[str]] = {}
+        for rel in snap["dirs"]:
+            abs_dir = os.path.join(self.root, rel)
+            dstats = all_stats.get(rel)
+            if not prune or not dstats:
+                out[rel] = [abs_dir]
+                continue
+            files = []
+            for fname in sorted(os.listdir(abs_dir)):
+                if not fname.endswith(".parquet"):
+                    continue
+                if _file_survives(dstats.get(fname), prune):
+                    files.append(os.path.join(abs_dir, fname))
+            out[rel] = files
+        return out
+
+    def read_table(self, spark: SparkSession, name: str,
+                   snapshot_id: str | None = None,
+                   prune: dict | None = None) -> DataFrame:
+        """Scan a snapshot. ``prune`` (column → inclusive (lo, hi))
+        skips data FILES whose commit-recorded footer min/max provably
+        miss the range — Iceberg's manifest pruning: the planner never
+        opens pruned files. Pruning is advisory about WORK, not rows:
+        surviving files may still contain non-matching rows, so the
+        caller applies the real row filter on top (exactly as an engine
+        re-applies predicates after Iceberg plans the file set)."""
+        snap = self._resolve_snapshot(name, snapshot_id)
+        if prune:
+            by_dir = self.scan_files(name,
+                                     snap["snapshot_id"], prune=prune)
+            paths_of = lambda rel: by_dir[rel]  # noqa: E731
+        else:
+            paths_of = lambda rel: [os.path.join(self.root, rel)]  # noqa: E731
         deletes = _deletes_of(snap)
         schema = _schema_of(snap)
         uniform = bool(snap.get("uniform_schema", True))
+        def empty_frame() -> DataFrame:
+            # all files pruned: a typed 0-row frame. Recorded schema if
+            # we have one; else the footers' (a limit-0 scan plans no
+            # data pages — footer reads only).
+            if schema is not None:
+                return spark.createDataFrame(
+                    [], ", ".join(f"`{c}` {t}" for c, t in schema))
+            return spark.read.parquet(
+                *[os.path.join(self.root, d) for d in snap["dirs"]]
+            ).limit(0)
+
+        def read_dirs(rels: list[str]) -> DataFrame | None:
+            paths = [p for rel in rels for p in paths_of(rel)]
+            if not paths:
+                return None  # every file pruned
+            r = spark.read
+            if schema is not None and not uniform:
+                r = r.option("mergeSchema", "true")
+            return r.parquet(*paths)
+
         if not deletes:
+            df = read_dirs(snap["dirs"])
+            if df is None:
+                return empty_frame()
             if uniform or schema is None:
-                # fast path: no delete files, one schema ⇒ plain scan
-                return spark.read.parquet(*dirs)
+                return df
             # add-column evolution: merge footers across schema versions,
             # then normalize to the recorded union schema (columns a dir
             # predates read as typed NULLs)
-            return _conform(
-                spark.read.option("mergeSchema", "true").parquet(*dirs),
-                schema)
+            return _conform(df, schema)
         # MoR scan: group data dirs by commit sequence (one scan branch
         # per sequence, not per dir), tag each with its sequence, and
-        # anti-join the delete files
+        # anti-join the delete files. Delete FILES are never pruned —
+        # a pruned data row simply isn't there to delete.
         by_seq: dict[int, list[str]] = {}
-        for d, s in zip(dirs, _dir_seqs_of(snap)):
+        for d, s in zip(snap["dirs"], _dir_seqs_of(snap)):
             by_seq.setdefault(s, []).append(d)
         data = None
         for s, ds in sorted(by_seq.items()):
-            b = spark.read.parquet(*ds)
+            b = read_dirs(ds)
+            if b is None:
+                continue
             if schema is not None and not uniform:
                 b = _conform(b, schema)
             b = b.withColumn("_seq", F.lit(s))
             data = b if data is None else data.unionByName(b)
+        if data is None:
+            return empty_frame()
         return _apply_equality_deletes(spark, data, self.root, deletes)
 
     def write_edges(self, edges: DataFrame, n_tasks: int = 32,
