@@ -4,12 +4,13 @@ with typed metadata.
 The Spark-side machinery (schemas, partition-friendly batch shapes,
 mapInPandas signatures) is real and tested. Decoders in ``MEDIA_DECODERS``:
 the IMAGE path really decodes PNG (pure stdlib: zlib inflate + scanline
-unfilter, dimensions + per-channel means as features), the AUDIO path
-really decodes PCM WAV (RIFF parse + sample statistics), and the VIDEO
-path really decodes animated GIF (variable-width LZW + even frame
-sampling). Each falls back to a deterministic sha256 fake for codecs not
-in this container (JPEG/WebP/MP3/MP4/…). Swapping a fake for a real
-decoder (PIL/ffmpeg) changes no Spark code.
+unfilter) AND baseline JPEG (canonical Huffman + dequantize + float IDCT
++ YCbCr→RGB, restart markers, ≤2× subsampling), the AUDIO path really
+decodes PCM WAV (RIFF parse + sample statistics), and the VIDEO path
+really decodes animated GIF (variable-width LZW + even frame sampling).
+Each falls back to a deterministic sha256 fake for codecs not in this
+container (WebP/AVIF/MP3/MP4/…). Swapping a fake for a real decoder
+(PIL/ffmpeg) changes no Spark code.
 """
 
 from __future__ import annotations
@@ -121,13 +122,289 @@ def decode_png(payload: bytes, want_pixels: bool = False) -> dict | None:
         return None  # corrupt payload — not an image we can decode
 
 
+JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _jpeg_huff(bits: bytes, vals: bytes) -> dict:
+    """Canonical JPEG Huffman table: {(code_length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_idct_2d(block: list[float]) -> list[float]:
+    """8×8 inverse DCT (separable, float) — the spec's Annex A formula."""
+    import math
+
+    c = [[(math.sqrt(0.5) if u == 0 else 1.0)
+          * math.cos((2 * x + 1) * u * math.pi / 16.0)
+          for u in range(8)] for x in range(8)]
+    tmp = [0.0] * 64
+    for y in range(8):  # rows
+        row = block[y * 8:y * 8 + 8]
+        for x in range(8):
+            tmp[y * 8 + x] = 0.5 * sum(c[x][u] * row[u] for u in range(8))
+    out = [0.0] * 64
+    for x in range(8):  # columns
+        col = [tmp[y * 8 + x] for y in range(8)]
+        for y in range(8):
+            out[y * 8 + x] = 0.5 * sum(c[y][v] * col[v] for v in range(8))
+    return out
+
+
+class _JpegBits:
+    """MSB-first bit reader over one entropy-coded segment (already
+    unstuffed — 0xFF00 collapsed to 0xFF by the scanner)."""
+
+    def __init__(self, data: bytes):
+        self.data, self.pos, self.bit = data, 0, 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            if self.pos >= len(self.data):
+                raise EOFError("entropy data exhausted")
+            v = (v << 1) | ((self.data[self.pos] >> (7 - self.bit)) & 1)
+            self.bit += 1
+            if self.bit == 8:
+                self.bit, self.pos = 0, self.pos + 1
+        return v
+
+    def decode(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DC/AC magnitude-category decode (spec F.2.2.1 EXTEND)."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(payload: bytes, want_pixels: bool = False) -> dict | None:
+    """REAL pure-stdlib baseline-JPEG decode (canonical Huffman +
+    dequantize + 8×8 float IDCT + YCbCr→RGB) — the same no-codec-library
+    pattern as :func:`decode_png`/:func:`decode_gif`. Supports the
+    dominant web shape: baseline sequential DCT (SOF0), 8-bit, 1 or 3
+    components, any sampling factors ≤ 2 (4:4:4 / 4:2:2 / 4:2:0, chroma
+    replicated on output), restart markers. Progressive (SOF2),
+    arithmetic coding, 12-bit, and CMYK return None (caller falls back).
+    Returns {width, height, channels, means} (+ ``pixels``: row-major
+    interleaved bytes) like the PNG path."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+        sof = None
+        restart = 0
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return None
+            marker = payload[pos + 1]
+            if marker == 0xD8:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+            body = payload[pos + 4:pos + 2 + seglen]
+            if marker == 0xDB:  # DQT (possibly several per segment)
+                b = 0
+                while b < len(body):
+                    pq, tq = body[b] >> 4, body[b] & 0xF
+                    if pq != 0:
+                        return None  # 16-bit quant — not baseline-web
+                    qt[tq] = list(body[b + 1:b + 65])
+                    b += 65
+            elif marker == 0xC0:  # SOF0 baseline
+                prec, h, w, nc = body[0], *struct.unpack(">HH", body[1:5]), \
+                    body[5]
+                if prec != 8 or nc not in (1, 3):
+                    return None
+                comps = []
+                for i in range(nc):
+                    cid, samp, tq = body[6 + 3 * i:9 + 3 * i]
+                    comps.append(
+                        {"id": cid, "h": samp >> 4, "v": samp & 0xF,
+                         "tq": tq})
+                sof = {"w": w, "h": h, "comps": comps}
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline frame — fall back
+            elif marker == 0xC4:  # DHT
+                b = 0
+                while b < len(body):
+                    tc, th = body[b] >> 4, body[b] & 0xF
+                    bits = body[b + 1:b + 17]
+                    n = sum(bits)
+                    huff[(tc, th)] = _jpeg_huff(
+                        bits, body[b + 17:b + 17 + n])
+                    b += 17 + n
+            elif marker == 0xDD:  # DRI
+                (restart,) = struct.unpack(">H", body[:2])
+            elif marker == 0xDA:  # SOS — entropy data follows
+                if sof is None:
+                    return None
+                ns = body[0]
+                scan = {}
+                for i in range(ns):
+                    cs, tables = body[1 + 2 * i], body[2 + 2 * i]
+                    scan[cs] = (tables >> 4, tables & 0xF)
+                data_start = pos + 2 + seglen
+                return _jpeg_scan(payload, data_start, sof, scan, qt,
+                                  huff, restart, want_pixels)
+            pos += 2 + seglen
+        return None
+    except Exception:
+        return None  # corrupt/unsupported payload — caller falls back
+
+
+def _jpeg_scan(payload, start, sof, scan, qt, huff, restart, want_pixels):
+    """Entropy-decode the (single, interleaved) baseline scan and
+    assemble the image."""
+    # split entropy data into restart segments, unstuffing 0xFF00
+    segs, cur, p = [], bytearray(), start
+    while p < len(payload):
+        b = payload[p]
+        if b != 0xFF:
+            cur.append(b)
+            p += 1
+            continue
+        nxt = payload[p + 1] if p + 1 < len(payload) else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: new segment, predictors reset
+            segs.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        else:  # EOI or next marker: scan ends
+            break
+    segs.append(bytes(cur))
+
+    w, h, comps = sof["w"], sof["h"], sof["comps"]
+    max_h = max(c["h"] for c in comps)
+    max_v = max(c["v"] for c in comps)
+    if max_h > 2 or max_v > 2 or any(
+            c["h"] < 1 or c["v"] < 1 for c in comps):
+        return None
+    mcux = (w + 8 * max_h - 1) // (8 * max_h)
+    mcuy = (h + 8 * max_v - 1) // (8 * max_v)
+    # per-component plane in block-grid units
+    planes = []
+    for c in comps:
+        c["bw"], c["bh"] = mcux * c["h"], mcuy * c["v"]
+        planes.append(bytearray(c["bw"] * 8 * c["bh"] * 8))
+
+    seg_i = 0
+    bits = _JpegBits(segs[0])
+    pred = [0] * len(comps)
+    n_mcu = mcux * mcuy
+    for m in range(n_mcu):
+        if restart and m and m % restart == 0:
+            seg_i += 1
+            bits = _JpegBits(segs[seg_i])
+            pred = [0] * len(comps)
+        my, mx = divmod(m, mcux)
+        for ci, c in enumerate(comps):
+            dc_t, ac_t = (huff[(0, scan[c["id"]][0])],
+                          huff[(1, scan[c["id"]][1])])
+            q = qt[c["tq"]]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    coef = [0.0] * 64
+                    t = bits.decode(dc_t)
+                    diff = _jpeg_extend(bits.read(t), t) if t else 0
+                    pred[ci] += diff
+                    coef[0] = pred[ci] * q[0]
+                    k = 1
+                    while k < 64:
+                        rs = bits.decode(ac_t)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            return None
+                        coef[JPEG_ZIGZAG[k]] = \
+                            _jpeg_extend(bits.read(s), s) * q[k]
+                        k += 1
+                    px = _jpeg_idct_2d(coef)
+                    # place the 8×8 block into the component plane
+                    plane, stride = planes[ci], c["bw"] * 8
+                    ox = (mx * c["h"] + bx) * 8
+                    oy = (my * c["v"] + by) * 8
+                    for yy in range(8):
+                        row = (oy + yy) * stride + ox
+                        for xx in range(8):
+                            v = int(round(px[yy * 8 + xx])) + 128
+                            plane[row + xx] = 0 if v < 0 else (
+                                255 if v > 255 else v)
+
+    # assemble to full-res interleaved output (chroma replicated)
+    nch = len(comps)
+    sums = [0] * nch
+    buf = bytearray() if want_pixels else None
+    strides = [c["bw"] * 8 for c in comps]
+    for y in range(h):
+        for x in range(w):
+            if nch == 1:
+                val = planes[0][y * strides[0] + x]
+                sums[0] += val
+                if buf is not None:
+                    buf.append(val)
+            else:
+                smp = []
+                for ci, c in enumerate(comps):
+                    sy = y * c["v"] // max_v
+                    sx = x * c["h"] // max_h
+                    smp.append(planes[ci][sy * strides[ci] + sx])
+                yv, cb, cr = smp
+                r = int(round(yv + 1.402 * (cr - 128)))
+                g = int(round(yv - 0.344136 * (cb - 128)
+                              - 0.714136 * (cr - 128)))
+                b = int(round(yv + 1.772 * (cb - 128)))
+                rgb = [min(255, max(0, v)) for v in (r, g, b)]
+                for c3 in range(3):
+                    sums[c3] += rgb[c3]
+                if buf is not None:
+                    buf.extend(rgb)
+    n_px = w * h
+    out = {
+        "width": w, "height": h, "channels": nch,
+        "means": [s / (255.0 * n_px) for s in sums],
+    }
+    if buf is not None:
+        out["pixels"] = bytes(buf)
+    return out
+
+
 def _decode_image(payload: bytes) -> list[float]:
-    """Image feature vector: REAL PNG decode (dimensions + channel means)
-    when the payload is a PNG; deterministic sha256 fake otherwise (JPEG/
-    WebP codecs are not in this container — swapping in PIL here changes
-    no Spark code). 8 dims either way, so the Spark schema/batch shape is
-    payload-independent."""
-    png = decode_png(payload)
+    """Image feature vector: REAL PNG or baseline-JPEG decode
+    (dimensions + channel means) when the payload is one of those;
+    deterministic sha256 fake otherwise (WebP/AVIF codecs are not in
+    this container — swapping in PIL here changes no Spark code). 8 dims
+    either way, so the Spark schema/batch shape is payload-independent."""
+    png = decode_png(payload) or decode_jpeg(payload)
     if png is not None:
         means = (png["means"] + [0.0] * 4)[:4]
         return [
@@ -451,13 +728,14 @@ RESIZE_SCHEMA = Ty.StructType([
 def _resize_payload(
     payload: bytes, out_h: int, out_w: int
 ) -> tuple[int, int, list[float], bool]:
-    """PNG payloads get the REAL decode + exact box resample; anything
-    else gets a deterministic sha256-derived fake of the SAME shape
-    (``out_h·out_w·3`` floats, digest bytes cycled) so the Spark schema
-    and batch shape are payload-independent — the extract_features
-    convention. ``src_w/src_h`` are ``-1`` sentinels on the fallback
-    (driver rows ship NULL-free columns)."""
-    dec = decode_png(payload, want_pixels=True)
+    """PNG and baseline-JPEG payloads get the REAL decode + exact box
+    resample; anything else gets a deterministic sha256-derived fake of
+    the SAME shape (``out_h·out_w·3`` floats, digest bytes cycled) so
+    the Spark schema and batch shape are payload-independent — the
+    extract_features convention. ``src_w/src_h`` are ``-1`` sentinels on
+    the fallback (driver rows ship NULL-free columns)."""
+    dec = decode_png(payload, want_pixels=True) \
+        or decode_jpeg(payload, want_pixels=True)
     if dec is not None:
         return (
             dec["width"], dec["height"],
