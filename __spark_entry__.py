@@ -2006,6 +2006,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .filter(F.col("k") <= hi))
     q["catalog_prune"] = q_catalog_prune
 
+    def q_video_metadata(spark, sf):
+        # end-to-end ISO-BMFF round-trip ON EXECUTORS: a deterministic
+        # MP4 container is assembled per doc inside the Arrow batch
+        # (build_mp4), then parse_mp4 walks the box tree and recovers
+        # the structural metadata. The oracle recomputes every field as
+        # pure integer arithmetic from doc_id, so drift in EITHER the
+        # builder or the parser breaks the value hash. Payloads live and
+        # die inside one mapInPandas batch — nothing binary is shuffled.
+        from uckg_spark.operators.multimodal import build_mp4, parse_mp4
+
+        docs = _t(spark, sf, "documents").select("doc_id")
+        schema = ("media_id bigint, width int, height int, n_frames int, "
+                  "duration_ms bigint, n_tracks int, brand string")
+
+        def batches(it):
+            import pandas as pd
+
+            for pdf in it:
+                rows = []
+                for raw in pdf["doc_id"]:
+                    i = int(raw)
+                    meta = parse_mp4(build_mp4(
+                        160 + (i % 32) * 8, 90 + (i % 18) * 6,
+                        24 + i % 240))
+                    rows.append((i, meta["width"], meta["height"],
+                                 meta["n_frames"],
+                                 int(round(meta["duration_s"] * 1000)),
+                                 meta["n_tracks"], meta["brand"]))
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "width", "height", "n_frames",
+                    "duration_ms", "n_tracks", "brand"])
+
+        return docs.mapInPandas(batches, schema)
+    q["video_metadata"] = q_video_metadata
+
     return q
 
 
@@ -4866,6 +4901,20 @@ def oracle_sql() -> dict[str, str]:
     # pruned scan twin: pruning may only SKIP FILES, never change the
     # row set, so the oracle is the plain MoR-merged table under the
     # same key range (base even='b:', appended odd='a:', k%7 upserted)
+    # video_metadata twin: the builder's parameters are pure integer
+    # functions of doc_id, so the parsed-back fields must equal this
+    # arithmetic exactly (duration = n_frames * 40 ms at timescale 1000)
+    o["video_metadata"] = """
+        SELECT doc_id AS media_id,
+               (160 + (doc_id % 32) * 8)::INT AS width,
+               (90 + (doc_id % 18) * 6)::INT AS height,
+               (24 + doc_id % 240)::INT AS n_frames,
+               ((24 + doc_id % 240) * 40)::BIGINT AS duration_ms,
+               1 AS n_tracks,
+               'isom' AS brand
+        FROM documents
+    """
+
     o["catalog_prune"] = """
         SELECT o_orderkey AS k,
                CASE WHEN o_orderkey % 7 = 0 THEN 'u:' || o_custkey

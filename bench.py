@@ -114,7 +114,7 @@ def main() -> None:
         "catalog_mor", "catalog_changelog", "catalog_evolution",
         "catalog_tag",
         # round-5 additions
-        "label_spread_bucketed", "catalog_prune",
+        "label_spread_bucketed", "catalog_prune", "video_metadata",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical

@@ -1,0 +1,147 @@
+"""MP4 (ISO-BMFF) and WebM (EBML) container-metadata parsing: fixtures
+are hand-assembled byte-exact containers (struct-packed boxes /
+EBML elements), so every extracted field has a known true value.
+
+Mirrors the reference's opaque-payload handling the way PNG/GIF/JPEG
+were done: real structural parse, no codec decode (disclosed — the 0.5
+marker in feature dim 5 distinguishes metadata-real from pixel-real).
+"""
+
+import struct
+
+from uckg_spark.operators.multimodal import (
+    _decode_video,
+    parse_mp4,
+    parse_webm,
+)
+
+
+def box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def full(btype: bytes, version: int, payload: bytes) -> bytes:
+    return box(btype, bytes([version, 0, 0, 0]) + payload)
+
+
+def make_mp4(width=640, height=360, n_frames=48, timescale=1000,
+             duration=2000) -> bytes:
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = full(b"mvhd", 0, struct.pack(
+        ">IIII", 0, 0, timescale, duration) + b"\x00" * 80)
+    tkhd = full(b"tkhd", 0, struct.pack(">III", 0, 0, 1)
+                + b"\x00" * 4          # reserved
+                + struct.pack(">I", duration)
+                + b"\x00" * 8          # reserved
+                + struct.pack(">hhhh", 0, 0, 0, 0)  # layer/group/vol/res
+                + b"\x00" * 36         # matrix
+                + struct.pack(">II", width << 16, height << 16))
+    hdlr = full(b"hdlr", 0, b"\x00" * 4 + b"vide" + b"\x00" * 13)
+    stts = full(b"stts", 0, struct.pack(">I", 2)
+                + struct.pack(">II", n_frames - 10, 40)
+                + struct.pack(">II", 10, 50))
+    stbl = box(b"stbl", stts)
+    minf = box(b"minf", stbl)
+    mdia = box(b"mdia", hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    # a second, audio-handler track: counted in n_tracks, not video
+    trak2 = box(b"trak", box(b"mdia", full(
+        b"hdlr", 0, b"\x00" * 4 + b"soun" + b"\x00" * 13)))
+    moov = box(b"moov", mvhd + trak + trak2)
+    mdat = box(b"mdat", b"\x00" * 32)
+    return ftyp + moov + mdat
+
+
+def ebml(eid: int, payload: bytes) -> bytes:
+    id_len = (eid.bit_length() + 7) // 8
+    size = len(payload)
+    # encode size as a 2-byte vint (marker 0b01 + 14 bits) — plenty here
+    assert size < (1 << 14)
+    return (eid.to_bytes(id_len, "big")
+            + struct.pack(">H", (1 << 14) | size) + payload)
+
+
+def make_webm(width=1280, height=720, duration_units=1500.0,
+              ts_scale=1_000_000) -> bytes:
+    header = ebml(0x1A45DFA3, ebml(0x4282, b"webm"))  # EBML > DocType
+    info = ebml(0x1549A966,
+                ebml(0x2AD7B1, ts_scale.to_bytes(4, "big"))
+                + ebml(0x4489, struct.pack(">d", duration_units)))
+    video = ebml(0xE0, ebml(0xB0, width.to_bytes(2, "big"))
+                 + ebml(0xBA, height.to_bytes(2, "big")))
+    t_video = ebml(0xAE, ebml(0xD7, b"\x01") + video)
+    t_audio = ebml(0xAE, ebml(0xD7, b"\x02"))
+    tracks = ebml(0x1654AE6B, t_video + t_audio)
+    return header + ebml(0x18538067, info + tracks)
+
+
+def test_mp4_fields_exact():
+    got = parse_mp4(make_mp4())
+    assert got == {"width": 640, "height": 360, "n_frames": 48,
+                   "duration_s": 2.0, "n_tracks": 2, "n_video_tracks": 1,
+                   "brand": "isom"}
+
+
+def test_mp4_version1_mvhd_and_largesize():
+    # 64-bit mvhd times + a box using the size==1 largesize form
+    mvhd = full(b"mvhd", 1, struct.pack(
+        ">QQIQ", 0, 0, 600, 1800) + b"\x00" * 80)
+    moov_payload = mvhd
+    moov = (struct.pack(">I", 1) + b"moov"
+            + struct.pack(">Q", 16 + len(moov_payload)) + moov_payload)
+    data = box(b"ftyp", b"mp42" + struct.pack(">I", 0)) + moov
+    got = parse_mp4(data)
+    assert got["duration_s"] == 3.0 and got["brand"] == "mp42"
+
+
+def test_mp4_rejects_non_bmff():
+    assert parse_mp4(b"not a video at all, just text bytes") is None
+    assert parse_mp4(b"\x00" * 64) is None
+    # ftyp magic but no moov → None (e.g. a truncated upload)
+    assert parse_mp4(box(b"ftyp", b"isom" + b"\x00" * 8)) is None
+
+
+def test_webm_fields_exact():
+    got = parse_webm(make_webm())
+    assert got == {"width": 1280, "height": 720, "duration_s": 1.5,
+                   "n_tracks": 2, "n_video_tracks": 1}
+
+
+def test_webm_rejects_non_ebml():
+    assert parse_webm(b"RIFF....WEBPVP8 ") is None
+    assert parse_webm(b"") is None
+
+
+def test_decode_video_uses_container_metadata():
+    feat = _decode_video(make_mp4())
+    assert feat == [640 / 65535.0, 360 / 65535.0, 48 / 65535.0,
+                    2.0 / 3600.0, 2 / 16.0, 0.5]
+    feat = _decode_video(make_webm())
+    assert feat[0] == 1280 / 65535.0 and feat[5] == 0.5
+    # non-container payloads keep the deterministic sha fallback shape
+    fallback = _decode_video(b"opaque codec bytes")
+    assert len(fallback) == 6 and fallback != feat
+
+
+def test_build_mp4_parse_mp4_roundtrip():
+    from uckg_spark.operators.multimodal import build_mp4
+
+    for w, h, nf in [(160, 90, 24), (1920, 1080, 263), (8, 8, 1)]:
+        got = parse_mp4(build_mp4(w, h, nf))
+        assert (got["width"], got["height"], got["n_frames"]) == (w, h, nf)
+        assert got["duration_s"] == nf * 40 / 1000
+        assert got["n_tracks"] == 1 and got["n_video_tracks"] == 1
+
+
+def test_extract_features_real_mp4_path(spark):
+    from uckg_spark.operators.multimodal import MEDIA_SCHEMA, extract_features
+
+    media = spark.createDataFrame(
+        [(1, "video", "video/mp4", make_mp4(), {}),
+         (2, "video", "video/webm", make_webm(), {}),
+         (3, "video", "video/x-unknown", b"\xde\xad\xbe\xef" * 16, {})],
+        MEDIA_SCHEMA)
+    rows = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert rows[1]["feature"][5] == 0.5 and rows[2]["feature"][5] == 0.5
+    assert abs(rows[1]["feature"][0] - 640 / 65535.0) < 1e-6
+    assert rows[3]["feature"][5] != 0.5

@@ -2,9 +2,11 @@
 __spark_entry__ query on Spark AND its oracle_sql on DuckDB, compare
 row count, column names, and an order-insensitive value hash.
 
-Usage: python tools/check_entry.py [sf_dir] [query_name ...]
+Usage: python tools/check_entry.py [--json=OUT.json] [sf_dir] [query_name ...]
 (query names filter the run to a subset; entry() smoke runs only on a
-full, unfiltered pass)
+full, unfiltered pass; --json writes a machine-readable per-query
+artifact so a round's full correctness surface survives as a committed
+file instead of only a terminal scroll)
 """
 
 from __future__ import annotations
@@ -33,7 +35,8 @@ def value_hash(rows: list[tuple], cols: list[str]) -> str:
     return hashlib.sha256("\n".join(lines).encode()).hexdigest()
 
 
-def main(sf_dir: str, only: list[str] | None = None) -> int:
+def main(sf_dir: str, only: list[str] | None = None,
+         json_out: str | None = None) -> int:
     import duckdb
 
     import __spark_entry__ as entry_mod
@@ -57,6 +60,7 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             return 1
         qs = {n: qs[n] for n in only}
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         try:
             sdf = fn(spark, sf_dir)
@@ -64,11 +68,14 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             scols = sdf.columns
         except Exception as e:
             print(f"FAIL {name}: spark error {type(e).__name__}: {e}")
+            results[name] = {"status": "FAIL",
+                             "detail": f"spark error {type(e).__name__}: {e}"}
             failures += 1
             continue
         sql = os_.get(name)
         if sql is None:
             print(f"SKIP {name}: rows-only ({len(srows)} rows)")
+            results[name] = {"status": "ROWS_ONLY", "rows": len(srows)}
             continue
         try:
             cur = con.execute(sql)
@@ -83,6 +90,7 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             prows = [tuple(r) for r in pdf.itertuples(index=False)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error {e}")
+            results[name] = {"status": "FAIL", "detail": f"duckdb error {e}"}
             failures += 1
             continue
         problems = []
@@ -107,20 +115,42 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             problems.append(sample_diff(srows, prows, "spark", "pandas"))
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
+            results[name] = {"status": "FAIL", "rows": len(srows),
+                             "detail": "; ".join(problems)}
             failures += 1
         else:
             print(f"OK   {name} ({len(srows)} rows)")
+            results[name] = {"status": "OK", "rows": len(srows)}
     # entry smoke (full pass only)
     if not only:
         try:
             n = entry_mod.entry(spark).count()
             print(f"OK   entry() → {n} rows")
+            results["entry()"] = {"status": "OK", "rows": n}
         except Exception as e:
             print(f"FAIL entry(): {e}")
+            results["entry()"] = {"status": "FAIL", "detail": str(e)}
             failures += 1
+    if json_out:
+        import json as _json
+        by_status: dict[str, int] = {}
+        for r in results.values():
+            by_status[r["status"]] = by_status.get(r["status"], 0) + 1
+        with open(json_out, "w") as fh:
+            _json.dump({"sf_dir": sf_dir, "summary": by_status,
+                        "n_queries": len(results), "failures": failures,
+                        "results": results}, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {json_out}: {by_status}")
     return failures
 
 
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    sys.exit(1 if main(sf, sys.argv[2:] or None) else 0)
+    argv = sys.argv[1:]
+    json_out = None
+    for a in list(argv):
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+            argv.remove(a)
+    sf = argv[0] if argv else "/root/testdata/sf0.001"
+    sys.exit(1 if main(sf, argv[1:] or None, json_out) else 0)

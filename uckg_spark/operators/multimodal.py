@@ -7,9 +7,11 @@ the IMAGE path really decodes PNG (pure stdlib: zlib inflate + scanline
 unfilter) AND baseline JPEG (canonical Huffman + dequantize + float IDCT
 + YCbCr→RGB, restart markers, ≤2× subsampling), the AUDIO path really
 decodes PCM WAV (RIFF parse + sample statistics), and the VIDEO path
-really decodes animated GIF (variable-width LZW + even frame sampling).
-Each falls back to a deterministic sha256 fake for codecs not in this
-container (WebP/AVIF/MP3/MP4/…). Swapping a fake for a real decoder
+really decodes animated GIF (variable-width LZW + even frame sampling)
+and really parses MP4/MOV (ISO-BMFF box tree) and WebM (EBML) container
+metadata — dimensions, duration, frame/track counts — without pixel
+decode. Each falls back to a deterministic sha256 fake for codecs not
+in this container (WebP/AVIF/MP3/…). Swapping a fake for a real decoder
 (PIL/ffmpeg) changes no Spark code.
 """
 
@@ -614,12 +616,235 @@ def decode_gif(payload: bytes, sample_frames: int = 4) -> dict | None:
         return None  # corrupt payload — not a GIF we can decode
 
 
+def build_mp4(width: int, height: int, n_frames: int,
+              timescale: int = 1000, frame_delta: int = 40,
+              brand: bytes = b"isom") -> bytes:
+    """Assemble a minimal but structurally valid ISO-BMFF container
+    (ftyp + moov[mvhd + video trak[tkhd + mdia[hdlr + minf/stbl/stts]]]
+    + mdat) — the deterministic fixture generator for the video path,
+    byte-exactly invertible by :func:`parse_mp4`."""
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    def full(btype: bytes, payload: bytes) -> bytes:
+        return box(btype, b"\x00\x00\x00\x00" + payload)
+
+    duration = n_frames * frame_delta
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 512) + b"isomiso2")
+    mvhd = full(b"mvhd", struct.pack(
+        ">IIII", 0, 0, timescale, duration) + b"\x00" * 80)
+    tkhd = full(b"tkhd", struct.pack(">III", 0, 0, 1) + b"\x00" * 4
+                + struct.pack(">I", duration) + b"\x00" * 8
+                + struct.pack(">hhhh", 0, 0, 0, 0) + b"\x00" * 36
+                + struct.pack(">II", width << 16, height << 16))
+    hdlr = full(b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 13)
+    stts = full(b"stts", struct.pack(">I", 1)
+                + struct.pack(">II", n_frames, frame_delta))
+    mdia = box(b"mdia", hdlr + box(b"minf", box(b"stbl", stts)))
+    moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+    return ftyp + moov + box(b"mdat", b"\x00" * 16)
+
+
+def parse_mp4(payload: bytes) -> dict | None:
+    """REAL ISO-BMFF (MP4/MOV) container-metadata parse, pure stdlib.
+
+    Walks the length-prefixed box tree: ``ftyp`` (brand), ``moov/mvhd``
+    (timescale+duration), per-``trak`` ``tkhd`` (16.16-fixed w/h) and
+    ``mdia/hdlr`` (handler — counts video tracks), and the video trak's
+    ``stbl/stts`` (sample count = frame count). No pixel decode — sample
+    DATA needs the codec (H.264 etc.), which this container lacks; the
+    structural metadata is what a catalog/stats pass needs anyway.
+
+    Returns ``{width, height, n_frames, duration_s, n_tracks,
+    n_video_tracks, brand}`` or None if the payload is not BMFF.
+    """
+    n = len(payload)
+    if n < 16 or payload[4:8] != b"ftyp":
+        return None
+
+    def boxes(lo: int, hi: int):
+        off = lo
+        while off + 8 <= hi:
+            size = int.from_bytes(payload[off:off + 4], "big")
+            btype = payload[off + 4:off + 8]
+            body = off + 8
+            if size == 1:
+                if off + 16 > hi:
+                    return
+                size = int.from_bytes(payload[off + 8:off + 16], "big")
+                body = off + 16
+            elif size == 0:
+                size = hi - off
+            if size < 8 or off + size > hi:
+                return  # truncated/corrupt: stop, keep what we have
+            yield btype, body, off + size
+            off += size
+
+    out = {"width": 0, "height": 0, "n_frames": 0, "duration_s": 0.0,
+           "n_tracks": 0, "n_video_tracks": 0,
+           "brand": payload[8:12].decode("latin-1")}
+
+    def full_box(body: int) -> tuple[int, int]:
+        # (version, first-field offset) of a "full box" header
+        return payload[body], body + 4
+
+    def walk_trak(lo: int, hi: int) -> None:
+        out["n_tracks"] += 1
+        is_video, frames, w, h = False, 0, 0, 0
+        for t, b, e in boxes(lo, hi):
+            if t == b"tkhd" and e - b >= 4:
+                ver, p = full_box(b)
+                # skip ids/times/reserved/matrix to the 16.16 w/h pair
+                p += (32 if ver == 1 else 20) + 8 + 2 + 2 + 2 + 2 + 36
+                if p + 8 <= e:
+                    w = int.from_bytes(payload[p:p + 4], "big") >> 16
+                    h = int.from_bytes(payload[p + 4:p + 8], "big") >> 16
+            elif t == b"mdia":
+                for t2, b2, e2 in boxes(b, e):
+                    if t2 == b"hdlr" and e2 - b2 >= 12:
+                        is_video = payload[b2 + 8:b2 + 12] == b"vide"
+                    elif t2 == b"minf":
+                        for t3, b3, e3 in boxes(b2, e2):
+                            if t3 != b"stbl":
+                                continue
+                            for t4, b4, e4 in boxes(b3, e3):
+                                if t4 == b"stts":
+                                    _, p = full_box(b4)
+                                    cnt = int.from_bytes(
+                                        payload[p:p + 4], "big")
+                                    p += 4
+                                    for _i in range(cnt):
+                                        if p + 8 > e4:
+                                            break
+                                        frames += int.from_bytes(
+                                            payload[p:p + 4], "big")
+                                        p += 8
+        if is_video:
+            out["n_video_tracks"] += 1
+            out["n_frames"] = max(out["n_frames"], frames)
+            if w and h:
+                out["width"], out["height"] = w, h
+
+    seen_moov = False
+    for t, b, e in boxes(0, n):
+        if t != b"moov":
+            continue
+        seen_moov = True
+        for t2, b2, e2 in boxes(b, e):
+            if t2 == b"mvhd" and e2 - b2 >= 4:
+                ver, p = full_box(b2)
+                if ver == 1:
+                    ts = int.from_bytes(payload[p + 16:p + 20], "big")
+                    dur = int.from_bytes(payload[p + 20:p + 28], "big")
+                else:
+                    ts = int.from_bytes(payload[p + 8:p + 12], "big")
+                    dur = int.from_bytes(payload[p + 12:p + 16], "big")
+                if ts:
+                    out["duration_s"] = dur / ts
+            elif t2 == b"trak":
+                walk_trak(b2, e2)
+    return out if seen_moov else None
+
+
+def _ebml_vint(payload: bytes, off: int, keep_marker: bool) -> tuple[int, int] | None:
+    """Decode one EBML variable-width integer at ``off``; returns
+    (value, next_offset). IDs keep the length-marker bit, sizes drop it."""
+    if off >= len(payload):
+        return None
+    first = payload[off]
+    if first == 0:
+        return None
+    length = 8 - first.bit_length() + 1
+    if off + length > len(payload):
+        return None
+    raw = int.from_bytes(payload[off:off + length], "big")
+    if not keep_marker:
+        raw -= 1 << (7 * length)
+    return raw, off + length
+
+
+def parse_webm(payload: bytes) -> dict | None:
+    """REAL WebM/Matroska (EBML) container-metadata parse, pure stdlib.
+
+    Walks EBML elements (vint id + vint size): Segment > Info
+    (TimestampScale, Duration) and Segment > Tracks > TrackEntry > Video
+    (PixelWidth/PixelHeight); counts TrackEntry and Video elements. Same
+    no-pixel-decode contract as :func:`parse_mp4`.
+    """
+    import struct
+
+    if not payload.startswith(b"\x1aE\xdf\xa3"):
+        return None
+    out = {"width": 0, "height": 0, "duration_s": 0.0,
+           "n_tracks": 0, "n_video_tracks": 0}
+    ts_scale = 1_000_000  # Matroska default: ns per timestamp unit
+    dur_units = 0.0
+
+    def elements(lo: int, hi: int):
+        off = lo
+        while off < hi:
+            got = _ebml_vint(payload, off, keep_marker=True)
+            if got is None:
+                return
+            eid, off2 = got
+            got = _ebml_vint(payload, off2, keep_marker=False)
+            if got is None:
+                return
+            size, body = got
+            if body + size > hi:
+                return
+            yield eid, body, body + size
+            off = body + size
+
+    def uint(b: int, e: int) -> int:
+        return int.from_bytes(payload[b:e], "big")
+
+    def flt(b: int, e: int) -> float:
+        if e - b == 4:
+            return struct.unpack(">f", payload[b:e])[0]
+        if e - b == 8:
+            return struct.unpack(">d", payload[b:e])[0]
+        return 0.0
+
+    for eid, b, e in elements(0, len(payload)):
+        if eid != 0x18538067:  # Segment
+            continue
+        for eid2, b2, e2 in elements(b, e):
+            if eid2 == 0x1549A966:  # Info
+                for eid3, b3, e3 in elements(b2, e2):
+                    if eid3 == 0x2AD7B1:  # TimestampScale
+                        ts_scale = uint(b3, e3) or ts_scale
+                    elif eid3 == 0x4489:  # Duration (float, ts units)
+                        dur_units = flt(b3, e3)
+            elif eid2 == 0x1654AE6B:  # Tracks
+                for eid3, b3, e3 in elements(b2, e2):
+                    if eid3 != 0xAE:  # TrackEntry
+                        continue
+                    out["n_tracks"] += 1
+                    for eid4, b4, e4 in elements(b3, e3):
+                        if eid4 != 0xE0:  # Video
+                            continue
+                        out["n_video_tracks"] += 1
+                        for eid5, b5, e5 in elements(b4, e4):
+                            if eid5 == 0xB0:
+                                out["width"] = uint(b5, e5)
+                            elif eid5 == 0xBA:
+                                out["height"] = uint(b5, e5)
+    out["duration_s"] = dur_units * ts_scale / 1e9
+    return out
+
+
 def _decode_video(payload: bytes) -> list[float]:
     """Video feature vector: REAL GIF decode + frame sampling (dimensions,
     frame count, sampled-frame channel means) when the payload is GIF;
-    deterministic sha256 fake otherwise (MP4/WebM need ffmpeg, which this
-    container lacks — swapping it in changes no Spark code). 6 dims either
-    way — payload-independent batch shape."""
+    REAL container-metadata parse for MP4/MOV (box tree) and WebM (EBML)
+    — dimensions, frame/track counts, duration, flagged by a 0.5 marker
+    in dim 5 since pixel content is NOT decoded (sample data needs the
+    codec; swapping in ffmpeg changes no Spark code); deterministic
+    sha256 fake otherwise. 6 dims every way — payload-independent batch
+    shape."""
     gif = decode_gif(payload)
     if gif is not None:
         return [
@@ -628,6 +853,16 @@ def _decode_video(payload: bytes) -> list[float]:
             min(gif["n_frames"] / 255.0, 1.0),
             *gif["means"],
         ]
+    meta = parse_mp4(payload) or parse_webm(payload)
+    if meta is not None:
+        return [
+            min(meta["width"] / 65535.0, 1.0),
+            min(meta["height"] / 65535.0, 1.0),
+            min(meta.get("n_frames", 0) / 65535.0, 1.0),
+            min(meta["duration_s"] / 3600.0, 1.0),
+            min(meta["n_tracks"] / 16.0, 1.0),
+            0.5,  # "container metadata real, pixels not decoded"
+        ]
     d = hashlib.sha256(b"video:" + payload).digest()
     return [b / 255.0 for b in d[:6]]
 
@@ -635,7 +870,7 @@ def _decode_video(payload: bytes) -> list[float]:
 MEDIA_DECODERS = {
     "image": _decode_image,  # REAL for PNG; hash fake for other codecs
     "audio": _decode_audio,  # REAL for PCM WAV; hash fake otherwise
-    "video": _decode_video,  # REAL for GIF; hash fake for ffmpeg codecs
+    "video": _decode_video,  # REAL GIF decode + MP4/WebM metadata parse
 }
 
 
