@@ -8,11 +8,12 @@ unfilter) AND baseline JPEG (canonical Huffman + dequantize + float IDCT
 + YCbCr→RGB, restart markers, ≤2× subsampling), the AUDIO path really
 decodes PCM WAV (RIFF parse + sample statistics), and the VIDEO path
 really decodes animated GIF (variable-width LZW + even frame sampling)
-and really parses MP4/MOV (ISO-BMFF box tree) and WebM (EBML) container
-metadata — dimensions, duration, frame/track counts — without pixel
-decode. Each falls back to a deterministic sha256 fake for codecs not
-in this container (WebP/AVIF/MP3/…). Swapping a fake for a real decoder
-(PIL/ffmpeg) changes no Spark code.
+and really parses MP4/MOV (ISO-BMFF box tree), WebM (EBML), and MP3
+(frame-header walk) container metadata — dimensions, duration, bitrate,
+frame/track counts — without sample decode. Each falls back to a
+deterministic sha256 fake for codecs not in this container
+(WebP/AVIF/…). Swapping a fake for a real decoder (PIL/ffmpeg) changes
+no Spark code.
 """
 
 from __future__ import annotations
@@ -465,11 +466,105 @@ def decode_wav(payload: bytes) -> dict | None:
         return None
 
 
+# MPEG-1/2/2.5 Layer III tables (index → kbps / Hz); index 0 and 15 of
+# the bitrate table are free-format/forbidden — treated as not-an-MP3
+_MP3_BITRATE = {
+    1: [0, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+        160, 192, 224, 256, 320, 0],
+    2: [0, 8, 16, 24, 32, 40, 48, 56, 64, 80,
+        96, 112, 128, 144, 160, 0],
+}
+_MP3_RATE = {1: [44100, 48000, 32000], 2: [22050, 24000, 16000],
+             25: [11025, 12000, 8000]}
+
+
+def _mp3_frame(payload: bytes, off: int) -> tuple[int, int, int] | None:
+    """Parse one Layer-III frame header at ``off``; returns
+    (frame_length, samplerate, bitrate_kbps) or None."""
+    if off + 4 > len(payload):
+        return None
+    h = int.from_bytes(payload[off:off + 4], "big")
+    if h >> 21 != 0x7FF:
+        return None
+    version_bits = (h >> 19) & 3   # 0=2.5, 2=MPEG2, 3=MPEG1
+    layer_bits = (h >> 17) & 3     # 1 = Layer III
+    if version_bits == 1 or layer_bits != 1:
+        return None
+    version = {0: 25, 2: 2, 3: 1}[version_bits]
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    if sr_idx == 3:
+        return None
+    bitrate = _MP3_BITRATE[1 if version == 1 else 2][br_idx]
+    if bitrate == 0:
+        return None
+    rate = _MP3_RATE[version][sr_idx]
+    padding = (h >> 9) & 1
+    coef = 144 if version == 1 else 72  # bytes-per-bit-per-Hz, Layer III
+    return coef * bitrate * 1000 // rate + padding, rate, bitrate
+
+
+def build_mp3(n_frames: int, bitrate_idx: int = 9,
+              samplerate_idx: int = 0) -> bytes:
+    """Assemble a valid CBR MPEG-1 Layer III frame sequence (headers +
+    zero payload) behind an ID3v2 tag — the deterministic audio-fixture
+    generator, invertible by :func:`parse_mp3`."""
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) \
+        | (bitrate_idx << 12) | (samplerate_idx << 10)
+    header = h.to_bytes(4, "big")
+    flen = (144 * _MP3_BITRATE[1][bitrate_idx] * 1000
+            // _MP3_RATE[1][samplerate_idx])
+    return id3 + (header + b"\x00" * (flen - 4)) * n_frames
+
+
+def parse_mp3(payload: bytes) -> dict | None:
+    """REAL MP3 (MPEG Layer III) frame-header parse, pure stdlib: skips
+    a leading ID3v2 tag (syncsafe size), syncs on the first valid frame
+    header, then walks CBR/VBR frames by their computed lengths. At
+    least two consecutive valid frames are required — a lone sync
+    pattern in random bytes parses as noise, not audio. No sample
+    decode (needs the codec); returns {rate, bitrate_kbps, n_frames,
+    duration_s, channels}."""
+    n = len(payload)
+    off = 0
+    if payload[:3] == b"ID3" and n >= 10:
+        size = 0
+        for b in payload[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        off = 10 + size
+    first = _mp3_frame(payload, off)
+    if first is None:
+        return None
+    h = int.from_bytes(payload[off:off + 4], "big")
+    channels = 1 if (h >> 6) & 3 == 3 else 2
+    version_bits = (h >> 19) & 3
+    samples_per_frame = 1152 if version_bits == 3 else 576
+    frames, rate, kbps_sum = 0, first[1], 0
+    while True:
+        got = _mp3_frame(payload, off)
+        if got is None or got[1] != rate:
+            break
+        frames += 1
+        kbps_sum += got[2]
+        off += got[0]
+    if frames < 2:
+        return None
+    return {
+        "rate": rate,
+        "bitrate_kbps": kbps_sum // frames,  # mean — exact for CBR
+        "n_frames": frames,
+        "duration_s": frames * samples_per_frame / rate,
+        "channels": channels,
+    }
+
+
 def _decode_audio(payload: bytes) -> list[float]:
     """Audio feature vector: REAL PCM WAV decode (rate, duration,
-    amplitude stats) when the payload is RIFF/WAVE; deterministic sha256
-    fake otherwise (compressed codecs are not in this container). 4 dims
-    either way — payload-independent batch shape."""
+    amplitude stats) when the payload is RIFF/WAVE; REAL frame-header
+    parse for MP3 (rate, duration, bitrate — samples not decoded,
+    flagged by the 0.5 marker in dim 3); deterministic sha256 fake
+    otherwise. 4 dims every way — payload-independent batch shape."""
     wav = decode_wav(payload)
     if wav is not None:
         return [
@@ -477,6 +572,14 @@ def _decode_audio(payload: bytes) -> list[float]:
             min(wav["n_samples"] / (wav["rate"] * 60.0), 1.0),  # ≤1 min cap
             wav["mean_abs"],
             wav["peak"],
+        ]
+    mp3 = parse_mp3(payload)
+    if mp3 is not None:
+        return [
+            min(mp3["rate"] / 96000.0, 1.0),
+            min(mp3["duration_s"] / 60.0, 1.0),
+            min(mp3["bitrate_kbps"] / 320.0, 1.0),
+            0.5,  # "frame metadata real, samples not decoded"
         ]
     d = hashlib.sha256(b"audio:" + payload).digest()
     return [b / 255.0 for b in d[:4]]
@@ -869,7 +972,7 @@ def _decode_video(payload: bytes) -> list[float]:
 
 MEDIA_DECODERS = {
     "image": _decode_image,  # REAL for PNG; hash fake for other codecs
-    "audio": _decode_audio,  # REAL for PCM WAV; hash fake otherwise
+    "audio": _decode_audio,  # REAL WAV decode + MP3 frame-header parse
     "video": _decode_video,  # REAL GIF decode + MP4/WebM metadata parse
 }
 
