@@ -3,11 +3,31 @@ frame sequences (build_mp3), so rate/bitrate/frame-count/duration all
 have known true values. Same disclosed contract as the MP4/WebM
 parsers: structural metadata real, sample decode needs a codec."""
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from uckg_spark.operators.multimodal import (
     _decode_audio,
     build_mp3,
     parse_mp3,
 )
+
+
+@settings(max_examples=40, deadline=None)
+@given(nf=st.integers(2, 500), br=st.integers(1, 14), sr=st.integers(0, 2))
+def test_build_parse_mp3_property(nf, br, sr):
+    got = parse_mp3(build_mp3(n_frames=nf, bitrate_idx=br,
+                              samplerate_idx=sr))
+    assert got["n_frames"] == nf
+    assert got["duration_s"] == nf * 1152 / got["rate"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(payload=st.binary(max_size=256))
+def test_parse_mp3_never_raises_on_garbage(payload):
+    parse_mp3(payload)
+    parse_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x05" + payload)
+    parse_mp3(b"\xff\xfb\x90\x00" + payload)
 
 
 def test_mp3_cbr_fields_exact():

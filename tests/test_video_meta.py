@@ -9,6 +9,9 @@ marker in feature dim 5 distinguishes metadata-real from pixel-real).
 
 import struct
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from uckg_spark.operators.multimodal import (
     _decode_video,
     parse_mp4,
@@ -131,6 +134,29 @@ def test_build_mp4_parse_mp4_roundtrip():
         assert (got["width"], got["height"], got["n_frames"]) == (w, h, nf)
         assert got["duration_s"] == nf * 40 / 1000
         assert got["n_tracks"] == 1 and got["n_video_tracks"] == 1
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=st.integers(1, 65535), h=st.integers(1, 65535),
+       nf=st.integers(1, 100000), ts=st.integers(1, 1 << 31),
+       delta=st.integers(1, 10000))
+def test_build_parse_mp4_property(w, h, nf, ts, delta):
+    from uckg_spark.operators.multimodal import build_mp4
+
+    got = parse_mp4(build_mp4(w, h, nf, timescale=ts, frame_delta=delta))
+    assert (got["width"], got["height"], got["n_frames"]) == (w, h, nf)
+    assert got["duration_s"] == nf * delta / ts
+
+
+@settings(max_examples=40, deadline=None)
+@given(payload=st.binary(max_size=256))
+def test_parse_mp4_never_raises_on_garbage(payload):
+    # arbitrary bytes (incl. ftyp-prefixed ones) must parse or refuse,
+    # never throw — executors see truncated/corrupt uploads
+    parse_mp4(payload)
+    parse_mp4(b"\x00\x00\x00\x10ftyp" + payload)
+    parse_webm(payload)
+    parse_webm(b"\x1aE\xdf\xa3" + payload)
 
 
 def test_extract_features_real_mp4_path(spark):
