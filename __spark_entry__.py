@@ -2041,6 +2041,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.mapInPandas(batches, schema)
     q["video_metadata"] = q_video_metadata
 
+    def q_audio_metadata(spark, sf):
+        # the audio twin of video_metadata: deterministic CBR MP3 frame
+        # sequences assembled and parsed back inside the Arrow batch;
+        # integer-only output fields so the SQL oracle is exact integer
+        # arithmetic (duration is derivable: n_frames*1152/rate).
+        from uckg_spark.operators.multimodal import build_mp3, parse_mp3
+
+        docs = _t(spark, sf, "documents").select("doc_id")
+        schema = ("media_id bigint, rate int, bitrate_kbps int, "
+                  "n_frames int, channels int")
+
+        def batches(it):
+            import pandas as pd
+
+            for pdf in it:
+                rows = []
+                for raw in pdf["doc_id"]:
+                    i = int(raw)
+                    meta = parse_mp3(build_mp3(
+                        n_frames=2 + i % 60,
+                        bitrate_idx=1 + i % 14,
+                        samplerate_idx=i % 3))
+                    rows.append((i, meta["rate"], meta["bitrate_kbps"],
+                                 meta["n_frames"], meta["channels"]))
+                yield pd.DataFrame(rows, columns=[
+                    "media_id", "rate", "bitrate_kbps", "n_frames",
+                    "channels"])
+
+        return docs.mapInPandas(batches, schema)
+    q["audio_metadata"] = q_audio_metadata
+
     return q
 
 
@@ -4912,6 +4943,20 @@ def oracle_sql() -> dict[str, str]:
                ((24 + doc_id % 240) * 40)::BIGINT AS duration_ms,
                1 AS n_tracks,
                'isom' AS brand
+        FROM documents
+    """
+
+    # audio_metadata twin: MPEG-1 Layer III tables as inline SQL arrays —
+    # bitrate_idx = 1 + doc_id%14 (indices 1..14 of the kbps table),
+    # samplerate_idx = doc_id%3; channels is always 2 (mode bits 00)
+    o["audio_metadata"] = """
+        SELECT doc_id AS media_id,
+               ([44100, 48000, 32000])[(doc_id % 3 + 1)::INT] AS rate,
+               ([32, 40, 48, 56, 64, 80, 96, 112, 128,
+                 160, 192, 224, 256, 320])[(doc_id % 14 + 1)::INT]
+                   AS bitrate_kbps,
+               (2 + doc_id % 60)::INT AS n_frames,
+               2 AS channels
         FROM documents
     """
 
