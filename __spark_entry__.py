@@ -2072,6 +2072,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.mapInPandas(batches, schema)
     q["audio_metadata"] = q_audio_metadata
 
+    def q_dedup_paragraphs(spark, sf):
+        # CCNet-style paragraph-level boilerplate removal. documents.text
+        # carries no newlines, so the paragraphed corpus is constructed
+        # deterministically IN the query (both engines build the same
+        # bytes): a per-source subscribe header, the doc's own text, and
+        # a doc_id%3 copyright footer. min_docs=5 cuts the header/footer
+        # boilerplate (and any prose repeated across >=5 docs — the
+        # documents table plants exact dups) while unique prose survives.
+        from uckg_spark.operators.webtext import dedup_paragraphs
+
+        d = _t(spark, sf, "documents")
+        inp = d.select(
+            "doc_id",
+            F.concat_ws(
+                "\n\n",
+                F.concat(F.lit("Subscribe to the "), F.col("source"),
+                         F.lit(" newsletter")),
+                F.col("text"),
+                F.concat(F.lit("copyright footer "),
+                         (F.col("doc_id") % 3).cast("string")),
+            ).alias("text"),
+        )
+        return dedup_paragraphs(inp, min_docs=5)
+    q["dedup_paragraphs"] = q_dedup_paragraphs
+
     return q
 
 
@@ -4958,6 +4983,54 @@ def oracle_sql() -> dict[str, str]:
                (2 + doc_id % 60)::INT AS n_frames,
                2 AS channels
         FROM documents
+    """
+
+    # dedup_paragraphs: same deterministic paragraphed-corpus
+    # construction as the Spark side (header \n\n text \n\n footer),
+    # then the CCNet rule — cut every paragraph whose normalized form
+    # (whitespace-collapsed, trimmed, lowercased) appears in >=5
+    # distinct docs; survivors rejoin in original order. Parallel
+    # unnests align in DuckDB (same list length), same trick as
+    # dedup_span_apply; string_agg of zero rows is NULL -> coalesce ''.
+    o["dedup_paragraphs"] = """
+        WITH inp AS (
+            SELECT doc_id,
+                   'Subscribe to the ' || source || ' newsletter'
+                   || chr(10) || chr(10) || text
+                   || chr(10) || chr(10)
+                   || 'copyright footer ' || (doc_id % 3)::VARCHAR AS text
+            FROM documents
+        ), split AS (
+            SELECT doc_id,
+                   string_split(text, chr(10) || chr(10)) AS ps
+            FROM inp
+        ), paras AS (
+            SELECT doc_id,
+                   unnest(range(1, len(ps) + 1)) AS pos,
+                   unnest(ps) AS para
+            FROM split
+        ), normed AS (
+            SELECT doc_id, pos, para,
+                   lower(trim(regexp_replace(para, '\\s+', ' ', 'g'))) AS norm
+            FROM paras
+        ), hot AS (
+            SELECT norm FROM normed
+            GROUP BY norm HAVING count(DISTINCT doc_id) >= 5
+        ), kept AS (
+            SELECT doc_id, count(*) AS n_kept,
+                   string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                       AS text_clean
+            FROM normed
+            WHERE norm NOT IN (SELECT norm FROM hot)
+            GROUP BY doc_id
+        ), totals AS (
+            SELECT doc_id, count(*)::BIGINT AS n_paras
+            FROM normed GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_paras,
+               (t.n_paras - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+               coalesce(k.text_clean, '') AS text_clean
+        FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
     """
 
     o["catalog_prune"] = """

@@ -108,3 +108,61 @@ class TestNormalizeUrl:
         twice = once.select("u", webtext.normalize_url(F.col("u")).alias("u2"))
         for r in twice.collect():
             assert r["u"] == r["u2"]
+
+
+class TestDedupParagraphs:
+    """CCNet-style paragraph dedup: boilerplate (paragraphs in >=min_docs
+    distinct docs, compared on the whitespace-collapsed lowercased form)
+    is cut from every document; survivors keep order."""
+
+    def _corpus(self, spark):
+        b = "Subscribe  To The Newsletter"      # boilerplate, messy casing
+        rows = [
+            (0, f"{b}\n\nalpha prose zero\n\ncopyright footer"),
+            (1, f"subscribe to the newsletter\n\nbeta prose one\n\ncopyright footer"),
+            (2, f"{b}\n\ngamma prose two"),
+            (3, f"{b}\n\ncopyright footer"),    # all paragraphs boilerplate
+            (4, "delta prose four"),            # no boilerplate at all
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_boilerplate_cut_order_kept(self, spark):
+        from uckg_spark.operators.webtext import dedup_paragraphs
+
+        out = {r["doc_id"]: r
+               for r in dedup_paragraphs(self._corpus(spark), min_docs=3).collect()}
+        # header normalizes identically in docs 0-3 (4 >= 3): cut.
+        # footer appears in docs 0,1,3 (3 >= 3): cut.
+        assert out[0]["text_clean"] == "alpha prose zero"
+        assert (out[0]["n_paras"], out[0]["n_removed"]) == (3, 2)
+        assert out[1]["text_clean"] == "beta prose one"
+        assert out[2]["text_clean"] == "gamma prose two"
+        assert (out[2]["n_paras"], out[2]["n_removed"]) == (2, 1)
+        # every paragraph boilerplate -> doc survives with empty text
+        assert out[3]["text_clean"] == ""
+        assert (out[3]["n_paras"], out[3]["n_removed"]) == (2, 2)
+        # untouched doc round-trips byte-identically
+        assert out[4]["text_clean"] == "delta prose four"
+        assert (out[4]["n_paras"], out[4]["n_removed"]) == (1, 0)
+
+    def test_threshold_boundary(self, spark):
+        from uckg_spark.operators.webtext import dedup_paragraphs
+
+        # at min_docs=5 nothing crosses the threshold: all docs intact
+        out = {r["doc_id"]: r
+               for r in dedup_paragraphs(self._corpus(spark), min_docs=5).collect()}
+        assert all(r["n_removed"] == 0 for r in out.values())
+        src = {r["doc_id"]: r["text"] for r in self._corpus(spark).collect()}
+        assert all(out[i]["text_clean"] == src[i] for i in src)
+
+    def test_repeats_within_one_doc_do_not_count(self, spark):
+        from uckg_spark.operators.webtext import dedup_paragraphs
+
+        # the same paragraph 3x in ONE doc is 1 distinct doc -> kept
+        df = spark.createDataFrame(
+            [(0, "same\n\nsame\n\nsame"), (1, "other prose")],
+            ["doc_id", "text"])
+        out = {r["doc_id"]: r
+               for r in dedup_paragraphs(df, min_docs=2).collect()}
+        assert out[0]["text_clean"] == "same\n\nsame\n\nsame"
+        assert out[0]["n_removed"] == 0
