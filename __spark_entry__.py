@@ -2097,6 +2097,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup_paragraphs(inp, min_docs=5)
     q["dedup_paragraphs"] = q_dedup_paragraphs
 
+    def q_semantic_dedup(spark, sf):
+        # SemDeDup: same deterministic quantizer as ann_ivf_topk
+        # (hash-stratified seeds + one fixed-point k-means pass over the
+        # 1/4 id-stratified sample), then within-cluster pairwise cosine
+        # with the keep-farthest-from-centroid rule. 0.35 matches the
+        # embed_near_dup threshold (non-vacuous at every SF).
+        from uckg_spark.operators.similarity import (
+            ivf_centroids_hashed, ivf_refine_centroids, semantic_dedup)
+
+        emb = _t(spark, sf, "embeddings")
+        cents = ivf_refine_centroids(
+            emb, ivf_centroids_hashed(emb, 16), iters=1,
+            sample_mod=IVF_SAMPLE_MOD)
+        return semantic_dedup(emb, cents, threshold=0.35)
+    q["semantic_dedup"] = q_semantic_dedup
+
     return q
 
 
@@ -2415,6 +2431,83 @@ def oracle_sql() -> dict[str, str]:
                  / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
                     * sqrt(list_dot_product(qv, qv))) DESC, e.vec_id
         LIMIT 10
+    """
+
+    # semantic_dedup: identical quantizer chain as ann_ivf_topk (seeds,
+    # sampled fixed-point refinement, full-corpus assignment), then the
+    # SemDeDup tail. cos-to-centroid mirrors the Spark fold's
+    # parenthesization exactly — (dot/|c|)/|v|, NOT dot/(|v|*|c|) — so
+    # the dominance comparison (b.cosc < a.cosc) sees bit-identical
+    # doubles in both engines.
+    o["semantic_dedup"] = f"""
+        WITH {ivf_seed_cte},
+        esample AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id % {IVF_SAMPLE_MOD} = 0
+        ),
+        scored0 AS (
+            SELECT e.vec_id, c.c_id,
+                   list_dot_product(e.embedding::DOUBLE[], c.cv)
+                   / sqrt(list_dot_product(c.cv, c.cv)) AS cos_c
+            FROM esample e, cent0 c
+        ),
+        assign0 AS (
+            SELECT vec_id, c_id AS centroid_id
+            FROM (SELECT vec_id, c_id,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cos_c DESC, c_id) AS rn
+                  FROM scored0)
+            WHERE rn = 1
+        ),
+        cells AS (
+            SELECT a.centroid_id AS c_id, count(*) AS n, {ivf_sums}
+            FROM esample e JOIN assign0 a USING (vec_id)
+            GROUP BY 1
+        ),
+        cent AS (
+            SELECT c0.c_id,
+                   CASE WHEN cl.c_id IS NULL THEN c0.cv
+                        ELSE [{ivf_refined_list}] END AS cv
+            FROM cent0 c0 LEFT JOIN cells cl USING (c_id)
+        ),
+        scored AS (
+            SELECT e.vec_id, c.c_id,
+                   list_dot_product(e.embedding::DOUBLE[], c.cv)
+                   / sqrt(list_dot_product(c.cv, c.cv)) AS cos_rank
+            FROM embeddings e, cent c
+        ),
+        assign AS (
+            SELECT vec_id, c_id AS cell
+            FROM (SELECT vec_id, c_id,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cos_rank DESC, c_id) AS rn
+                  FROM scored)
+            WHERE rn = 1
+        ),
+        withc AS (
+            SELECT e.vec_id, a.cell, e.embedding::DOUBLE[] AS v,
+                   (list_dot_product(e.embedding::DOUBLE[], c.cv)
+                    / sqrt(list_dot_product(c.cv, c.cv)))
+                   / sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[])) AS cosc
+            FROM embeddings e
+            JOIN assign a USING (vec_id)
+            JOIN cent c ON a.cell = c.c_id
+        ),
+        dropped AS (
+            SELECT DISTINCT a.vec_id
+            FROM withc a JOIN withc b
+              ON a.cell = b.cell AND a.vec_id <> b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (sqrt(list_dot_product(a.v, a.v))
+                     * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+              AND (b.cosc < a.cosc
+                   OR (b.cosc = a.cosc AND b.vec_id < a.vec_id))
+        )
+        SELECT w.vec_id, w.cell::BIGINT AS cell,
+               round(w.cosc, 6) AS cos_centroid,
+               (d.vec_id IS NULL)::BIGINT AS kept
+        FROM withc w LEFT JOIN dropped d ON w.vec_id = d.vec_id
     """
 
     plane_terms = []

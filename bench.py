@@ -115,7 +115,7 @@ def main() -> None:
         "catalog_tag",
         # round-5 additions
         "label_spread_bucketed", "catalog_prune", "video_metadata",
-        "audio_metadata", "dedup_paragraphs",
+        "audio_metadata", "dedup_paragraphs", "semantic_dedup",
     ]
     # queries whose r3 wall was ≥~1.5 s run twice (recorded spread, min
     # kept): shared-host noise windows produce 1.5-3x swings on identical

@@ -873,3 +873,51 @@ class TestRandomProjection:
         _, df = self._emb(spark, n=2, dim=4)
         with _pytest.raises(ValueError):
             random_projection(df, 0, out_dim=2)
+
+
+class TestSemanticDedup:
+    """SemDeDup on a hand-computable 2-D fixture: two fixed centroids,
+    vectors whose cell assignment, cos-to-centroid ranks, and pairwise
+    cosines are all checkable on paper."""
+
+    CENTS = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+
+    def _emb(self, spark):
+        rows = [
+            (10, [1.0, 0.0]),    # cell 0, cosc = 1.0
+            (11, [0.98, 0.2]),   # cell 0, cosc ~ 0.97989 (the keeper)
+            (14, [1.0, 0.05]),   # cell 0, cosc ~ 0.99875
+            (12, [0.6, 0.8]),    # cell 1, cosc = 0.8 — below threshold of all
+            (13, [0.0, 1.0]),    # cell 1, cosc = 1.0
+            (20, [0.0, 0.9]),    # cell 1, cosc = 1.0 (tie with 13 and 21)
+            (21, [0.0, 0.9]),    # cell 1, identical to 20
+        ]
+        return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def test_keep_farthest_from_centroid(self, spark):
+        from uckg_spark.operators.similarity import semantic_dedup
+
+        out = {r["vec_id"]: r for r in semantic_dedup(
+            self._emb(spark), self.CENTS, threshold=0.9).collect()}
+        # cell 0: 10~11 (cos .9798), 10~14 (.9988), 11~14 (.988) all >= .9;
+        # 11 has the LOWEST cos-to-centroid -> only 11 survives
+        assert [out[i]["cell"] for i in (10, 11, 14)] == [0, 0, 0]
+        assert (out[10]["kept"], out[11]["kept"], out[14]["kept"]) == (0, 1, 0)
+        # cell 1: 13/20/21 are mutually cos=1.0 pairs with TIED cosc=1.0
+        # -> lowest id (13) survives; 12 is below threshold vs everyone
+        assert (out[13]["kept"], out[20]["kept"], out[21]["kept"]) == (1, 0, 0)
+        assert out[12]["kept"] == 1
+        assert out[12]["cell"] == 1
+        assert abs(out[12]["cos_centroid"] - 0.8) < 1e-6
+
+    def test_threshold_one_keeps_non_identical(self, spark):
+        from uckg_spark.operators.similarity import semantic_dedup
+
+        # threshold above every non-identical pair's cosine: only the
+        # byte-identical twins 20/21 (cos exactly 1.0) still collide
+        out = {r["vec_id"]: r["kept"] for r in semantic_dedup(
+            self._emb(spark), self.CENTS, threshold=1.0).collect()}
+        assert out[21] == 0 or out[20] == 0  # one twin dropped
+        assert sum(1 - v for v in out.values()) >= 1
+        for i in (10, 11, 12, 14):
+            assert out[i] == 1

@@ -694,3 +694,86 @@ def label_spread_bucketed(
     topk = (nn.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k).drop("_rn", "cos_sim"))
     return _label_spread_tail(topk, lab, unl, id_col, label_col)
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the embedding
+    space with the deterministic k-means quantizer, compare pairs ONLY
+    within a cluster, and of every pair above the cosine ``threshold``
+    keep the member FARTHER from its centroid (the paper's keep-low-
+    centroid-similarity rule — the "semantic outlier" is the better
+    cluster representative; its near-twin closer to the centroid is the
+    redundant copy). Returns every row as
+    ``(vec_id, cell, cos_centroid, kept)`` with ``kept`` 0/1.
+
+    Drop rule, exactly: a row is dropped iff SOME same-cell neighbor
+    within ``threshold`` has strictly lower cosine-to-centroid (ties:
+    lower id). For a mutually-similar clique this keeps exactly the
+    clique's minimal-cos_centroid member; across non-transitive chains
+    it is the pairwise-dominance approximation — deterministic,
+    single-pass, and engine-portable, where the paper's per-group argmin
+    would need an iterative clustering no SQL oracle could replay.
+
+    Scale shape: the quantizer rides in as plan literals (one fused
+    fold per row — see ``_ivf_scored_cells``; no join for assignment),
+    so the only shuffles are the cell-keyed self-join — the whole point
+    of SemDeDup is that pair generation is cluster-scoped, n²/k per
+    cell instead of n² — and a small distinct on the dropped ids. The
+    cos-to-centroid reuses the assignment fold's dot product (score/|v|)
+    rather than recomputing against a joined centroid column.
+
+    Reference parity note: the reference has no embedding surface
+    (/root/reference/ ingests structured NVD/MITRE records); this
+    operator belongs to the web-scale graft's dedup family alongside
+    ``lsh_bucketed_pairs`` (probabilistic recall dial) — SemDeDup is
+    the exact-within-cluster alternative every LLM-corpus pipeline
+    pairs with token-level dedup.
+    """
+    vec_d = F.col(vec_col).cast("array<double>")
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        vec_d.alias("_v"),
+        _ivf_scored_cells(vec_d, centroids)[0].alias("_top"),
+    )
+    # full cosine to the ASSIGNED centroid: the fold's score is
+    # -(dot/|c|), so cos = (dot/|c|) / |v| — keep this exact
+    # parenthesization; the oracle mirrors it token for token
+    scored = base.select(
+        "vec_id",
+        "_v",
+        F.col("_top")["cid"].alias("cell"),
+        ((-F.col("_top")["nc"]) / norm(F.col("_v"))).alias("_cosc"),
+    )
+    a, b = scored.alias("a"), scored.alias("b")
+    pair_cos = cosine_col(F.col("a._v"), F.col("b._v"))
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .filter(pair_cos >= threshold)
+        .filter(
+            (F.col("b._cosc") < F.col("a._cosc"))
+            | (
+                (F.col("b._cosc") == F.col("a._cosc"))
+                & (F.col("b.vec_id") < F.col("a.vec_id"))
+            )
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_d", F.lit(1))
+    )
+    return scored.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        F.col("cell").cast("bigint").alias("cell"),
+        F.round(F.col("_cosc"), 6).alias("cos_centroid"),
+        F.col("_d").isNull().cast("bigint").alias("kept"),
+    )
