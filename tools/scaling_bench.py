@@ -97,16 +97,45 @@ def worker(cores: int) -> None:
     }))
 
 
+def _run_worker(cores: int, reps: int) -> dict:
+    env = dict(os.environ, UCKG_SCALE_REPS=str(reps))
+    out = subprocess.run(
+        [sys.executable, __file__, "--worker", str(cores)],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+        env=env,
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
 def orchestrate() -> None:
     lo, hi = CORES
     results = {}
-    for cores in (lo, hi):
-        out = subprocess.run(
-            [sys.executable, __file__, "--worker", str(cores)],
-            capture_output=True, text=True, check=True, cwd="/root/repo",
-        )
-        line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-        results[cores] = json.loads(line)
+    if os.environ.get("UCKG_SCALE_INTERLEAVE"):
+        # Shared-host defense: the N and 4N points must sample the SAME
+        # ambient-noise window or the ratio measures the host, not the
+        # software (measured: identical code gave local[2]=990.7 s in one
+        # window and 694.9 s in another — 1.4x — while local[8] moved only
+        # 5%). Interleave single-rep invocations lo,hi,lo,hi,... so every
+        # lo rep has a hi rep adjacent in time, then best-of per side.
+        # Each invocation re-pays JVM startup + warm-up (excluded from
+        # the timed wall as always).
+        acc: dict[int, list[dict]] = {lo: [], hi: []}
+        for _ in range(REPS):
+            for cores in (lo, hi):
+                acc[cores].append(_run_worker(cores, reps=1))
+        for cores in (lo, hi):
+            runs = acc[cores]
+            walls = [r["wall_s"] for r in runs]
+            best = min(range(len(runs)), key=lambda i: walls[i])
+            results[cores] = dict(runs[best], wall_s_reps=walls)
+            results[cores]["docs_per_sec"] = round(
+                runs[best]["docs"] / walls[best], 1)
+            results[cores]["triples_per_sec"] = round(
+                runs[best]["triples"] / walls[best], 1)
+    else:
+        for cores in (lo, hi):
+            results[cores] = _run_worker(cores, REPS)
     t_lo, t_hi = results[lo]["docs_per_sec"], results[hi]["docs_per_sec"]
     ratio = hi // lo
     eff = t_hi / (ratio * t_lo)
@@ -122,6 +151,11 @@ def orchestrate() -> None:
             "the 16-physical-core budget (32 logical CPUs are 16 cores x "
             "SMT: a pure CPU-burn scales only ~21x from 1->32 procs, "
             "capping any 8->32 comparison near 0.65 by hardware)"
+            + (
+                "; INTERLEAVED single-rep invocations lo,hi,lo,hi so both "
+                "core counts sample the same shared-host noise window"
+                if os.environ.get("UCKG_SCALE_INTERLEAVE") else ""
+            )
         ),
         f"local{lo}": results[lo],
         f"local{hi}": results[hi],
