@@ -139,3 +139,75 @@ class TestPackingVsPython:
                 r = got[doc_id]
                 assert (r["start_offset"], r["first_chunk"], r["last_chunk"]) == (
                     start, first, last), (seed, doc_id)
+
+
+def _random_para_docs(seed, n_docs=18):
+    """Paragraphed docs over a tiny paragraph pool so cross-doc repeats
+    are common; casing/whitespace jitter exercises normalization."""
+    rng = random.Random(seed)
+    pool = [f"para {i} body text" for i in range(6)]
+    rows = []
+    for i in range(n_docs):
+        n_p = rng.randrange(1, 5)
+        paras = []
+        for _ in range(n_p):
+            p = rng.choice(pool + [f"unique {i} {rng.randrange(999)}"])
+            if rng.random() < 0.3:
+                p = p.upper()
+            if rng.random() < 0.3:
+                p = "  " + p.replace(" ", "   ", 1)
+            paras.append(p)
+        rows.append((i, "\n\n".join(paras)))
+    return rows
+
+
+def _py_dedup_paragraphs(rows, min_docs):
+    """Independent reference: normalize, count distinct docs per norm,
+    cut every paragraph at/over threshold, rejoin in order."""
+    import re
+
+    def norm(p):
+        return re.sub(r"\s+", " ", p).strip().lower()
+
+    by_norm = {}
+    split = {i: t.split("\n\n") for i, t in rows}
+    for i, ps in split.items():
+        for p in ps:
+            by_norm.setdefault(norm(p), set()).add(i)
+    hot = {k for k, v in by_norm.items() if len(v) >= min_docs}
+    out = {}
+    for i, ps in split.items():
+        kept = [p for p in ps if norm(p) not in hot]
+        out[i] = (len(ps), len(ps) - len(kept), "\n\n".join(kept))
+    return out
+
+
+class TestDedupParagraphsVsPython:
+    def test_matches_reference(self, spark):
+        from uckg_spark.operators.webtext import dedup_paragraphs
+
+        for seed in (11, 12, 13):
+            rows = _random_para_docs(seed)
+            docs = spark.createDataFrame(rows, ["doc_id", "text"])
+            for min_docs in (2, 3):
+                want = _py_dedup_paragraphs(rows, min_docs)
+                got = {
+                    r["doc_id"]: (r["n_paras"], r["n_removed"], r["text_clean"])
+                    for r in dedup_paragraphs(docs, min_docs=min_docs).collect()
+                }
+                assert got == want, (seed, min_docs)
+
+    def test_idempotent(self, spark):
+        """A second pass removes nothing: kept paragraphs had < min_docs
+        distinct docs, and removal never raises any count."""
+        from uckg_spark.operators.webtext import dedup_paragraphs
+
+        rows = _random_para_docs(7)
+        docs = spark.createDataFrame(rows, ["doc_id", "text"])
+        # fully-cleaned docs drop out: their '' text would otherwise be
+        # a new (empty) paragraph duplicated across every such doc
+        once = dedup_paragraphs(docs, min_docs=2).filter(
+            "text_clean <> ''").select("doc_id", "text_clean")
+        again = dedup_paragraphs(
+            once.withColumnRenamed("text_clean", "text"), min_docs=2)
+        assert all(r["n_removed"] == 0 for r in again.collect())
