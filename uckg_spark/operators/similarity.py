@@ -744,34 +744,50 @@ def semantic_dedup(
     )
     # full cosine to the ASSIGNED centroid: the fold's score is
     # -(dot/|c|), so cos = (dot/|c|) / |v| — keep this exact
-    # parenthesization; the oracle mirrors it token for token
+    # parenthesization; the oracle mirrors it token for token.
+    # The row norm is computed ONCE here and reused by every pair the
+    # row participates in below: cosine(a,b) = dot(a,b)/(|a|·|b|) with
+    # the SAME IEEE norm values, so per-pair cost drops from three
+    # 64-element folds (dot + both norms) to one fold + one multiply —
+    # bit-identical results, the pair stage is the query's dominant cost
+    # (n²/k pairs per cell).
     scored = base.select(
         "vec_id",
         "_v",
+        norm(F.col("_v")).alias("_nm"),
         F.col("_top")["cid"].alias("cell"),
         ((-F.col("_top")["nc"]) / norm(F.col("_v"))).alias("_cosc"),
     )
     a, b = scored.alias("a"), scored.alias("b")
-    pair_cos = cosine_col(F.col("a._v"), F.col("b._v"))
+    pair_cos = dot(F.col("a._v"), F.col("b._v")) / (
+        F.col("a._nm") * F.col("b._nm"))
+    # the cheap centroid-distance ordering predicate rides IN the join
+    # condition (it subsumes a.vec_id != b.vec_id: equal ids have equal
+    # _cosc and fail the tie-break), so the And tree short-circuits it
+    # BEFORE the per-pair cosine fold — half the candidate pairs never
+    # pay the fold. Same drop set: the original applied both predicates
+    # conjunctively after the join.
     dropped = (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") != F.col("b.vec_id")),
-        )
-        .filter(pair_cos >= threshold)
-        .filter(
-            (F.col("b._cosc") < F.col("a._cosc"))
-            | (
-                (F.col("b._cosc") == F.col("a._cosc"))
-                & (F.col("b.vec_id") < F.col("a.vec_id"))
+            & (
+                (F.col("b._cosc") < F.col("a._cosc"))
+                | (
+                    (F.col("b._cosc") == F.col("a._cosc"))
+                    & (F.col("b.vec_id") < F.col("a.vec_id"))
+                )
             )
+            & (pair_cos >= threshold),
         )
         .select(F.col("a.vec_id").alias("vec_id"))
         .distinct()
         .withColumn("_d", F.lit(1))
     )
-    return scored.join(dropped, "vec_id", "left").select(
+    # dropped is bounded by the corpus's duplicate count and tiny next
+    # to `scored`; broadcasting it turns the join-back from a sort-merge
+    # (one more full shuffle of every row) into a map-side hash probe
+    return scored.join(F.broadcast(dropped), "vec_id", "left").select(
         "vec_id",
         F.col("cell").cast("bigint").alias("cell"),
         F.round(F.col("_cosc"), 6).alias("cos_centroid"),
