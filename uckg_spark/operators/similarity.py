@@ -307,6 +307,70 @@ def ivf_centroids_hashed(
     return sorted((int(r[0]), [float(x) for x in r[1]]) for r in rows)
 
 
+def _np_centroid_arrays(centroids: list[tuple[int, list[float]]]):
+    """Centroid matrix for the numpy kernels, SORTED ascending by cid so
+    that first-min tie-breaks reproduce the (score, cid) struct order.
+    Norms are computed with the same driver-side sequential left-fold the
+    literal-tree form used (``math.sqrt(sum(x*x))`` — plain Python sum,
+    identical IEEE result to the engine's list_dot_product fold)."""
+    import math
+
+    import numpy as np
+
+    cs = sorted(((int(c), [float(x) for x in v]) for c, v in centroids))
+    cids = np.array([c for c, _ in cs], dtype="int64")
+    mat = np.array([v for _, v in cs], dtype="float64")
+    cnorm = np.array(
+        [math.sqrt(sum(x * x for x in v)) for _, v in cs], dtype="float64")
+    return cids, mat, cnorm
+
+
+def _np_rows(series):
+    """(n, dim) float64 matrix from an Arrow/pandas column of vectors.
+    float32 → float64 widening is exact, mirroring the plan-side
+    ``cast("array<double>")``."""
+    import numpy as np
+
+    return np.stack(
+        [np.asarray(v, dtype="float64") for v in series.to_numpy()])
+
+
+def _np_fold_dots(V, C):
+    """(n, k) dot products accumulated IN COORDINATE ORDER: one fused
+    vectorized add per dimension, so every scalar sees the exact
+    left-fold sequence ``((0 + v0·c0) + v1·c1) + …`` — bit-identical to
+    the ``F.aggregate`` fold and the oracle's ``list_dot_product``,
+    while numpy amortizes it across all rows (guide §4.2)."""
+    import numpy as np
+
+    acc = np.zeros((V.shape[0], C.shape[0]), dtype="float64")
+    for d in range(V.shape[1]):
+        acc += V[:, d : d + 1] * C[:, d][None, :]
+    return acc
+
+
+def _np_fold_norms(V):
+    """Row norms via the same coordinate-order fold as :func:`norm`."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0], dtype="float64")
+    for d in range(V.shape[1]):
+        x = V[:, d]
+        acc = acc + x * x
+    return np.sqrt(acc)
+
+
+def _np_fold_gram(V):
+    """All-pairs dot matrix, coordinate-order fold (see _np_fold_dots)."""
+    import numpy as np
+
+    acc = np.zeros((V.shape[0], V.shape[0]), dtype="float64")
+    for d in range(V.shape[1]):
+        x = V[:, d]
+        acc += x[:, None] * x[None, :]
+    return acc
+
+
 def ivf_refine_centroids(
     embeddings: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -343,20 +407,42 @@ def ivf_refine_centroids(
     src = embeddings
     if sample_mod is not None and sample_mod > 1:
         src = embeddings.filter(F.col(id_col) % sample_mod == 0)
-    vec_d = F.col(vec_col).cast("array<double>")
+    schema = ", ".join(["_cid long", "_n long"]
+                       + [f"_s{d} long" for d in range(dim)])
     for _ in range(iters):
-        aggs = [F.count(F.lit(1)).alias("_n")] + [
-            F.sum(
-                F.floor(F.element_at("_v", d + 1) * F.lit(float(scale)))
-                .cast("bigint")
-            ).alias(f"_s{d}")
-            for d in range(dim)
-        ]
+        # assignment + per-cell PARTIAL fixed-point sums inside one Arrow
+        # kernel (guide §4.2): the old form compiled a (k × dim)-literal
+        # fold tree per refine pass (~1 s of Catalyst/codegen alone) and
+        # evaluated it row-at-a-time in interpreted HOF eval. The partial
+        # sums are int64 — order-independent, so the merge agg below is
+        # exact and the refined centroids stay bit-identical.
+        cids, mat, cnorm = _np_centroid_arrays(centroids)
+        fscale = float(scale)
+
+        def part(batches, cids=cids, mat=mat, cnorm=cnorm):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = _np_rows(pdf[vec_col])
+                S = _np_fold_dots(V, mat) / cnorm[None, :]
+                cell = cids[np.argmax(S, axis=1)]
+                Q = np.floor(V * fscale).astype("int64")
+                order = np.argsort(cell, kind="stable")
+                cs, starts = np.unique(cell[order], return_index=True)
+                sums = np.add.reduceat(Q[order], starts, axis=0)
+                ns = np.diff(np.append(starts, len(cell)))
+                out = {"_cid": cs, "_n": ns.astype("int64")}
+                for d in range(Q.shape[1]):
+                    out[f"_s{d}"] = sums[:, d]
+                yield pd.DataFrame(out)
+
+        aggs = [F.sum("_n").alias("_n")] + [
+            F.sum(f"_s{d}").alias(f"_s{d}") for d in range(dim)]
         rows = (
-            src.select(
-                ivf_assign_col(vec_d, centroids).alias("_cid"),
-                vec_d.alias("_v"),
-            )
+            src.select(vec_col).mapInPandas(part, schema)
             .groupBy("_cid").agg(*aggs).collect()
         )
         by_cid = {int(r["_cid"]): r for r in rows}
@@ -481,17 +567,41 @@ def ivf_topk(
     probe_ids = [cid for cid, _ in sorted(
         centroids, key=lambda c: (-probe_score(c[1], query_vec), c[0]))[:n_probe]]
 
-    vec_d = F.col(vec_col).cast("array<double>")
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    # assignment + probe filter + exact cosine in ONE Arrow kernel with
+    # coordinate-order folds (bit-identical to the F.aggregate form — see
+    # _np_fold_dots); the literal-tree form paid ~1 s of plan compile for
+    # the (k × dim) centroid matrix plus interpreted HOF eval per row.
+    cids, mat, cnorm = _np_centroid_arrays(centroids)
+    qv = [float(x) for x in query_vec]
+    probe_set = list(probe_ids)
+
+    def part(batches, cids=cids, mat=mat, cnorm=cnorm, qv=qv):
+        import numpy as np
+        import pandas as pd
+
+        q = np.array(qv, dtype="float64")
+        qnorm = _np_fold_norms(q[None, :])[0]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_rows(pdf[vec_col])
+            S = _np_fold_dots(V, mat) / cnorm[None, :]
+            cell = cids[np.argmax(S, axis=1)]
+            m = np.isin(cell, probe_set)
+            if not m.any():
+                continue
+            Vm = V[m]
+            cos = _np_fold_dots(Vm, q[None, :])[:, 0] / (
+                _np_fold_norms(Vm) * qnorm)
+            yield pd.DataFrame({
+                id_col: pdf[id_col].to_numpy()[m],
+                "centroid_id": cell[m],
+                "_cos_raw": cos,
+            })
+
     return (
-        embeddings
-        .withColumn("centroid_id", ivf_assign_col(vec_d, centroids))
-        .filter(F.col("centroid_id").isin(probe_ids))
-        .select(
-            F.col(id_col),
-            "centroid_id",
-            (dot(vec_d, q) / (norm(vec_d) * norm(q))).alias("_cos_raw"),
-        )
+        embeddings.select(id_col, vec_col)
+        .mapInPandas(part, f"{id_col} long, centroid_id long, _cos_raw double")
         .orderBy(F.col("_cos_raw").desc(), F.col(id_col))
         .limit(k)
         .select(id_col, "centroid_id", F.round("_cos_raw", 6).alias("cos_sim"))
@@ -653,40 +763,89 @@ def label_spread_bucketed(
         cent = ivf_refine_centroids(
             embeddings, cent, iters=refine_iters, vec_col=vec_col,
             id_col=id_col, sample_mod=sample_mod)
-    vec_d = F.col(vec_col).cast("array<double>")
-    # normalize each side ONCE before the join: per-pair cosine is then a
-    # single fold (dot of unit vectors) instead of three — the candidate
-    # set is |cell|·|probes into it| pairs, so per-pair folds dominate
-    # the wall (measured 6.6 s → with this, the norms cost O(rows), not
-    # O(pairs)). The oracle mirrors the same normalize-then-dot tree.
-    # The norm is LET-BOUND through a one-element outer transform (the
-    # dedup.py shingle pattern): a bare norm(vec_d) inside the lambda
-    # body would re-fold the whole vector PER ELEMENT.
-    unit = F.transform(
-        F.array(norm(vec_d)),
-        lambda nm: F.transform(vec_d, lambda x: x / nm),
-    )[0]
+    # Each side is normalized ONCE before the join (per-pair cosine is a
+    # single dot of unit vectors — norms cost O(rows), not O(pairs)), and
+    # assignment/probing + the per-pair dot run in Arrow kernels with
+    # coordinate-order folds: bit-identical IEEE values to the
+    # F.aggregate form (see _np_fold_dots), minus the ~1 s literal-tree
+    # compile and the interpreted per-row HOF eval. The oracle mirrors
+    # the same normalize-then-dot arithmetic.
+    cids, mat, cnorm = _np_centroid_arrays(cent)
+
+    def assign_part(batches, cids=cids, mat=mat, cnorm=cnorm):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_rows(pdf[vec_col])
+            S = _np_fold_dots(V, mat) / cnorm[None, :]
+            yield pd.DataFrame({
+                "_nid": pdf[id_col].to_numpy(),
+                "_nv": list(V / _np_fold_norms(V)[:, None]),
+                "_cell": cids[np.argmax(S, axis=1)],
+            })
+
+    def probe_part(batches, cids=cids, mat=mat, cnorm=cnorm,
+                   n_probe=n_probe):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_rows(pdf[vec_col])
+            S = _np_fold_dots(V, mat) / cnorm[None, :]
+            # stable argsort on -S = (score desc, cid asc) — the probe
+            # order of ivf_probe_cells_col (columns ride cid-ascending)
+            probes = cids[np.argsort(-S, axis=1, kind="stable")[:, :n_probe]]
+            n, p = probes.shape
+            yield pd.DataFrame({
+                "query_id": np.repeat(pdf[id_col].to_numpy(), p),
+                "_qv": list(np.repeat(V / _np_fold_norms(V)[:, None],
+                                      p, axis=0)),
+                "_cell": probes.ravel(),
+            })
+
     unl = embeddings.filter(F.col(id_col) % mask_mod == 0)
     lab = embeddings.filter(F.col(id_col) % mask_mod != 0)
-    lab_cells = lab.select(
-        F.col(id_col).alias("_nid"),
-        unit.alias("_nv"),
-        ivf_assign_col(vec_d, cent).alias("_cell"),
-    )
-    unl_cells = unl.select(
-        F.col(id_col).alias("query_id"),
-        unit.alias("_qv"),
-        F.explode(ivf_probe_cells_col(vec_d, cent, n_probe)).alias("_cell"),
-    )
+    lab_cells = lab.select(id_col, vec_col).mapInPandas(
+        assign_part, "_nid long, _nv array<double>, _cell long")
+    unl_cells = unl.select(id_col, vec_col).mapInPandas(
+        probe_part, "query_id long, _qv array<double>, _cell long")
+
+    def pair_cos_part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = _np_rows(pdf["_qv"])
+            N = _np_rows(pdf["_nv"])
+            import numpy as np
+
+            acc = np.zeros(len(pdf), dtype="float64")
+            for d in range(Q.shape[1]):
+                acc += Q[:, d] * N[:, d]
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].to_numpy(),
+                "_nid": pdf["_nid"].to_numpy(),
+                "_cos_raw": acc,
+            })
+
     # a labeled row lives in exactly ONE cell and a query probes n_probe
     # DISTINCT cells, so (query_id, _nid) pairs are join-unique — no
     # dedup needed before the top-k window
     nn = (
         unl_cells.join(lab_cells, "_cell")
+        .select("query_id", "_nid", "_qv", "_nv")
+        .mapInPandas(pair_cos_part,
+                     "query_id long, _nid long, _cos_raw double")
         .select(
             "query_id",
             F.col("_nid").alias(id_col),
-            F.round(dot(F.col("_qv"), F.col("_nv")), 6).alias("cos_sim"),
+            F.round("_cos_raw", 6).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -736,58 +895,83 @@ def semantic_dedup(
     the exact-within-cluster alternative every LLM-corpus pipeline
     pairs with token-level dedup.
     """
-    vec_d = F.col(vec_col).cast("array<double>")
-    base = embeddings.select(
-        F.col(id_col).alias("vec_id"),
-        vec_d.alias("_v"),
-        _ivf_scored_cells(vec_d, centroids)[0].alias("_top"),
+    # Execution (optimization round 6): assignment + cos-to-centroid run
+    # in an Arrow kernel with coordinate-order folds (bit-identical to
+    # the F.aggregate form — see _np_fold_dots; the literal centroid
+    # tree cost ~1 s of Catalyst compile + interpreted HOF eval), and
+    # the within-cell pair stage is a grouped Arrow kernel: each cell's
+    # rows are shipped ONCE (the self-join shipped both sides) and the
+    # n²/k-pair cosine matrix is one coordinate-order Gram fold — same
+    # IEEE values as the per-pair fold, numpy-amortized (guide §4.2).
+    # cosine(a,b) = dot(a,b)/(|a|·|b|) with the SAME row-norm values,
+    # and cos-to-centroid keeps the exact (dot/|c|)/|v| parenthesization
+    # the oracle mirrors token for token.
+    cids, mat, cnorm = _np_centroid_arrays(centroids)
+    thr = float(threshold)
+
+    def scored_part(full):
+        def gen(batches, cids=cids, mat=mat, cnorm=cnorm):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = _np_rows(pdf[vec_col])
+                S = _np_fold_dots(V, mat) / cnorm[None, :]
+                j = np.argmax(S, axis=1)
+                vnorm = _np_fold_norms(V)
+                out = {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "cell": cids[j],
+                    "_cosc": S[np.arange(len(j)), j] / vnorm,
+                }
+                if full:
+                    out["_nm"] = vnorm
+                    out["_v"] = list(V)
+                yield pd.DataFrame(out)
+
+        return gen
+
+    src = embeddings.select(id_col, vec_col)
+    scored = src.mapInPandas(
+        scored_part(True),
+        "vec_id long, cell long, _cosc double, _nm double, _v array<double>",
     )
-    # full cosine to the ASSIGNED centroid: the fold's score is
-    # -(dot/|c|), so cos = (dot/|c|) / |v| — keep this exact
-    # parenthesization; the oracle mirrors it token for token.
-    # The row norm is computed ONCE here and reused by every pair the
-    # row participates in below: cosine(a,b) = dot(a,b)/(|a|·|b|) with
-    # the SAME IEEE norm values, so per-pair cost drops from three
-    # 64-element folds (dot + both norms) to one fold + one multiply —
-    # bit-identical results, the pair stage is the query's dominant cost
-    # (n²/k pairs per cell).
-    scored = base.select(
-        "vec_id",
-        "_v",
-        norm(F.col("_v")).alias("_nm"),
-        F.col("_top")["cid"].alias("cell"),
-        ((-F.col("_top")["nc"]) / norm(F.col("_v"))).alias("_cosc"),
-    )
-    a, b = scored.alias("a"), scored.alias("b")
-    pair_cos = dot(F.col("a._v"), F.col("b._v")) / (
-        F.col("a._nm") * F.col("b._nm"))
-    # the cheap centroid-distance ordering predicate rides IN the join
-    # condition (it subsumes a.vec_id != b.vec_id: equal ids have equal
-    # _cosc and fail the tie-break), so the And tree short-circuits it
-    # BEFORE the per-pair cosine fold — half the candidate pairs never
-    # pay the fold. Same drop set: the original applied both predicates
-    # conjunctively after the join.
-    dropped = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (
-                (F.col("b._cosc") < F.col("a._cosc"))
-                | (
-                    (F.col("b._cosc") == F.col("a._cosc"))
-                    & (F.col("b.vec_id") < F.col("a.vec_id"))
-                )
-            )
-            & (pair_cos >= threshold),
+    # the output path re-runs the (cheap) kernel without _v/_nm so the
+    # heavy vector column never crosses the Arrow boundary twice
+    scored_lite = src.mapInPandas(
+        scored_part(False), "vec_id long, cell long, _cosc double")
+
+    def cell_part(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        if len(ids) < 2:
+            return pd.DataFrame({"vec_id": ids[:0]})
+        V = _np_rows(pdf["_v"])
+        nm = pdf["_nm"].to_numpy()
+        cosc = pdf["_cosc"].to_numpy()
+        sim = _np_fold_gram(V) / np.outer(nm, nm)
+        # dom[a, b]: b strictly dominates a (closer to the centroid,
+        # ties to the smaller id) — the SemDeDup keep-farthest rule
+        dom = (cosc[None, :] < cosc[:, None]) | (
+            (cosc[None, :] == cosc[:, None]) & (ids[None, :] < ids[:, None])
         )
-        .select(F.col("a.vec_id").alias("vec_id"))
-        .distinct()
+        drop = ((sim >= thr) & dom).any(axis=1)
+        return pd.DataFrame({"vec_id": ids[drop]})
+
+    dropped = (
+        scored.groupBy("cell").applyInPandas(cell_part, "vec_id long")
         .withColumn("_d", F.lit(1))
     )
     # dropped is bounded by the corpus's duplicate count and tiny next
     # to `scored`; broadcasting it turns the join-back from a sort-merge
     # (one more full shuffle of every row) into a map-side hash probe
-    return scored.join(F.broadcast(dropped), "vec_id", "left").select(
+    return scored_lite.join(
+        F.broadcast(dropped), "vec_id", "left"
+    ).select(
         "vec_id",
         F.col("cell").cast("bigint").alias("cell"),
         F.round(F.col("_cosc"), 6).alias("cos_centroid"),
