@@ -33,7 +33,47 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import shingles, tokens
+
+def _distinct_elements(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int | None
+) -> DataFrame:
+    """Exploded (id, token) rows — each doc's DISTINCT token/shingle set.
+
+    Arrow kernel (optimization round 6, guide §4.2): the expression form
+    (split → windowed concat_ws transform → array_distinct → explode)
+    runs through interpreted higher-order functions — no whole-stage
+    codegen, per-element allocations — and was the dominant cost of both
+    setjoin queries (~1.5 s of a 5 s wall at sf0.1). The kernel emits the
+    identical row set: the tokenizer splits on the same ASCII whitespace
+    class Java's \\s matches, shingles are the same ``" ".join`` of n
+    consecutive tokens, and dedup/order are irrelevant downstream (every
+    consumer aggregates). Stays a map — no shuffle, schema (id, token).
+    """
+    n = shingle_n
+
+    def part(batches):
+        import re
+
+        import pandas as pd
+
+        split = re.compile(r"[ \t\n\x0b\f\r]+").split
+        for pdf in batches:
+            ids: list = []
+            toks: list = []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                t = [w for w in split(txt) if w] if txt is not None else []
+                if n is None:
+                    seen = dict.fromkeys(t)
+                elif len(t) >= n:
+                    seen = dict.fromkeys(
+                        " ".join(t[j : j + n]) for j in range(len(t) - n + 1))
+                else:
+                    continue
+                ids.extend([i] * len(seen))
+                toks.extend(seen)
+            yield pd.DataFrame({"id": ids, "token": toks})
+
+    return df.select(id_col, text_col).mapInPandas(part, "id long, token string")
 
 
 def _ordered_sets(
@@ -42,15 +82,7 @@ def _ordered_sets(
     """(id, toks, n): each doc's distinct element set sorted rare-first
     by the (document frequency, token) total order — the shared front
     end of the prefix-filter joins."""
-    elems = (
-        shingles(F.col(text_col), shingle_n)
-        if shingle_n is not None
-        else tokens(F.col(text_col))
-    )
-    pairs_tok = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(elems)).alias("token"),
-    )
+    pairs_tok = _distinct_elements(df, text_col, id_col, shingle_n)
     dfreq = pairs_tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("df"))
     ordered = (
@@ -142,8 +174,14 @@ def similarity_join(
             )
         )
         .select(F.col("l.id").alias("doc_a"), F.col("r.id").alias("doc_b"))
-        .distinct()
     )
+    # candidate dedup runs AFTER verification (round-6): a pair sharing
+    # several prefix tokens appears once per shared token, but the
+    # position filter keeps the multiplicity within a few % of the
+    # distinct pair count, so deduplicating the (tiny) verified output
+    # replaces a full candidate-sized shuffle with a result-sized one.
+    # Every duplicate occurrence computes identical values — the final
+    # dropDuplicates yields the same pair set.
     sets = ordered.select("id", "toks", "n")
     return (
         cands.join(
@@ -169,6 +207,7 @@ def similarity_join(
             F.lit(den) * F.col("inter")
             >= F.lit(num) * F.col("union_sz")
         )
+        .dropDuplicates(["doc_a", "doc_b"])
         .select(
             "doc_a",
             "doc_b",
@@ -260,8 +299,10 @@ def containment_join(
             )
         )
         .select(F.col("l.id").alias("src"), F.col("r.id").alias("dst"))
-        .distinct()
     )
+    # dedup after verification — see similarity_join: replaces the
+    # candidate-sized distinct shuffle with a result-sized one; every
+    # duplicate occurrence verifies to identical values.
     sets = ordered.select("id", "toks", "n")
     return (
         cands.join(
@@ -278,6 +319,7 @@ def containment_join(
             "n_src",
         )
         .where(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("n_src"))
+        .dropDuplicates(["src", "dst"])
         .select(
             "src",
             "dst",
