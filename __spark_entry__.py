@@ -1257,9 +1257,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from uckg_spark.operators.dedup import tokens
         from uckg_spark.operators.sketches import cms_heavy_hitters
 
-        toks = _t(spark, sf, "documents").select(
-            F.explode(tokens(F.col("text"))).alias("value"))
-        total = toks.count()
+        docs = _t(spark, sf, "documents")
+        toks = docs.select(F.explode(tokens(F.col("text"))).alias("value"))
+        # total token count = sum of per-doc array sizes: one map-side
+        # aggregate instead of materializing the exploded stream just to
+        # count it (explode drops nothing size() counts — empty arrays
+        # contribute 0 rows and 0 alike)
+        total = docs.agg(
+            F.sum(F.size(tokens(F.col("text")))).alias("n")
+        ).collect()[0][0] or 0
         return cms_heavy_hitters(
             toks, "value", threshold=max(1, total // 50), width=256)
     q["heavy_hitters"] = q_heavy_hitters

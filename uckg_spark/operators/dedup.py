@@ -218,27 +218,56 @@ def minhash_signatures(
         sig = F.array(*[min_hash_x(j) for j in range(num_hashes)])
         return pre.select("doc_id", sig.alias("sig"))
 
+    # md5 path: Arrow kernel (optimization round 6, guide §4.2). The
+    # expression form (tokenize → shingle windows → per-family md5
+    # transform → per-slice conv/array_min) runs through interpreted
+    # higher-order functions — no whole-stage codegen, one allocation
+    # per element per lambda — and dominated every minhash consumer's
+    # first materialization (~2.4 s of dedup_minhash's ~3 s at sf0.1).
+    # The kernel reproduces the identical values: tokens split on the
+    # ASCII whitespace class Java's \s matches, shingles are the same
+    # " ".join of n consecutive tokens deduped, and hash j is the j%4-th
+    # big-endian uint32 of md5(f"{j//4}:" + shingle) — exactly
+    # int(md5_hex[8*(j%4) : 8*(j%4)+8], 16), the engine-portable h32
+    # family the oracle reproduces. Docs with no shingle (< n tokens, or
+    # NULL text) yield [NULL]*k, matching array_min over an empty array.
+    # Stays a map over (doc_id, text) only — no shuffle, no extra
+    # columns across the boundary (guide §4.1).
     n_fams = (num_hashes + 3) // 4
+    id_type = dict(docs.dtypes)["doc_id"]
 
-    def _fam_digests(p: int) -> Column:
-        # factory (not a default-arg lambda): pyspark treats a 2-parameter
-        # transform lambda as (element, index)
-        return F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{p}:"), s)))
+    def part(batches):
+        import hashlib
+        import re
 
-    digs = pre.select(
-        "doc_id",
-        *[_fam_digests(p).alias(f"_dig{p}") for p in range(n_fams)],
-    )
+        import numpy as np
+        import pandas as pd
 
-    def min_hash_j(j: int) -> Column:
-        off = 8 * (j % 4) + 1
-        return F.array_min(F.transform(
-            F.col(f"_dig{j // 4}"),
-            lambda d: F.conv(F.substring(d, off, 8), 16, 10).cast("bigint"),
-        ))
+        split = re.compile(r"[ \t\n\x0b\f\r]+").split
+        md5 = hashlib.md5
+        prefixes = [f"{p}:".encode() for p in range(n_fams)]
+        empty = [None] * num_hashes
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            sigs: list = []
+            for txt in pdf[text_col]:
+                t = [w for w in split(txt) if w] if txt is not None else []
+                if len(t) < n:
+                    sigs.append(empty)
+                    continue
+                seen = dict.fromkeys(
+                    " ".join(t[j : j + n]) for j in range(len(t) - n + 1))
+                mins: list = []
+                for pre_b in prefixes:
+                    buf = b"".join(
+                        md5(pre_b + s.encode()).digest() for s in seen)
+                    arr = np.frombuffer(buf, dtype=">u4").reshape(-1, 4)
+                    mins.extend(int(v) for v in arr.min(axis=0))
+                sigs.append(mins[:num_hashes])
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
 
-    sig = F.array(*[min_hash_j(j) for j in range(num_hashes)])
-    return digs.select("doc_id", sig.alias("sig"))
+    return docs.select("doc_id", text_col).mapInPandas(
+        part, f"doc_id {id_type}, sig array<bigint>")
 
 
 def banded_signatures(

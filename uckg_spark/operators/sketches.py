@@ -118,7 +118,7 @@ def cms_heavy_hitters(
     false positives (bounded: P[est ≥ T | true n_v] decays as
     (N/(T·width))^depth by the CMS Markov bound).
 
-    Mechanics: depth md5-derived hash rows × width cells, built as ONE
+    Mechanics: depth xxhash64-derived hash rows × width cells, built as ONE
     map-side-combining (row, cell) count aggregation; fact rows read
     their depth cells via BROADCAST left joins on (row, cell) — one
     broadcast of the ≤ depth·width-row cell table, reused across probes
@@ -139,14 +139,15 @@ def cms_heavy_hitters(
         F.col("value").isNotNull())
 
     def pos(j: int) -> Column:
-        return F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.col("value"), F.lit(f":{j}"))), 1, 8),
-                16, 10,
-            ).cast("bigint"),
-            F.lit(width),
-        )
+        # sketch-internal hash: xxhash64, not the portable md5 h32 —
+        # legitimate because the RESULT does not depend on the hash
+        # family at all: a CMS estimate never undercounts under ANY
+        # hash (cells only ever over-count), so the candidate set stays
+        # a superset of the true heavy hitters and the final exact
+        # HAVING filter decides. md5-in-Catalyst was ~2x this query's
+        # row cost (depth hashes per row in the build pass and again in
+        # the probe pass); xxhash64 is codegen-native.
+        return F.pmod(F.xxhash64(F.col("value"), F.lit(j)), F.lit(width))
 
     cells_df = (
         base.select(F.explode(F.array(*[

@@ -86,10 +86,13 @@ def pagerank_fixed(
     deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("outdeg")
     )
-    # src-side static table: node, outdeg — joined to ranks each iteration
+    # the out-degree rides ON the edge row, joined ONCE before the loop:
+    # the round-5 shape re-joined ranks⋈deg every iteration (an extra
+    # exchange/broadcast stage per step for a value that never changes)
+    e2 = e.join(deg, e.src == deg.node).select(
+        F.col("src").alias("node"), "dst", "outdeg")
     if iterations > 0:
-        e = e.persist()
-        deg = deg.persist()
+        e2 = e2.persist()
         nodes = nodes.persist()
 
     seed_mask = (
@@ -99,21 +102,30 @@ def pagerank_fixed(
     )
     ranks = nodes.withColumn(
         "rank", (F.lit(_SCALE) * seed_mask).cast("bigint"))
-    is_local = e.sparkSession.sparkContext.master.startswith("local")
+    is_local = e2.sparkSession.sparkContext.master.startswith("local")
+    # per-node zero contribution rows, unioned under the incoming-mass
+    # aggregation: sum(contribs ∪ {0 per node}) ≡ coalesce(sum, 0) over
+    # all nodes, so the old nodes⋈incoming LEFT join disappears — each
+    # iteration is ONE join (rank fetch, keyed on the source node) plus
+    # ONE map-side-combined aggregation (keyed on the destination), the
+    # textbook minimum shuffle pair (guide §2.4)
+    zeros = nodes.select("node", F.lit(0).cast("bigint").alias("s"))
     for k in range(iterations):
-        share = (
-            ranks.join(deg, "node")
-            .select("node", F.expr("rank div outdeg").alias("share"))
+        contribs = (
+            e2.join(ranks.withColumnRenamed("node", "_rn"),
+                    F.col("node") == F.col("_rn"))
+            .select(F.col("dst").alias("node"),
+                    F.expr("rank div outdeg").alias("s"))
         )
-        incoming = (
-            e.join(share, e.src == share.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("share").cast("bigint").alias("s"))
-        )
-        ranks = nodes.join(incoming, "node", "left").select(
-            "node",
-            (F.lit(_TELEPORT) * seed_mask + F.expr(
-                f"(85 * coalesce(s, 0L)) div 100")).cast("bigint").alias("rank"),
+        ranks = (
+            contribs.unionByName(zeros)
+            .groupBy("node")
+            .agg(F.sum("s").cast("bigint").alias("s"))
+            .select(
+                "node",
+                (F.lit(_TELEPORT) * seed_mask
+                 + F.expr("(85 * s) div 100")).cast("bigint").alias("rank"),
+            )
         )
         # truncate lineage periodically: Catalyst re-optimizes the whole
         # nested plan stack every iteration otherwise (measured on the CC
@@ -371,23 +383,35 @@ def label_propagation(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    for _ in range(rounds):
-        votes = (
-            und.join(
-                labels.withColumnsRenamed({"node": "b", "label": "nl"}), "b"
+    for r in range(rounds):
+        if r == 0:
+            # round 1 against IDENTITY labels needs no join and no vote
+            # count: every neighbor carries a distinct label (und is a
+            # distinct edge set), so each (node, label) count is exactly
+            # 1 and min(struct(-1, label)) degenerates to min(neighbor)
+            # — one map-side-combined aggregation replaces the
+            # join + two-level vote (guide §2.4); the result is
+            # bit-identical to the general round below
+            labels = und.groupBy(F.col("a").alias("node")).agg(
+                F.min("b").alias("label"))
+        else:
+            votes = (
+                und.join(
+                    labels.withColumnsRenamed({"node": "b", "label": "nl"}),
+                    "b",
+                )
+                .groupBy(F.col("a").alias("node"), F.col("nl").alias("label"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
             )
-            .groupBy(F.col("a").alias("node"), F.col("nl").alias("label"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        labels = (
-            votes.groupBy("node")
-            .agg(
-                F.min(
-                    F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
-                ).alias("m")
+            labels = (
+                votes.groupBy("node")
+                .agg(
+                    F.min(
+                        F.struct((-F.col("cnt")).alias("nc"), F.col("label"))
+                    ).alias("m")
+                )
+                .select("node", F.col("m.label").alias("label"))
             )
-            .select("node", F.col("m.label").alias("label"))
-        )
         if is_local:
             labels = labels.localCheckpoint(eager=False)
     return labels
@@ -651,24 +675,41 @@ def hits_fixed(
         nodes = nodes.persist()
     hub = nodes.withColumn("h", F.lit(1_000_000).cast("bigint"))
     auth = None
-    for _ in range(iterations):
+    # totalize the LAST iteration's sums by unioning a zero row per node
+    # under the aggregation (sum(x ∪ {0}) ≡ coalesce(sum, 0)): the two
+    # final nodes⋈auth/nodes⋈hub LEFT joins then collapse to one inner
+    # join of two total maps (guide §2.4 — the same fold-the-left-join-
+    # into-the-agg move as pagerank_fixed)
+    zeros_a = nodes.select("node", F.lit(0).cast("bigint").alias("a"))
+    zeros_h = nodes.select("node", F.lit(0).cast("bigint").alias("h"))
+    for i in range(iterations):
+        last = i == iterations - 1
+        ac = (
+            e.join(hub.withColumnRenamed("node", "_hn"),
+                   e.src == F.col("_hn"))
+            .select(F.col("dst").alias("node"), F.col("h").alias("a"))
+        )
         auth = (
-            e.join(hub, e.src == hub.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("h").cast("bigint").alias("a"))
+            (ac.unionByName(zeros_a) if last else ac)
+            .groupBy("node")
+            .agg(F.sum("a").cast("bigint").alias("a"))
+        )
+        hc = (
+            e.join(auth.withColumnRenamed("node", "_an"),
+                   e.dst == F.col("_an"))
+            .select(F.col("src").alias("node"), F.col("a").alias("h"))
         )
         hub = (
-            e.join(auth, e.dst == auth.node)
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("a").cast("bigint").alias("h"))
+            (hc.unionByName(zeros_h) if last else hc)
+            .groupBy("node")
+            .agg(F.sum("h").cast("bigint").alias("h"))
         )
     return (
-        nodes.join(auth, "node", "left")
-        .join(hub, "node", "left")
+        auth.join(hub, "node")
         .select(
             "node",
-            F.coalesce("a", F.lit(0)).cast("bigint").alias("auth"),
-            F.coalesce("h", F.lit(0)).cast("bigint").alias("hub"),
+            F.col("a").cast("bigint").alias("auth"),
+            F.col("h").cast("bigint").alias("hub"),
         )
     )
 
