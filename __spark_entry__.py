@@ -1491,7 +1491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LSH candidate pairs, each verified by EXACT shingle-set
         # Jaccard — what a human (or threshold tuner) audits before
         # trusting the banding parameters at corpus scale
-        from uckg_spark.operators.dedup import minhash_lsh_pairs, shingles
+        from uckg_spark.operators.dedup import minhash_lsh_pairs, shingle_rows
 
         docs = _t(spark, sf, "documents")
         pairs = minhash_lsh_pairs(docs, num_hashes=4, bands=2)
@@ -1501,10 +1501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.md5(F.concat_ws(":", "doc_a", "doc_b")))
             .orderBy("_k").limit(16)
         )
-        sh = docs.select(
-            F.col("doc_id"),
-            F.explode(F.array_distinct(shingles(F.col("text")))).alias("s"),
-        )
+        sh = shingle_rows(docs, 3, "text", distinct=True).select(
+            F.col("id").alias("doc_id"), F.col("token").alias("s"))
         sizes = sh.groupBy("doc_id").agg(
             F.count(F.lit(1)).cast("bigint").alias("n"))
         sa = sh.select(F.col("doc_id").alias("doc_a"), "s")

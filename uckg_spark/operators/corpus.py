@@ -287,21 +287,23 @@ def contamination_report(
     only ever OVER-count contamination — conservative in the safe
     direction); the string key here keeps the operator exact.
     """
-    from .dedup import shingles
+    from .dedup import shingle_rows
 
-    sh = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(group_col).alias("_g"),
-        F.explode(shingles(F.col(text_col), n=n)).alias("shingle"),
-    )
-    eval_sh = (
-        sh.filter(F.col("_g") == eval_group)
-        .select("doc_id", "shingle")
-        .distinct()
-    )
+    # split BEFORE shingling (the group filter then pushes into the
+    # parquet scan instead of running on exploded rows) and shingle via
+    # the Arrow kernel with per-doc dedup — per-doc-distinct followed by
+    # the global distinct is the same set as distinct-after-explode,
+    # with fewer rows entering each shuffle (guide §2.3)
+    eval_sh = shingle_rows(
+        docs.filter(F.col(group_col) == eval_group), n, text_col,
+        id_col=id_col, distinct=True,
+    ).select(F.col("id").alias("doc_id"), F.col("token").alias("shingle"))
     train_sh = (
-        sh.filter(F.col("_g") != eval_group)
-        .select("shingle")
+        shingle_rows(
+            docs.filter(F.col(group_col) != eval_group), n, text_col,
+            id_col=id_col, distinct=True,
+        )
+        .select(F.col("token").alias("shingle"))
         .distinct()
         .withColumn("_hit", F.lit(1).cast("bigint"))
     )
@@ -439,9 +441,12 @@ def source_overlap(
     (tiny by definition: sources, not documents), so the join never
     approaches |corpus|²; per-group set sizes ride a broadcast join.
     """
-    sh = docs.select(
-        F.col(group_col).alias("g"),
-        F.explode(shingles(F.col(text_col))).alias("s"),
+    from .dedup import shingle_rows
+
+    sh = shingle_rows(
+        docs, 3, text_col, id_col=group_col, distinct=True
+    ).select(
+        F.col("id").alias("g"), F.col("token").alias("s")
     ).distinct()
     sizes = sh.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")

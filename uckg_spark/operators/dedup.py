@@ -64,6 +64,69 @@ def shingles(c: Column, n: int = 3) -> Column:
     return F.get(F.transform(F.array(tokens(c)), window), 0)
 
 
+def shingle_rows(
+    df: DataFrame,
+    n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    distinct: bool = False,
+    pos: bool = False,
+) -> DataFrame:
+    """Exploded word-``n``-gram rows as an Arrow kernel —
+    ``(id, [pos,] shingle)`` — the shared fast path for every consumer
+    of ``explode(shingles(text, n))`` (optimization round 6, guide
+    §4.2: the interpreted higher-order-function form re-tokenizes and
+    window-joins per row with no whole-stage codegen and was the
+    dominant cost of the span-dedup/overlap family).
+
+    Emits the IDENTICAL row multiset as the expression forms it
+    replaces: tokens split on the ASCII whitespace class Java's ``\\s``
+    matches; shingles are the ``" ".join`` of ``n`` consecutive tokens
+    in document order; ``distinct=True`` keeps each doc's first
+    occurrences (``explode(array_distinct(...))``); ``pos=True`` adds
+    the 0-based window index (``posexplode``). NULL/short texts emit no
+    rows, exactly like exploding a NULL/empty array. ``n=1`` degrades
+    to plain tokens. Stays a map over (id, text) only — no shuffle, no
+    extra columns across the Python boundary (guide §4.1).
+    """
+    id_type = dict(df.dtypes)[id_col]
+    schema = (f"id {id_type}, pos int, token string" if pos
+              else f"id {id_type}, token string")
+
+    def part(batches):
+        import re
+
+        import pandas as pd
+
+        split = re.compile(r"[ \t\n\x0b\f\r]+").split
+        for pdf in batches:
+            ids: list = []
+            poss: list = []
+            toks: list = []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                t = [w for w in split(txt) if w] if txt is not None else []
+                if len(t) < n:
+                    continue
+                if n == 1:
+                    sh = t
+                else:
+                    sh = [" ".join(t[j : j + n])
+                          for j in range(len(t) - n + 1)]
+                if distinct:
+                    sh = list(dict.fromkeys(sh))
+                ids.extend([i] * len(sh))
+                if pos:
+                    poss.extend(range(len(sh)))
+                toks.extend(sh)
+            out = {"id": ids}
+            if pos:
+                out["pos"] = pd.array(poss, dtype="int32")
+            out["token"] = toks
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(part, schema)
+
+
 def exact_dedup_apply(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """The APPLY step of exact dedup: return the corpus with one keeper
     per byte-identical group (min doc_id — the A3 deterministic winner).
@@ -149,9 +212,8 @@ def ngram_jaccard_pairs(
     baseline that minhash_lsh_pairs approximates. Returns
     (doc_a, doc_b, jaccard) with doc_a < doc_b.
     """
-    sh = (
-        docs.select(F.col("doc_id"), F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("sh"))
-    )
+    sh = shingle_rows(docs, n, text_col, distinct=True).select(
+        F.col("id").alias("doc_id"), F.col("token").alias("sh"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -57,37 +57,70 @@ def repetition_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
     scale documents reach 10^5 tokens and O(n²) per row loses to one
     well-keyed exchange; this is the 100 TB shape.
     """
-    t = F.col(text_col)
-    base = docs.select(
-        "doc_id",
-        F.size(tokens(t)).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(tokens(t))).cast("bigint").alias("n_distinct"),
-    )
-    gram_tops = (
-        docs.select("doc_id", F.explode(shingles(t, 2)).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count("*").alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top_2gram_count"))
+    # Arrow kernel (optimization round 6, guide §4.2): all three raw
+    # counts are per-document, so one row-local pass replaces the
+    # triple interpreted tokenize, the (doc_id, gram) count shuffle,
+    # the per-doc max shuffle and the join-back. The per-task state is
+    # one Counter bounded by a document's own 2-gram count — the same
+    # order as holding the text row, so this stays the 100 TB shape
+    # (the round-5 shuffle form hedged against 10^5-token documents,
+    # but the counter is linear in the doc, not quadratic). Counts are
+    # exact and identical: tokens split on the ASCII whitespace class
+    # Java's \s matches; 2-grams are adjacent-token joins.
+    id_type = dict(docs.dtypes)["doc_id"]
+
+    def part(batches):
+        import re
+        from collections import Counter
+
+        import pandas as pd
+
+        split = re.compile(r"[ \t\n\x0b\f\r]+").split
+        for pdf in batches:
+            ids: list = []
+            ntk: list = []
+            nds: list = []
+            top: list = []
+            for i, txt in zip(pdf["doc_id"], pdf[text_col]):
+                ids.append(i)
+                if txt is None:
+                    # size(tokens(NULL)) is NULL in the expression form;
+                    # the gram branch contributed a coalesced 0
+                    ntk.append(None)
+                    nds.append(None)
+                    top.append(0)
+                    continue
+                t = [w for w in split(txt) if w]
+                ntk.append(len(t))
+                nds.append(len(set(t)))
+                if len(t) >= 2:
+                    c = Counter(zip(t, t[1:]))
+                    top.append(max(c.values()))
+                else:
+                    top.append(0)
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "n_tokens": pd.array(ntk, dtype="Int64"),
+                "n_distinct": pd.array(nds, dtype="Int64"),
+                "top_2gram_count": pd.array(top, dtype="int64"),
+            })
+
+    base = docs.select("doc_id", text_col).mapInPandas(
+        part,
+        f"doc_id {id_type}, n_tokens bigint, n_distinct bigint, "
+        "top_2gram_count bigint",
     )
     ntok = F.greatest(F.col("n_tokens"), F.lit(1))
-    return (
-        base.join(gram_tops, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            F.floor(F.lit(E6) * (F.col("n_tokens") - F.col("n_distinct")) / ntok)
-            .cast("bigint")
-            .alias("dup_token_frac_e6"),
-            F.coalesce(F.col("top_2gram_count"), F.lit(0))
-            .cast("bigint")
-            .alias("top_2gram_count"),
-            F.floor(
-                F.lit(E6) * F.lit(2) * F.coalesce(F.col("top_2gram_count"), F.lit(0)) / ntok
-            )
-            .cast("bigint")
-            .alias("top_2gram_frac_e6"),
-        )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.lit(E6) * (F.col("n_tokens") - F.col("n_distinct")) / ntok)
+        .cast("bigint")
+        .alias("dup_token_frac_e6"),
+        F.col("top_2gram_count").cast("bigint").alias("top_2gram_count"),
+        F.floor(F.lit(E6) * F.lit(2) * F.col("top_2gram_count") / ntok)
+        .cast("bigint")
+        .alias("top_2gram_frac_e6"),
     )
 
 
@@ -108,9 +141,10 @@ def duplicated_shingles(
     upstream partition, not one per occurrence. count(distinct doc_id)
     expands to a two-round aggregate the same way.
     """
-    spans = docs.select(
-        "doc_id", F.explode(shingles(F.col(text_col), n)).alias("shingle")
-    )
+    from .dedup import shingle_rows
+
+    spans = shingle_rows(docs, n, text_col).select(
+        F.col("id").alias("doc_id"), F.col("token").alias("shingle"))
     return (
         spans.groupBy("shingle")
         .agg(
@@ -148,11 +182,11 @@ def remove_duplicated_spans(
        the worst case but |starts| is bounded by the duplicated MASS of
        the doc, which is exactly what this operator exists to make small.
     """
+    from .dedup import shingle_rows
+
     toks = tokens(F.col(text_col))
-    spans = docs.select(
-        "doc_id",
-        F.posexplode(shingles(F.col(text_col), n)).alias("pos", "shingle"),
-    )
+    spans = shingle_rows(docs, n, text_col, pos=True).select(
+        F.col("id").alias("doc_id"), "pos", F.col("token").alias("shingle"))
     dup = (
         spans.groupBy("shingle")
         .agg(F.countDistinct("doc_id").alias("n_docs"))

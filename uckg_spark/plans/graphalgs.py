@@ -328,10 +328,16 @@ def kcore(
 
     is_local = edges.sparkSession.sparkContext.master.startswith("local")
     for _ in range(rounds):
-        keep = degrees(e).filter(F.col("core_deg") >= k).select("node")
+        # peel by ANTI-joining the LOW-degree frontier instead of
+        # semi-joining the survivors: the peeled set is the small side
+        # (pendant nodes), so both probes broadcast a frontier-sized
+        # table rather than shuffling a survivors-sized one — identical
+        # edge set (a∉bad ∧ b∉bad ⇔ a∈keep ∧ b∈keep; every endpoint has
+        # a degree row by construction), guide §2.3 shuffle-fewer-bytes.
+        bad = degrees(e).filter(F.col("core_deg") < k).select("node")
         e = e.join(
-            keep.withColumnRenamed("node", "a"), "a", "semi"
-        ).join(keep.withColumnRenamed("node", "b"), "b", "semi")
+            bad.withColumnRenamed("node", "a"), "a", "anti"
+        ).join(bad.withColumnRenamed("node", "b"), "b", "anti")
         if is_local:
             e = e.localCheckpoint(eager=False)
     return degrees(e)
@@ -498,11 +504,25 @@ def link_prediction(
     )
     node_deg = capped.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg"))
-    a = capped.select(F.col("node").alias("a"), "hub", "hdeg")
-    b = capped.select(F.col("node").alias("b"), "hub")
+    # pair generation by per-hub combinations instead of the hub
+    # self-join (guide §2.4): ONE groupBy(hub) shuffle + an explode of
+    # the sorted member list's C(g, 2) combinations replaces shuffling
+    # both join sides and probing — the emitted (a, b, hdeg) multiset is
+    # identical (members sorted ascending ⇒ a < b), and collect_list is
+    # bounded by ``max_hub_degree``, so no group can blow up.
+    grp = capped.groupBy("hub").agg(
+        F.sort_array(F.collect_list("node")).alias("ns"),
+        F.first("hdeg").alias("hdeg"),
+    )
+    combos = grp.select(
+        "hdeg",
+        F.explode(F.flatten(F.expr(
+            "transform(ns, (x, i) -> transform("
+            "slice(ns, i + 2, size(ns)), y -> struct(x AS a, y AS b)))"
+        ))).alias("p"),
+    )
     pairs = (
-        a.join(b, "hub")
-        .filter(F.col("a") < F.col("b"))
+        combos.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "hdeg")
         .groupBy("a", "b")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("cn"),
@@ -761,12 +781,20 @@ def node_neighbor_minhash(
         raise ValueError("num_hashes must be >= 1")
     if und is None:
         und = node_undirected(edges, subj, obj)
-    return und.groupBy("node").agg(*[
+    # one md5 per (node, nbr) row per FAMILY, materialized as its own
+    # projection column before the min aggs: the 4 per-slice min
+    # expressions then share the digest instead of each re-hashing
+    # (Catalyst does not reliably CSE across aggregate expressions)
+    n_fams = (num_hashes + 3) // 4
+    digs = und.select(
+        "node",
+        *[F.md5(F.concat(F.lit(f"{p}:"), F.col("nbr"))).alias(f"_d{p}")
+          for p in range(n_fams)],
+    )
+    return digs.groupBy("node").agg(*[
         F.min(
             F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"{j // 4}:"), F.col("nbr"))),
-                    8 * (j % 4) + 1, 8),
+                F.substring(F.col(f"_d{j // 4}"), 8 * (j % 4) + 1, 8),
                 16, 10,
             ).cast("bigint")
         ).alias(f"mh{j}")
@@ -840,20 +868,31 @@ def structural_pairs(
     keys = [f"mh{j}" for j in range(num_hashes)]
     und = node_undirected(edges, subj, obj).persist()
     sig = node_neighbor_minhash(edges, num_hashes, subj, obj, und=und)
+    # candidate pairs by per-group combinations (guide §2.4): the
+    # count prefilter stays (collect_list over an UNFILTERED group could
+    # buffer a giant structural twin class — the count agg is the scale
+    # guard), but the within-group SELF-JOIN of the round-5 shape is
+    # replaced by collecting each small group's sorted member list and
+    # exploding its C(g, 2) combinations — identical pair set (members
+    # sorted ascending ⇒ node_a < node_b; nodes are unique per
+    # signature row), bounded by ``max_group_size``.
     small = (
         sig.groupBy(*keys)
         .agg(F.count(F.lit(1)).alias("_gn"))
         .filter((F.col("_gn") >= 2) & (F.col("_gn") <= max_group_size))
         .select(*keys)
     )
-    members = sig.join(small, keys)
-    ma, mb = members.alias("ma"), members.alias("mb")
-    cand = ma.join(
-        mb,
-        [F.col(f"ma.{k}") == F.col(f"mb.{k}") for k in keys]
-        + [F.col("ma.node") < F.col("mb.node")],
-    ).select(
-        F.col("ma.node").alias("node_a"), F.col("mb.node").alias("node_b"))
+    cand = (
+        sig.join(small, keys)
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("node")).alias("ns"))
+        .select(F.explode(F.flatten(F.expr(
+            "transform(ns, (x, i) -> transform("
+            "slice(ns, i + 2, size(ns)), y -> struct(x AS node_a, y AS node_b)))"
+        ))).alias("p"))
+        .select(F.col("p.node_a").alias("node_a"),
+                F.col("p.node_b").alias("node_b"))
+    )
     deg = und.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg"))
     ua = und.select(F.col("node").alias("node_a"), "nbr")

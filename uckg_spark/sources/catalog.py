@@ -444,7 +444,12 @@ class GraphCatalog:
             obs = Observation(f"{name}_{uuid.uuid4().hex[:8]}")
             (
                 df.observe(obs, F.count(F.lit(1)).alias("n"))
-                .repartition(n_tasks)
+                # coalesce, not repartition: ``n_tasks`` CAPS the output
+                # file count without paying a full round-robin shuffle
+                # (+ its sort-before-repartition) per commit — the write
+                # job is scan→write. A caller that needs rebalancing
+                # repartitions the frame it passes in.
+                .coalesce(n_tasks)
                 .write.mode("overwrite").parquet(path)
             )
             return int(obs.get["n"])
@@ -623,7 +628,9 @@ class GraphCatalog:
         obs = Observation(f"mor_{uuid.uuid4().hex[:8]}")
         (
             updates.observe(obs, F.count(F.lit(1)).alias("n"))
-            .repartition(n_tasks)
+            # coalesce caps files without a per-merge shuffle (see
+            # write_table)
+            .coalesce(n_tasks)
             .write.mode("overwrite").parquet(os.path.join(self.root, data_rel))
         )
         n_updates = int(obs.get["n"])
