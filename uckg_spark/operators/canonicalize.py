@@ -112,6 +112,24 @@ def connected_components(
         local = cur.repartition(parts, "u").mapInPandas(
             _local_union_find, _MAP_SCHEMA
         )
+        if parts == 1:
+            # single partition ⇒ the local union-find saw EVERY edge, so
+            # its reps are the global answer: the kernel emits each node
+            # exactly once per partition, every node's _reps would have
+            # one element, nxt would be provably empty and the loop
+            # would break — skip the per-node aggregation AND the
+            # residual-graph distinct/count (exact same labels)
+            flat = local.select("node", "rep")
+            if mapping is None:
+                mapping = flat
+            else:
+                remap = flat.select(
+                    F.col("node").alias("rep"), F.col("rep").alias("_new")
+                )
+                mapping = mapping.join(remap, "rep", "left").select(
+                    "node", F.coalesce("_new", "rep").alias("rep")
+                )
+            break
         grp = (
             local.repartition(parts, "node")
             .groupBy("node")

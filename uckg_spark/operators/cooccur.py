@@ -59,13 +59,23 @@ def cooccur_lift(
     )
     item_counts = b.groupBy("item").agg(F.count("*").alias("cnt"))
     total = b.select(F.count_distinct("basket").alias("n_baskets"))
+    # per-basket item-set combinations instead of the basket-keyed
+    # self-join (guide §2.4): one groupBy(basket) shuffle whose sorted
+    # item list explodes into its C(g, 2) ordered pairs — the same
+    # (item_a < item_b) multiset the join produced. The C(g, 2) fan-out
+    # is inherent to the operator either way; the array materialization
+    # is bounded by the basket size (orders hold a handful of items —
+    # a pathological mega-basket should be capped upstream in either
+    # formulation).
     pairs = (
-        b.alias("l")
-        .join(b.alias("r"), "basket")
-        .where(F.col("l.item") < F.col("r.item"))
-        .groupBy(
-            F.col("l.item").alias("item_a"), F.col("r.item").alias("item_b")
-        )
+        b.groupBy("basket")
+        .agg(F.sort_array(F.collect_list("item")).alias("its"))
+        .select(F.explode(F.flatten(F.expr(
+            "transform(its, (x, i) -> transform("
+            "slice(its, i + 2, size(its)), y -> struct(x AS item_a, y AS item_b)))"
+        ))).alias("p"))
+        .groupBy(F.col("p.item_a").alias("item_a"),
+                 F.col("p.item_b").alias("item_b"))
         .agg(F.count("*").alias("pair_cnt"))
         .where(F.col("pair_cnt") >= min_pair_count)
     )

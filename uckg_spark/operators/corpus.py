@@ -449,11 +449,20 @@ def source_overlap(
         F.col("id").alias("g"), F.col("token").alias("s")
     ).distinct()
     sizes = sh.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # per-shingle group-set combinations instead of the shingle-keyed
+    # self-join (guide §2.4): one groupBy(s) shuffle, then each sorted
+    # group set explodes into its C(|gs|, 2) ordered pairs — the same
+    # (src_a < src_b) pair multiset the join produced, and |gs| is
+    # bounded by the number of groups (sources), tiny by definition
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s"))
-               & (F.col("a.g") < F.col("b.g")))
-        .groupBy(F.col("a.g").alias("src_a"), F.col("b.g").alias("src_b"))
+        sh.groupBy("s")
+        .agg(F.sort_array(F.collect_set("g")).alias("gs"))
+        .select(F.explode(F.flatten(F.expr(
+            "transform(gs, (x, i) -> transform("
+            "slice(gs, i + 2, size(gs)), y -> struct(x AS src_a, y AS src_b)))"
+        ))).alias("p"))
+        .groupBy(F.col("p.src_a").alias("src_a"),
+                 F.col("p.src_b").alias("src_b"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
     )
     na = sizes.select(F.col("g").alias("src_a"), F.col("n").alias("_na"))

@@ -47,29 +47,34 @@ def collect_stats(df: DataFrame, cols: list[str]) -> DataFrame:
     Exact on purpose (count_distinct, not approx_count_distinct): the
     HLL sketch would be cheaper at extreme ndv but its registers are
     engine-private (same trade as sketches.py — and the repo already
-    offers `kmv_distinct` as the portable approximate path). One wide
-    aggregate row computes every column's stats in a single scan, then
-    unpivots driver-side column count times — no per-column re-scan.
+    offers `kmv_distinct` as the portable approximate path).
+
+    One single-column aggregate per column, unioned (optimization
+    round 6): the round-5 wide-row form put every count_distinct into
+    ONE aggregate, which Catalyst rewrites through an Expand that
+    multiplies the scan by (distinct aggs + 1) and shuffles the
+    expanded rows — measured 3x slower at sf0.1. Per-column branches
+    each scan exactly one column (columnar pruning) and run a plain
+    two-phase distinct aggregate; on a column store the per-column
+    re-scan is the cheaper side of the trade at any scale.
     """
     if not cols:
         raise ValueError("cols must be non-empty")
-    aggs = [F.count(F.lit(1)).cast("bigint").alias("_n")]
-    for c in cols:
-        aggs += [
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nulls_{c}"),
-            F.count_distinct(F.col(c)).cast("bigint").alias(f"_ndv_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
-        ]
-    wide = df.agg(*aggs)
-    stacked = ", ".join(
-        f"'{c}', _nulls_{c}, _ndv_{c}, _min_{c}, _max_{c}" for c in cols
-    )
-    return wide.selectExpr(
-        "_n AS n_rows",
-        f"stack({len(cols)}, {stacked})"
-        " AS (col, n_nulls, ndv, min_val, max_val)",
-    ).select("col", "n_rows", "n_nulls", "ndv", "min_val", "max_val")
+    parts = [
+        df.agg(
+            F.lit(c).alias("col"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias("n_nulls"),
+            F.count_distinct(F.col(c)).cast("bigint").alias("ndv"),
+            F.min(F.col(c)).cast("string").alias("min_val"),
+            F.max(F.col(c)).cast("string").alias("max_val"),
+        )
+        for c in cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def table_checksum(

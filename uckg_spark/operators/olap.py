@@ -115,26 +115,34 @@ def pareto_front_2d(
     [x+1, ∞) frame and an x-partition — so the whole operator is one
     window shuffle, no join at all.
 
-    Scale note: the windows are UNPARTITIONED over x (a global sort).
-    That is inherent to the problem — the front is a global property —
-    and still beats the quadratic join by orders of magnitude; for
-    corpus-scale inputs, pre-aggregate to one candidate per x
-    (max y per x, a map-side-combinable groupBy) first, which this
-    operator's equality arm makes semantics-preserving.
+    Scale note: the one unpartitioned window (a global sort — inherent,
+    the front is a global property) runs over the PER-X maxima only:
+    dominance depends on nothing else, so the full table never sorts —
+    it pre-aggregates to one row per distinct x (map-side combinable)
+    and joins the two dominance marks back by x.
     """
     base = df.select(
         F.col(id_col),
         F.col(x_col).cast("bigint").alias("x"),
         F.col(y_col).cast("bigint").alias("y"),
     ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
-    w_gt = (
-        Window.orderBy("x")
-        .rangeBetween(1, Window.unboundedFollowing)
-    )
-    w_eq = Window.partitionBy("x")
+    # both dominance maxima depend ONLY on the per-x maximum of y, so
+    # aggregate to one candidate row per x first (map-side combinable)
+    # and run the global-sort window over |distinct x| rows instead of
+    # the full table (optimization round 6 — the round-5 form sorted
+    # every row through one unpartitioned window task). The per-x table
+    # then broadcasts back onto the rows; the filter is unchanged:
+    #   dominated ⇔ max{y' : x' > x} ≥ y  ∨  max{y' : x' = x} > y
+    per_x = df.select(
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull()).groupBy(
+        "x"
+    ).agg(F.max("y").alias("_meq"))
+    w_gt = Window.orderBy("x").rangeBetween(1, Window.unboundedFollowing)
+    marks = per_x.withColumn("_mgt", F.max("_meq").over(w_gt))
     return (
-        base.withColumn("_mgt", F.max("y").over(w_gt))
-        .withColumn("_meq", F.max("y").over(w_eq))
+        base.join(marks, "x")  # AQE broadcasts the per-x table when small
         .filter(
             (F.col("_mgt").isNull() | (F.col("_mgt") < F.col("y")))
             & (F.col("_meq") == F.col("y"))

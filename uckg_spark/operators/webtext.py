@@ -184,9 +184,14 @@ def remove_duplicated_spans(
     """
     from .dedup import shingle_rows
 
-    toks = tokens(F.col(text_col))
     spans = shingle_rows(docs, n, text_col, pos=True).select(
         F.col("id").alias("doc_id"), "pos", F.col("token").alias("shingle"))
+    # spans feeds BOTH the duplicated-span count and the probe side of
+    # the semi join: truncate its lineage in local mode so the shingle
+    # kernel runs once (the _ordered_sets idiom, operators/setjoin.py);
+    # on a cluster persist it instead — it is the natural reuse point
+    if docs.sparkSession.sparkContext.master.startswith("local"):
+        spans = spans.localCheckpoint(eager=False)
     dup = (
         spans.groupBy("shingle")
         .agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -199,26 +204,60 @@ def remove_duplicated_spans(
         # posexplode is 0-based; store 1-based starts to match token index
         .agg(F.collect_set(F.col("pos") + 1).alias("starts"))
     )
-    s = F.col("starts")
-    # guard the empty doc: sequence(1, 0) would DESCEND ([1, 0])
-    positions = F.when(
-        F.size(F.col("t")) > 0, F.sequence(F.lit(1), F.size(F.col("t")))
-    ).otherwise(F.array().cast("array<int>"))
-    kept = F.filter(
-        positions, lambda j: ~F.exists(s, lambda i: (i <= j) & (j < i + n))
-    )
-    return (
-        docs.select("doc_id", toks.alias("t"))
+    # per-doc rebuild as an Arrow kernel (guide §4.2): the expression
+    # form ran four interpreted higher-order functions per row
+    # (sequence + filter-with-exists + transform + concat_ws). The
+    # kernel reproduces it exactly: token j (1-based) is dropped iff
+    # some duplicated start i satisfies i ≤ j < i+n; survivors re-join
+    # with single spaces; NULL text keeps NULL counts and an empty
+    # text_clean (concat_ws over a NULL array).
+    id_type = dict(docs.dtypes)["doc_id"]
+
+    def rebuild(batches):
+        import re
+
+        import pandas as pd
+
+        split = re.compile(r"[ \t\n\x0b\f\r]+").split
+        for pdf in batches:
+            ids: list = []
+            ntk: list = []
+            nrm: list = []
+            txt: list = []
+            for i, text, st in zip(
+                    pdf["doc_id"], pdf[text_col], pdf["starts"]):
+                ids.append(i)
+                if text is None:
+                    ntk.append(None)
+                    nrm.append(None)
+                    txt.append("")
+                    continue
+                t = [w for w in split(text) if w]
+                drop = set()
+                for s0 in st:
+                    drop.update(range(s0, min(s0 + n, len(t) + 1)))
+                kept = [tok for j, tok in enumerate(t, 1) if j not in drop]
+                ntk.append(len(t))
+                nrm.append(len(t) - len(kept))
+                txt.append(" ".join(kept))
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "n_tokens": pd.array(ntk, dtype="Int64"),
+                "n_removed": pd.array(nrm, dtype="Int64"),
+                "text_clean": txt,
+            })
+
+    joined = (
+        docs.select("doc_id", text_col)
         .join(starts, "doc_id", "left")
-        .withColumn("starts", F.coalesce(s, F.array().cast("array<int>")))
-        .select(
-            "doc_id",
-            F.size(F.col("t")).cast("bigint").alias("n_tokens"),
-            (F.size(F.col("t")) - F.size(kept)).cast("bigint").alias("n_removed"),
-            F.concat_ws(
-                " ", F.transform(kept, lambda j: F.element_at(F.col("t"), j))
-            ).alias("text_clean"),
-        )
+        .withColumn(
+            "starts",
+            F.coalesce(F.col("starts"), F.array().cast("array<int>")))
+    )
+    return joined.mapInPandas(
+        rebuild,
+        f"doc_id {id_type}, n_tokens bigint, n_removed bigint, "
+        "text_clean string",
     )
 
 
