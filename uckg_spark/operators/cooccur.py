@@ -67,15 +67,18 @@ def cooccur_lift(
     # is bounded by the basket size (orders hold a handful of items —
     # a pathological mega-basket should be capped upstream in either
     # formulation).
+    # (two chained codegen generators, not flatten(transform(...)) —
+    # same C(g, 2) combination multiset, see graphalgs.link_prediction)
     pairs = (
         b.groupBy("basket")
         .agg(F.sort_array(F.collect_list("item")).alias("its"))
-        .select(F.explode(F.flatten(F.expr(
-            "transform(its, (x, i) -> transform("
-            "slice(its, i + 2, size(its)), y -> struct(x AS item_a, y AS item_b)))"
-        ))).alias("p"))
-        .groupBy(F.col("p.item_a").alias("item_a"),
-                 F.col("p.item_b").alias("item_b"))
+        .select("its", F.posexplode("its").alias("i", "item_a"))
+        .select(
+            "item_a",
+            F.explode(F.slice("its", F.col("i") + 2, F.size("its")))
+            .alias("item_b"),
+        )
+        .groupBy("item_a", "item_b")
         .agg(F.count("*").alias("pair_cnt"))
         .where(F.col("pair_cnt") >= min_pair_count)
     )

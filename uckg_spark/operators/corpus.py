@@ -454,15 +454,18 @@ def source_overlap(
     # group set explodes into its C(|gs|, 2) ordered pairs — the same
     # (src_a < src_b) pair multiset the join produced, and |gs| is
     # bounded by the number of groups (sources), tiny by definition
+    # (two chained codegen generators, not flatten(transform(...)) —
+    # same C(g, 2) combination multiset, see graphalgs.link_prediction)
     inter = (
         sh.groupBy("s")
         .agg(F.sort_array(F.collect_set("g")).alias("gs"))
-        .select(F.explode(F.flatten(F.expr(
-            "transform(gs, (x, i) -> transform("
-            "slice(gs, i + 2, size(gs)), y -> struct(x AS src_a, y AS src_b)))"
-        ))).alias("p"))
-        .groupBy(F.col("p.src_a").alias("src_a"),
-                 F.col("p.src_b").alias("src_b"))
+        .select("gs", F.posexplode("gs").alias("i", "src_a"))
+        .select(
+            "src_a",
+            F.explode(F.slice("gs", F.col("i") + 2, F.size("gs")))
+            .alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("inter"))
     )
     na = sizes.select(F.col("g").alias("src_a"), F.col("n").alias("_na"))

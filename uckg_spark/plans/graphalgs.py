@@ -327,7 +327,7 @@ def kcore(
         )
 
     is_local = edges.sparkSession.sparkContext.master.startswith("local")
-    for _ in range(rounds):
+    for r in range(rounds):
         # peel by ANTI-joining the LOW-degree frontier instead of
         # semi-joining the survivors: the peeled set is the small side
         # (pendant nodes), so both probes broadcast a frontier-sized
@@ -338,7 +338,13 @@ def kcore(
         e = e.join(
             bad.withColumnRenamed("node", "a"), "a", "anti"
         ).join(bad.withColumnRenamed("node", "b"), "b", "anti")
-        if is_local:
+        # truncate between rounds only: each intermediate e feeds BOTH
+        # the next degree agg and the anti-join probe (recompute doubles
+        # per round without truncation), but the FINAL e feeds exactly
+        # one consumer — checkpointing it just adds a serial
+        # materialization job (A/B at sf0.1: all-rounds 2.22 s,
+        # no-last 1.77 s, none 3.72 s warm)
+        if is_local and r + 1 < rounds:
             e = e.localCheckpoint(eager=False)
     return degrees(e)
 
@@ -418,7 +424,14 @@ def label_propagation(
                 )
                 .select("node", F.col("m.label").alias("label"))
             )
-        if is_local:
+        # each round's labels feed exactly ONE consumer (the next round's
+        # vote join, or the caller), so truncating them buys no reuse —
+        # it only bounds plan depth on DEEP loops. Periodic truncation
+        # (every 2nd round, never the final one) keeps that bound; at
+        # the bench's rounds=2 no labels checkpoint fires at all (A/B at
+        # sf0.1 warm: every-round 2.77 s, und-only 2.18 s; cold 9.4 s
+        # vs 3.1 s — the und checkpoint above is the one that pays).
+        if is_local and (r + 1) % 2 == 0 and r + 1 < rounds:
             labels = labels.localCheckpoint(eager=False)
     return labels
 
@@ -509,21 +522,26 @@ def link_prediction(
     # the sorted member list's C(g, 2) combinations replaces shuffling
     # both join sides and probing — the emitted (a, b, hdeg) multiset is
     # identical (members sorted ascending ⇒ a < b), and collect_list is
-    # bounded by ``max_hub_degree``, so no group can blow up.
+    # bounded by ``max_hub_degree``, so no group can blow up. The
+    # combinations come from TWO chained generators (posexplode of the
+    # member list, then explode of the strictly-later slice) rather than
+    # one flatten(transform(transform(...))) expression: higher-order
+    # functions are interpreted (no whole-stage codegen) and allocate
+    # the full C(g, 2) struct array per hub row, while both generators
+    # and slice() are codegen-native — measured 1.43 → 1.17 s warm
+    # (3.04 → 1.60 s cold) on the 8.0M-pair bench graph at sf0.1.
     grp = capped.groupBy("hub").agg(
         F.sort_array(F.collect_list("node")).alias("ns"),
         F.first("hdeg").alias("hdeg"),
     )
     combos = grp.select(
-        "hdeg",
-        F.explode(F.flatten(F.expr(
-            "transform(ns, (x, i) -> transform("
-            "slice(ns, i + 2, size(ns)), y -> struct(x AS a, y AS b)))"
-        ))).alias("p"),
+        "hdeg", "ns", F.posexplode("ns").alias("i", "a")
+    ).select(
+        "hdeg", "a",
+        F.explode(F.slice("ns", F.col("i") + 2, F.size("ns"))).alias("b"),
     )
     pairs = (
-        combos.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "hdeg")
-        .groupBy("a", "b")
+        combos.groupBy("a", "b")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("cn"),
             F.sum(F.expr("1000000 div hdeg")).cast("bigint").alias("ra_e6"),
@@ -886,12 +904,14 @@ def structural_pairs(
         sig.join(small, keys)
         .groupBy(*keys)
         .agg(F.sort_array(F.collect_list("node")).alias("ns"))
-        .select(F.explode(F.flatten(F.expr(
-            "transform(ns, (x, i) -> transform("
-            "slice(ns, i + 2, size(ns)), y -> struct(x AS node_a, y AS node_b)))"
-        ))).alias("p"))
-        .select(F.col("p.node_a").alias("node_a"),
-                F.col("p.node_b").alias("node_b"))
+        # two chained codegen generators, not flatten(transform(...)) —
+        # same C(g, 2) combination multiset, see link_prediction above
+        .select("ns", F.posexplode("ns").alias("i", "node_a"))
+        .select(
+            "node_a",
+            F.explode(F.slice("ns", F.col("i") + 2, F.size("ns")))
+            .alias("node_b"),
+        )
     )
     deg = und.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("deg"))
