@@ -246,8 +246,15 @@ def linked_mentions(
     # batches on the shared mention-id distinct instead (the tables remain
     # constructible for direct callers, just lazy).
     kinds = ("cve", "cwe", "capec", "cpe")
+    # per-kind tables are each a ~1/6 filter of the mention stream; caching
+    # them at the full mention partition count makes EVERY downstream probe
+    # stage pay the full task fan-out for a fraction of the rows. Partition
+    # them proportionally to their share (floor 2 keeps parallelism for
+    # skewed kinds) — coalesce is narrow, so no extra shuffle; at any scale
+    # the per-kind per-partition row count stays ~the mention table's.
+    kp = max(2, mention_partitions // 4) if mention_partitions else None
     for k in kinds:
-        out[k] = out[k].persist()
+        out[k] = (out[k].coalesce(kp) if kp else out[k]).persist()
 
     # Materialize the mention cache AND the per-kind caches BEFORE any
     # downstream action. Downstream, AQE materializes the R7/R8 broadcast
@@ -366,14 +373,27 @@ def build_triples(
     # nothing, so validation is free and the distinct count stays bounded
     # by |dictionary| + |regex-shaped tokens in corpus| per kind.
     mid = m["mentions"].select("kind", "canonical_id").distinct()
+    # ONE shared broadcast for every dictionary gate: each gate used to
+    # broadcast its own per-kind projection of mid (4-5 separate broadcast
+    # exchanges = 4-5 extra AQE stages). Folding the kind into a composite
+    # equi-key — concat('<kind>:', dict_col) == concat(kind, ':',
+    # canonical_id) — keeps the condition two-sided, so the optimizer
+    # cannot push a kind filter into the build side, every consumer
+    # broadcasts the IDENTICAL plan, and Catalyst/AQE reuse a single
+    # exchange. ':' cannot appear inside a kind name, so the composite
+    # key is unambiguous. Semantics per gate are unchanged (semi join on
+    # the same (kind, id) match set).
+    mid_b = F.broadcast(mid.select(
+        F.concat(F.col("kind"), F.lit(":"), F.col("canonical_id"))
+        .alias("_mid_key")))
 
-    def mentioned_ids(kind: str, out_col: str, strip_prefix: int = 0) -> DataFrame:
-        ids = mid.filter(F.col("kind") == kind).select(
-            (F.col("canonical_id") if not strip_prefix
-             else F.substring("canonical_id", strip_prefix + 1, 2_000_000))
-            .alias(out_col)
+    def gate(dim: DataFrame, kind: str, col_expr) -> DataFrame:
+        """dim rows whose (kind, id) was mentioned — one reused broadcast."""
+        return dim.join(
+            mid_b,
+            F.concat(F.lit(kind + ":"), col_expr) == F.col("_mid_key"),
+            "leftsemi",
         )
-        return F.broadcast(ids)
 
     sq = PT.sq
     vuln = f"concat({sq(T.UCO_HASH + 'VULN-')}, `cve`)"
@@ -447,16 +467,13 @@ def build_triples(
     # R5 — full CWE records for mentioned CWEs. The mention-id set is
     # dictionary-bounded after the semi join, so an explicit broadcast
     # replaces a two-shuffle sort-merge semi-join with a map-side probe.
-    parts.append(PT.emit_cwe_batch(
-        dims.cwe.join(mentioned_ids("cwe", "id_value"), "id_value", "leftsemi")
-    ))
+    parts.append(PT.emit_cwe_batch(gate(dims.cwe, "cwe", F.col("id_value"))))
 
     # R6 records — CAPEC records for mentioned ids (canonical_id is
     # "CAPEC-<n>"; the dictionary keys on the bare number)
     parts.append(PT.emit_capec_batch(
-        dims.capec.join(
-            mentioned_ids("capec", "ID", strip_prefix=len("CAPEC-")),
-            "ID", "leftsemi")
+        gate(dims.capec, "capec",
+             F.concat(F.lit("CAPEC-"), F.col("ID")))
     ))
 
     # R7 — ATT&CK: all 7 typed relationship edges with a mentioned SOURCE
@@ -467,13 +484,9 @@ def build_triples(
     mentioned_att = mid.filter(F.col("kind") == "attack").select(
         F.col("canonical_id").alias("ID"))
     rels = dims.attack_rels
-    gated_rels = rels.join(
-        F.broadcast(mentioned_att.withColumnRenamed("ID", "source_id")),
-        "source_id", "leftsemi",
-    ).unionByName(rels.join(
-        F.broadcast(mentioned_att.withColumnRenamed("ID", "target_id")),
-        "target_id", "leftsemi",
-    ))  # a rel with both endpoints mentioned appears twice — the global
+    gated_rels = gate(rels, "attack", F.col("source_id")).unionByName(
+        gate(rels, "attack", F.col("target_id"))
+    )  # a rel with both endpoints mentioned appears twice — the global
     # A1 dedup absorbs the duplicate triples
     parts.append(PT.emit_attack_relationships(dims.attack_ents, gated_rels))
     valid_gated = PT.valid_attack_rels(dims.attack_ents, gated_rels)
@@ -493,8 +506,7 @@ def build_triples(
     # on d3fend_id directly (equivalent to round 3's d3_id gate: the
     # dictionary row is identified either way).
     parts.append(PT.emit_d3fend_batch(
-        dims.d3fend.join(
-            mentioned_ids("d3fend", "d3fend_id"), "d3fend_id", "leftsemi")
+        gate(dims.d3fend, "d3fend", F.col("d3fend_id"))
     ))
 
     result = PT.repair_and_dedup(PT._union(parts))
