@@ -74,6 +74,15 @@ class CommitConflictError(RuntimeError):
     """Head moved between write start and commit (concurrent writer won)."""
 
 
+# MoR merges at or below this many update rows derive their keys-only
+# delete file driver-side (pyarrow read of the just-written footprint's
+# key columns) instead of through a second Spark job — the same
+# small-side budget class as a broadcast build. Env-tunable so a
+# cluster deployment can raise/lower it.
+_MOR_DRIVER_DELETE_MAX_ROWS = int(
+    os.environ.get("UCKG_MOR_DRIVER_DELETE_ROWS", "1000000"))
+
+
 # ---- snapshot-row accessors tolerant of pre-MoR commit rows ------------
 # (rows committed before merge-on-read landed carry no seq/deletes keys;
 #  they read as "everything at sequence 0, no delete files")
@@ -477,6 +486,27 @@ class GraphCatalog:
         )
         return rel, int(obs.get["n"])
 
+    def _write_delete_dir_local(self, table: str, data_abs_dir: str,
+                                key_cols: list[str]) -> tuple[str, int]:
+        """Driver-side twin of :meth:`_write_delete_dir` for small MoR
+        merges: read ONLY the key columns of the just-written data dir
+        with pyarrow (local files, column-pruned), distinct them, and
+        write the keys-only delete parquet directly — no Spark job.
+        Bit-compatible with the distributed path: same schema (pyarrow
+        round-trips the types Spark just wrote), same set semantics
+        (``group_by`` dedup), and the reader side is a plain
+        ``spark.read.parquet`` either way."""
+        import pyarrow.parquet as pq
+
+        keys = pq.read_table(data_abs_dir, columns=list(key_cols))
+        uniq = keys.group_by(list(key_cols)).aggregate([])
+        rel = os.path.join(table, f"del-{uuid.uuid4().hex[:12]}")
+        abs_dir = os.path.join(self.root, rel)
+        os.makedirs(abs_dir, exist_ok=True)
+        pq.write_table(uniq, os.path.join(abs_dir, "part-00000.parquet"),
+                       compression="zstd")
+        return rel, uniq.num_rows
+
     def delete_rows(self, name: str,
                     keys: DataFrame, key_cols: list[str],
                     props: dict | None = None) -> str:
@@ -580,11 +610,21 @@ class GraphCatalog:
         if head is None:
             return self.write_table(name, updates, n_tasks=n_tasks,
                                     props=props)
-        current = self.read_table(spark, name,
-                                  snapshot_id=head["snapshot_id"])
-        if sorted(current.columns) != sorted(updates.columns):
+        # schema/dtype validation comes from the COMMIT ROW when the
+        # table records one: building the full MoR read plan (union of
+        # every data dir + delete anti-joins, one footer inference per
+        # dir) just to ask for .columns/.dtypes costs driver time per
+        # merge. The COW branch still constructs `current` below — it
+        # rewrites the table and needs the frame anyway.
+        sch = _schema_of(head)
+        current = (None if sch is not None else
+                   self.read_table(spark, name,
+                                   snapshot_id=head["snapshot_id"]))
+        cur_cols = ([c for c, _t in sch] if sch is not None
+                    else list(current.columns))
+        if sorted(cur_cols) != sorted(updates.columns):
             raise ValueError(
-                f"schema mismatch: table {sorted(current.columns)} vs "
+                f"schema mismatch: table {sorted(cur_cols)} vs "
                 f"updates {sorted(updates.columns)}")
         missing = set(key_cols) - set(updates.columns)
         if missing:
@@ -594,7 +634,9 @@ class GraphCatalog:
         # then break every subsequent read at plan build (unionByName
         # across sequence branches) — fail before writing instead, the
         # way the COW path happens to.
-        cur_types, upd_types = dict(current.dtypes), dict(updates.dtypes)
+        cur_types = (dict((c, t) for c, t in sch) if sch is not None
+                     else dict(current.dtypes))
+        upd_types = dict(updates.dtypes)
         type_conflicts = [
             (c, cur_types[c], upd_types[c]) for c in cur_types
             if cur_types[c] != upd_types[c]
@@ -604,12 +646,15 @@ class GraphCatalog:
                 "merge rejects dtype changes: " + "; ".join(
                     f"{c!r} {a} -> {b}" for c, a, b in type_conflicts))
         if strategy == "mor":
-            return self._merge_mor(name, updates.select(*current.columns),
+            return self._merge_mor(name, updates.select(*cur_cols),
                                    key_cols, head, n_tasks=n_tasks,
                                    props=props)
+        if current is None:  # COW rewrites the table: need the frame
+            current = self.read_table(spark, name,
+                                      snapshot_id=head["snapshot_id"])
         kept = current.join(
             updates.select(*key_cols).distinct(), key_cols, "left_anti")
-        merged = kept.unionByName(updates.select(*current.columns))
+        merged = kept.unionByName(updates.select(*cur_cols))
         return self.write_table(
             name, merged, n_tasks=n_tasks,
             expected_parent_id=head["snapshot_id"], props=props)
@@ -637,10 +682,19 @@ class GraphCatalog:
         # derive the delete keys from the JUST-WRITTEN dir, not the
         # caller's plan: an unpersisted fact-scale updates DAG would
         # otherwise execute end-to-end a second time; this is a local,
-        # column-pruned parquet read instead
-        written = updates.sparkSession.read.parquet(
-            os.path.join(self.root, data_rel))
-        del_rel, n_keys = self._write_delete_dir(name, written, key_cols)
+        # column-pruned parquet read instead. For merges below the
+        # threshold the read AND the keys-only write happen driver-side
+        # via pyarrow — one Spark job per MoR merge instead of two (the
+        # delete file is a key SET; at 1M single-column keys it is a few
+        # MB, the same budget class as a broadcast build side). Larger
+        # merges keep the distributed path.
+        if n_updates <= _MOR_DRIVER_DELETE_MAX_ROWS:
+            del_rel, n_keys = self._write_delete_dir_local(
+                name, os.path.join(self.root, data_rel), key_cols)
+        else:
+            written = updates.sparkSession.read.parquet(
+                os.path.join(self.root, data_rel))
+            del_rel, n_keys = self._write_delete_dir(name, written, key_cols)
         seq = _seq_of(head) + 1
         mor_stats = dict(_stats_of(head))
         new_stats = _collect_file_stats(os.path.join(self.root, data_rel))
@@ -733,6 +787,12 @@ class GraphCatalog:
             r = spark.read
             if schema is not None and not uniform:
                 r = r.option("mergeSchema", "true")
+            elif schema is not None:
+                # uniform table with a recorded schema: pass it to the
+                # reader so plan construction skips footer schema
+                # inference (the recorded schema IS the writer's
+                # df.dtypes — identical to what inference would return)
+                r = r.schema(", ".join(f"`{c}` {t}" for c, t in schema))
             return r.parquet(*paths)
 
         if not deletes:
