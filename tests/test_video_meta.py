@@ -171,3 +171,19 @@ def test_extract_features_real_mp4_path(spark):
     assert rows[1]["feature"][5] == 0.5 and rows[2]["feature"][5] == 0.5
     assert abs(rows[1]["feature"][0] - 640 / 65535.0) < 1e-6
     assert rows[3]["feature"][5] != 0.5
+
+
+def test_parse_mp4_empty_stts_box_at_payload_end():
+    """An 8-byte (empty-payload) stts box ending exactly at end-of-payload
+    must not IndexError (full_box would read payload[len(payload)]) —
+    the nesting is too deep for the hypothesis garbage test to reach."""
+    from uckg_spark.operators.multimodal import parse_mp4
+
+    def box(t, payload=b""):
+        return (8 + len(payload)).to_bytes(4, "big") + t + payload
+
+    stts = box(b"stts")  # header only: e4 - b4 == 0
+    mdia = box(b"mdia", box(b"hdlr", b"\0" * 8 + b"vide")
+               + box(b"minf", box(b"stbl", stts)))
+    moov = box(b"moov", box(b"trak", mdia))
+    parse_mp4(moov)  # must not raise

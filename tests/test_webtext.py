@@ -166,3 +166,17 @@ class TestDedupParagraphs:
                for r in dedup_paragraphs(df, min_docs=2).collect()}
         assert out[0]["text_clean"] == "same\n\nsame\n\nsame"
         assert out[0]["n_removed"] == 0
+
+
+def test_dedup_paragraphs_regex_metachar_sep(spark):
+    """sep is used as a Java regex by F.split but as a LITERAL by the
+    reassembly join — a metacharacter sep ('||') must split literally."""
+    from uckg_spark.operators.webtext import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "a||boiler||x"), (2, "b||boiler||y"), (3, "c||solo||z")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df, sep="||").collect()}
+    assert out[1]["text_clean"] == "a||x"
+    assert out[1]["n_paras"] == 3 and out[1]["n_removed"] == 1
+    assert out[3]["text_clean"] == "c||solo||z"

@@ -813,7 +813,13 @@ def parse_mp4(payload: bytes) -> dict | None:
                             if t3 != b"stbl":
                                 continue
                             for t4, b4, e4 in boxes(b3, e3):
-                                if t4 == b"stts":
+                                # size guard like tkhd/mvhd: an empty-
+                                # payload stts box ending at end-of-
+                                # payload would make full_box index one
+                                # past the buffer (IndexError on a
+                                # malformed upload instead of the
+                                # documented fallback)
+                                if t4 == b"stts" and e4 - b4 >= 8:
                                     _, p = full_box(b4)
                                     cnt = int.from_bytes(
                                         payload[p:p + 4], "big")

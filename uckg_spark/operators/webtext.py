@@ -374,9 +374,14 @@ def dedup_paragraphs(docs: DataFrame, min_docs: int = 2,
     algebra (split/posexplode/array_sort/array_join), no UDFs, and the
     paragraph text rides the count shuffle only once as the key.
     """
+    # \Q...\E-quote the separator: F.split takes a Java REGEX while the
+    # reassembly below joins with the LITERAL sep — an unquoted sep
+    # containing metacharacters ('||', '. ') would split and rejoin
+    # inconsistently. \E inside the literal sep is closed/reopened.
+    sep_rx = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     paras = docs.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "para"),
+        F.posexplode(F.split(F.col(text_col), sep_rx, -1)).alias("pos", "para"),
     ).withColumn(
         "norm", F.lower(F.trim(F.regexp_replace(F.col("para"), r"\s+", " ")))
     )
