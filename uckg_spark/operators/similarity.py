@@ -815,33 +815,45 @@ def label_spread_bucketed(
     unl_cells = unl.select(id_col, vec_col).mapInPandas(
         probe_part, "query_id long, _qv array<double>, _cell long")
 
-    def pair_cos_part(batches):
+    def cell_cos(left, right):
+        # one call per cell: left = this cell's probes (query_id, _qv),
+        # right = its labeled residents (_nid, _nv). Pair cosines via
+        # the same coordinate-ascending fold as the per-pair-row form
+        # (acc += Q[qi, d] * N[ni, d] runs the identical multiply/add
+        # per pair in the identical order — bit-equal IEEE results).
+        import numpy as np
         import pandas as pd
 
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Q = _np_rows(pdf["_qv"])
-            N = _np_rows(pdf["_nv"])
-            import numpy as np
-
-            acc = np.zeros(len(pdf), dtype="float64")
-            for d in range(Q.shape[1]):
-                acc += Q[:, d] * N[:, d]
-            yield pd.DataFrame({
-                "query_id": pdf["query_id"].to_numpy(),
-                "_nid": pdf["_nid"].to_numpy(),
-                "_cos_raw": acc,
-            })
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {"query_id": pd.Series([], dtype="int64"),
+                 "_nid": pd.Series([], dtype="int64"),
+                 "_cos_raw": pd.Series([], dtype="float64")})
+        Q = _np_rows(left["_qv"])
+        N = _np_rows(right["_nv"])
+        nq, nl = len(left), len(right)
+        qi = np.repeat(np.arange(nq), nl)
+        ni = np.tile(np.arange(nl), nq)
+        acc = np.zeros(nq * nl, dtype="float64")
+        for d in range(Q.shape[1]):
+            acc += Q[qi, d] * N[ni, d]
+        return pd.DataFrame({
+            "query_id": left["query_id"].to_numpy()[qi],
+            "_nid": right["_nid"].to_numpy()[ni],
+            "_cos_raw": acc,
+        })
 
     # a labeled row lives in exactly ONE cell and a query probes n_probe
     # DISTINCT cells, so (query_id, _nid) pairs are join-unique — no
-    # dedup needed before the top-k window
+    # dedup needed before the top-k window. COGROUPED per-cell kernel
+    # rather than join-then-map: the join materialized BOTH unit vectors
+    # on every candidate pair through the Arrow boundary (|pairs| · 2d
+    # doubles — ~1 GB at bench scale); cogrouping ships each vector
+    # once per (row, probed cell) and the pairs exist only inside numpy.
     nn = (
-        unl_cells.join(lab_cells, "_cell")
-        .select("query_id", "_nid", "_qv", "_nv")
-        .mapInPandas(pair_cos_part,
-                     "query_id long, _nid long, _cos_raw double")
+        unl_cells.groupBy("_cell")
+        .cogroup(lab_cells.groupBy("_cell"))
+        .applyInPandas(cell_cos, "query_id long, _nid long, _cos_raw double")
         .select(
             "query_id",
             F.col("_nid").alias(id_col),
