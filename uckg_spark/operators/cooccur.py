@@ -5,7 +5,7 @@ which co-mentioned pairs deserve a `relatedTo` edge. The standard
 signal is lift (equivalently exp(PMI)): how much more often two items
 share a container (document, order, page) than independence predicts.
 The reference hard-codes its relations from curated feeds
-(/root/reference/uckg/rml_mapper.py emits only dictionary-defined
+(/root/reference/process/shared_functions.py:82 (call_mapper_update) emits only dictionary-defined
 predicates); at web scale the candidate edges come from co-occurrence
 statistics exactly like this, thresholded before linking.
 
@@ -120,11 +120,12 @@ def token_cooccur(
     marginal token occurrence counts riding along so consumers form
     PMI/lift as exact rationals.
 
-    Scale shape: pair generation is ROW-LOCAL array algebra (nested
-    sequence transforms + one flatten — ~window pairs per token, no
-    join, no shuffle); the only shuffles are the (a, b) pair count and
-    the token-count aggregation, both map-side combinable, plus two
-    broadcast joins against the vocabulary-bounded marginal table.
+    Scale shape: pair generation is ROW-LOCAL array algebra (two
+    chained codegen generators — position posexplode, then explode of
+    the ≤``window`` following tokens; no join, no shuffle); the only
+    shuffles are the (a, b) pair count and the token-count aggregation,
+    both map-side combinable, plus two broadcast joins against the
+    vocabulary-bounded marginal table.
     """
     if window < 1:
         raise ValueError("window must be >= 1")
@@ -132,22 +133,22 @@ def token_cooccur(
 
     t = F.col("_t")
     n = F.size(t)
-    pair_expr = F.flatten(F.transform(
-        F.sequence(F.lit(0), n - 2),
-        lambda i: F.transform(
-            F.sequence(i + 1, F.least(i + window, n - 1)),
-            lambda j: F.struct(
-                F.least(F.element_at(t, i + 1),
-                        F.element_at(t, j + 1)).alias("a"),
-                F.greatest(F.element_at(t, i + 1),
-                           F.element_at(t, j + 1)).alias("b"),
-            ),
-        ),
-    ))
     base = docs.select(tokens(F.col(text_col)).alias("_t")).filter(n >= 2)
+    # two chained generators, not flatten(transform(sequence...)) —
+    # higher-order functions are interpreted; posexplode/slice are
+    # codegen-native. Position i (0-based) pairs with the ≤window
+    # following tokens; the (min, max) canonicalization is unchanged,
+    # so the emitted pair multiset is identical.
     pairs = (
-        base.select(F.explode(pair_expr).alias("p"))
-        .groupBy(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+        base.select("_t", F.posexplode("_t").alias("i", "_x"))
+        .select(
+            "_x",
+            F.explode(F.slice(t, F.col("i") + 2, window)).alias("_y"),
+        )
+        .groupBy(
+            F.least("_x", "_y").alias("tok_a"),
+            F.greatest("_x", "_y").alias("tok_b"),
+        )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pair"))
     )
     counts = (

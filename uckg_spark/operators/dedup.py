@@ -486,10 +486,57 @@ def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text",
     # hash each token ONCE, MATERIALIZED in its own projection — the bit
     # sums reference the array, and inlining (round-1 shape) re-tokenized
     # + re-hashed every row once per bit
-    if hasher == "xxhash64":
-        hash_expr = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
-    else:
-        hash_expr = F.transform(tokens(F.col(text_col)), lambda t: h32(t))
+    if hasher != "xxhash64":
+        # md5 path: Arrow kernel (optimization round 6, guide §4.2 —
+        # the minhash_signatures precedent). The fold below runs one
+        # interpreted zip_with step PER TOKEN per doc; the kernel
+        # reproduces the identical integers: same tokenizer, token hash
+        # = big-endian first-uint32 of md5 (== h32), bit b of the
+        # fingerprint set iff Σ_tokens(±1 by bit b) > 0 — all-integer
+        # arithmetic, so order plays no role. NULL text yields NULL
+        # (the expression fold's aggregate-over-NULL-array), no-token
+        # docs yield 0 (all sums 0, no bit set).
+        id_type = dict(docs.dtypes)["doc_id"]
+
+        def sim_part(batches, bits=bits):
+            import hashlib
+            import re
+
+            import numpy as np
+            import pandas as pd
+
+            split = re.compile(r"[ \t\n\x0b\f\r]+").split
+            md5 = hashlib.md5
+            barange = np.arange(bits, dtype="int64")
+            weights = (np.int64(1) << barange)
+            for pdf in batches:
+                ids: list = []
+                fps: list = []
+                for i, txt in zip(pdf["doc_id"], pdf[text_col]):
+                    ids.append(i)
+                    if txt is None:
+                        fps.append(None)
+                        continue
+                    t = [w for w in split(txt) if w]
+                    if not t:
+                        fps.append(0)
+                        continue
+                    h = np.array(
+                        [int.from_bytes(md5(w.encode()).digest()[:4], "big")
+                         for w in t], dtype="int64")
+                    sums = (((h[:, None] >> barange[None, :]) & 1) * 2
+                            - 1).sum(axis=0)
+                    fps.append(int(weights[sums > 0].sum()))
+                yield pd.DataFrame({
+                    "doc_id": pd.array(ids, dtype=(
+                        "Int64" if id_type == "bigint" else None)),
+                    "simhash": pd.array(fps, dtype="Int64"),
+                })
+
+        return docs.select("doc_id", text_col).mapInPandas(
+            sim_part, f"doc_id {id_type}, simhash bigint")
+
+    hash_expr = F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
     pre = docs.select("doc_id", hash_expr.alias("_th"))
 
     # ONE fold over the token-hash array carrying all `bits` running sums
@@ -635,33 +682,56 @@ def winnow_fingerprints(
     """
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1: k={k}, w={w}")
-    grams = shingles(F.col(text_col), k)
     enc, tie = 16777216, 16777215  # 2^24, 2^24 - 1
+    # Arrow kernel (optimization round 6, guide §4.2 — the
+    # minhash/simhash precedent): the expression form paid one
+    # interpreted md5-transform step per k-gram PLUS a nested
+    # transform/slice/array_min per window. The kernel reproduces the
+    # identical integers: same tokenizer/shingling, h32 = big-endian
+    # first-uint32 of md5, comb_i = h32(gram_i)·2^24 + (2^24-1-i),
+    # rightmost-min tie rule via the min over each length-w window,
+    # per-doc dedup in first-occurrence order (order is irrelevant —
+    # every consumer aggregates or joins). Docs with < k+w-1 tokens
+    # emit nothing, exactly like the empty-starts expression branch.
+    id_type = dict(docs.dtypes)[id_col]
 
-    def windows(comb: Column) -> Column:
-        starts = F.when(
-            F.size(comb) >= w, F.sequence(F.lit(0), F.size(comb) - w)
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(
-            starts, lambda s: F.array_min(F.slice(comb, s + 1, w)))
+    def win_part(batches):
+        import hashlib
+        import re
 
-    comb = F.transform(
-        grams,
-        lambda g, i: h32(g) * F.lit(enc) + (F.lit(tie) - i),
-    )
-    # let-bind comb through a one-element transform (same CSE story as
-    # shingles: the slice lambda must reference a bound variable, not
-    # re-evaluate the per-element md5 once per window position)
-    sel = F.get(F.transform(F.array(comb), windows), 0)
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.array_distinct(sel)).alias("s"),
-        )
-        .select(
-            "doc_id",
-            (F.lit(tie) - F.pmod("s", F.lit(enc))).cast("bigint")
-            .alias("pos"),
-            F.expr(f"s div {enc}").cast("bigint").alias("fp"),
-        )
-    )
+        import numpy as np
+        import pandas as pd
+
+        split = re.compile(r"[ \t\n\x0b\f\r]+").split
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids: list = []
+            poss: list = []
+            fps: list = []
+            for i, txt in zip(pdf[id_col], pdf[text_col]):
+                t = [x for x in split(txt) if x] if txt is not None else []
+                if len(t) < k:
+                    continue
+                gs = (t if k == 1 else
+                      [" ".join(t[j:j + k]) for j in range(len(t) - k + 1)])
+                if len(gs) < w:
+                    continue
+                h = np.array(
+                    [int.from_bytes(md5(g.encode()).digest()[:4], "big")
+                     for g in gs], dtype="int64")
+                comb = h * enc + (tie - np.arange(len(gs), dtype="int64"))
+                mins = np.lib.stride_tricks.sliding_window_view(
+                    comb, w).min(axis=1)
+                sel = list(dict.fromkeys(mins.tolist()))
+                ids.extend([i] * len(sel))
+                poss.extend(tie - s % enc for s in sel)
+                fps.extend(s // enc for s in sel)
+            yield pd.DataFrame({
+                "doc_id": pd.array(ids, dtype=(
+                    "Int64" if id_type == "bigint" else None)),
+                "pos": pd.array(poss, dtype="Int64"),
+                "fp": pd.array(fps, dtype="Int64"),
+            })
+
+    return docs.select(F.col(id_col).alias(id_col), text_col).mapInPandas(
+        win_part, f"doc_id {id_type}, pos bigint, fp bigint")

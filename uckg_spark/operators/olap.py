@@ -7,7 +7,7 @@ shuffles. ``rollup_metrics`` is the Spark-native form: a single
 ``df.rollup(...)`` whose partial aggregation is shared across levels
 (Catalyst plans Expand + one hash aggregate pair), so the input is
 read once no matter how many levels ride out. The reference computes
-only flat per-table record counts (/root/reference/uckg/db_util.py);
+only flat per-table record counts (/root/reference/process/shared_functions.py);
 at web scale the hierarchy is how humans read 100 TB of counts.
 
 Engine-neutral conventions:

@@ -12,7 +12,7 @@ on identical integers, so the twin matches to the bit; interpolated
 PERCENTILE_CONT would put float arithmetic order between the engines).
 
 Reference parity: the reference eyeballs record counts per table before
-sync (/root/reference/uckg/db_util.py); threshold-picking on value
+sync (/root/reference/process/shared_functions.py); threshold-picking on value
 distributions is the web-scale version of that profiling step.
 """
 

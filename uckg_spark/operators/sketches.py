@@ -15,7 +15,7 @@ NEVER be oracle-matched — this sketch can, with the same accuracy
 regime).
 
 Reference parity: the reference counts entities per source table to
-decide delta-syncs (/root/reference/uckg/db_util.py record-count
+decide delta-syncs (/root/reference/process/shared_functions.py record-count
 queries); at web scale those counts become cardinality sketches.
 """
 

@@ -3,8 +3,8 @@ the analytics layer of the knowledge-graph query surface.
 
 The reference's Neo4j deployment exposes its KG to graph-algorithm
 libraries (centrality / ranking over the loaded graph is the canonical
-follow-on to the n10s load in /root/reference/neo4j_kg/
-graph_db_operations.py). The Spark-native equivalent is an iterative
+follow-on to the n10s load in /root/reference/process/
+graph_updater.py:13-45). The Spark-native equivalent is an iterative
 DataFrame job over the edges table the pipeline materializes.
 
 ``pagerank_fixed`` is deliberately INTEGER fixed-point: every operation
@@ -474,7 +474,7 @@ def link_prediction(
     generator a KG-construction pipeline runs to PROPOSE new edges (the
     reference graph only materializes edges it extracted; proposing
     missing ones is the canonical downstream analytic,
-    /root/reference/neo4j_kg/graph_db_operations.py loads into Neo4j
+    /root/reference/process/graph_updater.py loads into Neo4j
     where GDS link prediction is the standard follow-on).
 
     Returns the top-``k`` pairs (a, b) with a < b, scored three ways —

@@ -1,7 +1,7 @@
 """Incremental KG maintenance from the pages table's changelog.
 
 The reference re-runs its whole collect→map→load chain per source drop
-(/root/reference/process/__main__.py — each sync re-reads the SQLite
+(/root/reference/entry.py — each sync re-reads the SQLite
 stores and re-emits everything); the graft's delta path (I3/A5) triggers
 on counts. This module closes the loop at row granularity: the KG is
 kept equal to ``build_triples(live pages)`` while paying extraction only

@@ -3,7 +3,7 @@ the query surface of the knowledge graph.
 
 The reference stores its KG in Neo4j and its users query it with Cypher
 patterns (e.g. the n10s-loaded graph in
-/root/reference/neo4j_kg/graph_db_operations.py is the product the
+/root/reference/process/graph_updater.py:13-45 is the product the
 pipeline exists to serve). The Spark-native equivalent is conjunctive
 triple-pattern matching compiled to a join chain over the edges table:
 
