@@ -91,9 +91,21 @@ def pagerank_fixed(
     # exchange/broadcast stage per step for a value that never changes)
     e2 = e.join(deg, e.src == deg.node).select(
         F.col("src").alias("node"), "dst", "outdeg")
+    is_local_m = e2.sparkSession.sparkContext.master.startswith("local")
     if iterations > 0:
-        e2 = e2.persist()
-        nodes = nodes.persist()
+        # non-eager localCheckpoint, not persist: both truncate the
+        # shared subtree, but persist adds an InMemoryRelation
+        # materialization barrier per frame while the checkpoint rides
+        # the first consumer (A/B at sf0.1, 3 iters: persist 3.6-10.0 s,
+        # bare 3.6-4.1 s — ReuseExchange already shares the distinct —
+        # checkpoint 2.9-3.3 s). On a cluster a lost executor cannot
+        # recompute truncated lineage, so keep the replayable persist.
+        if is_local_m:
+            e2 = e2.localCheckpoint(eager=False)
+            nodes = nodes.localCheckpoint(eager=False)
+        else:
+            e2 = e2.persist()
+            nodes = nodes.persist()
 
     seed_mask = (
         F.col("node").isin(list(seeds)).cast("bigint")
@@ -102,7 +114,7 @@ def pagerank_fixed(
     )
     ranks = nodes.withColumn(
         "rank", (F.lit(_SCALE) * seed_mask).cast("bigint"))
-    is_local = e2.sparkSession.sparkContext.master.startswith("local")
+    is_local = is_local_m
     # per-node zero contribution rows, unioned under the incoming-mass
     # aggregation: sum(contribs ∪ {0 per node}) ≡ coalesce(sum, 0) over
     # all nodes, so the old nodes⋈incoming LEFT join disappears — each
@@ -709,8 +721,18 @@ def hits_fixed(
         .distinct()
     )
     if iterations > 1:
-        e = e.persist()
-        nodes = nodes.persist()
+        # same persist→localCheckpoint(eager=False) trade as
+        # pagerank_fixed (A/B at sf0.1, 2 iters: persist-both
+        # 4.4-14.0 s, bare 3.1-5.1 s, checkpoint 3.1-3.8 s — persist
+        # adds a materialization barrier per frame while ReuseExchange
+        # already shares the distinct); clusters keep the replayable
+        # persist.
+        if e.sparkSession.sparkContext.master.startswith("local"):
+            e = e.localCheckpoint(eager=False)
+            nodes = nodes.localCheckpoint(eager=False)
+        else:
+            e = e.persist()
+            nodes = nodes.persist()
     hub = nodes.withColumn("h", F.lit(1_000_000).cast("bigint"))
     auth = None
     # totalize the LAST iteration's sums by unioning a zero row per node
