@@ -185,5 +185,62 @@ def test_parse_mp4_empty_stts_box_at_payload_end():
     stts = box(b"stts")  # header only: e4 - b4 == 0
     mdia = box(b"mdia", box(b"hdlr", b"\0" * 8 + b"vide")
                + box(b"minf", box(b"stbl", stts)))
+    ftyp = box(b"ftyp", b"isom\x00\x00\x00\x01isom")
     moov = box(b"moov", box(b"trak", mdia))
-    parse_mp4(moov)  # must not raise
+    parse_mp4(ftyp + moov)  # must not raise
+
+
+def test_parse_webm_unknown_size_segment():
+    """A streamed WebM's Segment uses the all-ones (unknown-size) vint;
+    the walk must treat it as extending to end-of-payload, not abort."""
+    from uckg_spark.operators.multimodal import parse_webm
+
+    # hand-build: EBML header + Segment (unknown size) > Info(TimestampScale)
+    def vint(n):  # 1-byte vint
+        return bytes([0x80 | n])
+
+    def elem(eid_bytes, payload):
+        return eid_bytes + vint(len(payload)) + payload
+
+    info = elem(b"\x15\x49\xa9\x66",
+                elem(b"\x2a\xd7\xb1", (500_000).to_bytes(3, "big")))
+    tracks = elem(b"\x16\x54\xae\x6b", elem(
+        b"\xae", elem(b"\xe0",
+                      elem(b"\xb0", (320).to_bytes(2, "big"))
+                      + elem(b"\xba", (176).to_bytes(2, "big")))))
+    seg = b"\x18\x53\x80\x67" + b"\xff" + info + tracks  # 0xFF = unknown size
+    hdr = elem(b"\x1a\x45\xdf\xa3", b"")
+    meta = parse_webm(hdr + seg)
+    assert meta is not None
+    assert meta["width"] == 320 and meta["height"] == 176
+    assert meta["n_tracks"] == 1 and meta["n_video_tracks"] == 1
+
+
+def test_parse_mp4_multitrack_fields_from_one_track():
+    """Multi-video-track MP4: width/height and n_frames must describe
+    the SAME (max-frames) track, not a mix."""
+    from uckg_spark.operators.multimodal import parse_mp4
+
+    def box(t, payload=b""):
+        return (8 + len(payload)).to_bytes(4, "big") + t + payload
+
+    def full(t, ver_flags, payload):
+        return box(t, ver_flags + payload)
+
+    def trak(w, h, nf):
+        tkhd = full(b"tkhd", b"\0\0\0\0",
+                    b"\0" * (20 + 8 + 2 + 2 + 2 + 2 + 36)
+                    + (w << 16).to_bytes(4, "big")
+                    + (h << 16).to_bytes(4, "big"))
+        stts = full(b"stts", b"\0\0\0\0",
+                    (1).to_bytes(4, "big")
+                    + nf.to_bytes(4, "big") + (1).to_bytes(4, "big"))
+        mdia = box(b"mdia", full(b"hdlr", b"\0\0\0\0", b"\0" * 4 + b"vide")
+                   + box(b"minf", box(b"stbl", stts)))
+        return box(b"trak", tkhd + mdia)
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x00\x01isom")
+    moov = box(b"moov", trak(640, 360, 48) + trak(320, 180, 12))
+    meta = parse_mp4(ftyp + moov)
+    assert meta["n_frames"] == 48
+    assert (meta["width"], meta["height"]) == (640, 360)

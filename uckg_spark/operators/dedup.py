@@ -214,6 +214,11 @@ def ngram_jaccard_pairs(
     """
     sh = shingle_rows(docs, n, text_col, distinct=True).select(
         F.col("id").alias("doc_id"), F.col("token").alias("sh"))
+    # sh feeds THREE consumers (sizes + both join sides): truncate its
+    # lineage in local mode so the shingle kernel runs once (the
+    # setjoin._ordered_sets idiom; persist on a cluster)
+    if docs.sparkSession.sparkContext.master.startswith("local"):
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

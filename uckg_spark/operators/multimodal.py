@@ -832,8 +832,17 @@ def parse_mp4(payload: bytes) -> dict | None:
                                         p += 8
         if is_video:
             out["n_video_tracks"] += 1
-            out["n_frames"] = max(out["n_frames"], frames)
-            if w and h:
+            # all fields come from ONE chosen track (the video track
+            # with the most frames; earlier tracks win ties) — the old
+            # per-field mixing could report one track's frame count
+            # with another's dimensions on multi-video-track files
+            if frames > out["n_frames"]:
+                out["n_frames"] = frames
+                if w and h:
+                    out["width"], out["height"] = w, h
+            elif not out["n_frames"] and w and h and not out["width"]:
+                # no track has frame data yet: first track with
+                # dimensions provides them
                 out["width"], out["height"] = w, h
 
     seen_moov = False
@@ -902,6 +911,14 @@ def parse_webm(payload: bytes) -> dict | None:
             if got is None:
                 return
             size, body = got
+            # all-ones size vint = Matroska UNKNOWN size (standard for
+            # live/streamed Segments): the element extends to the end
+            # of the enclosing scope, and nothing can follow it there —
+            # treating it as a huge concrete size aborted the walk and
+            # returned all-zero metadata for real streamed WebM
+            if size == (1 << (7 * (body - off2))) - 1:
+                yield eid, body, hi
+                return
             if body + size > hi:
                 return
             yield eid, body, body + size
