@@ -91,6 +91,7 @@ def connected_components(
 
     # canonical undirected form: (u, v) with u < v, self-loops dropped,
     # deduped — union-find needs each link once, not both directions
+    is_local = spark.sparkContext.master.startswith("local")
     E = (
         edges.select(
             F.least("src", "dst").alias("u"),
@@ -98,13 +99,19 @@ def connected_components(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .persist()
     )
+    # local mode: non-eager localCheckpoint instead of persist — the
+    # count below materializes it either way, but a checkpointed E needs
+    # no unpersist bookkeeping, so the single-partition fast path can
+    # return its mapping LAZILY (no final persist+count job just to
+    # release E — one serial Spark job cut from every small-graph CC
+    # consumer). Clusters keep the replayable persist.
+    E = E.localCheckpoint(eager=False) if is_local else E.persist()
     n_cur = E.count()
 
     mapping: DataFrame | None = None  # node → current rep, all orig nodes
     cur = E
-    persisted = [E]
+    persisted = [] if is_local else [E]
     for _ in range(max_iter):
         if n_cur == 0:
             break
@@ -168,10 +175,13 @@ def connected_components(
     if mapping is None:  # no edges at all
         return spark.createDataFrame([], "node string, component string")
 
-    labels = mapping.select("node", F.col("rep").alias("component")).persist()
-    labels.count()
-    for df in persisted:
-        df.unpersist()
+    labels = mapping.select("node", F.col("rep").alias("component"))
+    if persisted:
+        # materialize before releasing the caches the lineage reads
+        labels = labels.persist()
+        labels.count()
+        for df in persisted:
+            df.unpersist()
     return labels
 
 
