@@ -914,7 +914,15 @@ def structural_pairs(
     if max_group_size < 2:
         raise ValueError("max_group_size must be >= 2")
     keys = [f"mh{j}" for j in range(num_hashes)]
-    und = node_undirected(edges, subj, obj).persist()
+    und = node_undirected(edges, subj, obj)
+    # non-eager localCheckpoint, not persist — same trade as
+    # pagerank/hits (A/B at sf0.1: persist 4.9-13.6 s, bare 3.4-4.7 s,
+    # checkpoint 3.5-4.0 s; the persist materialization barrier costs
+    # more than the reuse saves); clusters keep the replayable persist
+    if edges.sparkSession.sparkContext.master.startswith("local"):
+        und = und.localCheckpoint(eager=False)
+    else:
+        und = und.persist()
     sig = node_neighbor_minhash(edges, num_hashes, subj, obj, und=und)
     # candidate pairs by per-group combinations (guide §2.4): the
     # count prefilter stays (collect_list over an UNFILTERED group could
